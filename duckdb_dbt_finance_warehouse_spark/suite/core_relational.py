@@ -1,0 +1,924 @@
+"""Core relational operator suite — one named query per SURVEY.md §2 op-id.
+
+Each query is written DataFrame-first (declarative, Catalyst-optimizable,
+no Python UDFs) and paired with a byte-parity DuckDB oracle. Determinism
+rules applied throughout (validated empirically in tools/parity_scratch.py):
+
+- money/double SUMs go through DECIMAL(18,4) then cast back to DOUBLE —
+  exact, order-independent, identical across engines & parallelism;
+- DuckDB ``sum(int)`` returns HUGEINT and ``year()`` BIGINT — oracles
+  cast to BIGINT/INT to match Spark's schema;
+- timestamps compared at microsecond precision (events ns are floored
+  identically by both readers);
+- every computed column is aliased identically on both sides.
+
+Scale notes are attached per query: what shuffles, what broadcasts, and
+why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import empty_to_null, lower_norm, negative_to_null, record_hash
+from ..functions.money import exact_sum
+from ..sources.tables import load_testdata
+from .registry import query
+
+
+def T(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_testdata(spark, sf_dir, *names)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources  (S5 — lineage stamping; S1-S4 are exercised in tests)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s5_lineage_columns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST('2026-01-01 00:00:00' AS TIMESTAMP) AS ingested_at,
+           'lineitem.parquet' AS source_file
+    FROM lineitem
+    """,
+)
+def s5_lineage_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: stamp batch lineage columns on every ingested row
+    (reference: scripts/load_csvs_to_duckdb.py:47-50). Constant columns —
+    no shuffle, survives any scale."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ingested_at"),
+        F.lit("lineitem.parquet").alias("source_file"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_typed_projection",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS BIGINT) AS customer_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_totalprice AS DOUBLE) AS total_price,
+           trim(o_orderstatus) AS order_status,
+           lower(trim(o_orderpriority)) AS order_priority
+    FROM orders
+    """,
+)
+def p1_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: the staging schema contract — re-select + rename + cast every
+    column (reference: models/staging/stg_accounts.sql:14-49). Pure
+    narrow projection: pushed into the parquet scan, zero shuffle."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("customer_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.trim("o_orderstatus").alias("order_status"),
+        F.lower(F.trim("o_orderpriority")).alias("order_priority"),
+    )
+
+
+@query(
+    "p3_clean_strings",
+    oracle="""
+    SELECT c_custkey,
+           trim(c_name) AS name,
+           nullif(trim(c_name), '') AS name_nullable,
+           lower(nullif(trim(c_mktsegment), '')) AS segment
+    FROM customer
+    """,
+)
+def p3_clean_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3+P4: trim / empty->NULL / lowercase normalization
+    (reference: stg_accounts.sql:17-24, stg_subscriptions.sql:35)."""
+    c = T(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        F.trim("c_name").alias("name"),
+        empty_to_null("c_name").alias("name_nullable"),
+        lower_norm("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
+    "p5_negative_to_null",
+    oracle="""
+    SELECT event_id,
+           value AS value_raw,
+           CASE WHEN value < 0 THEN NULL ELSE value END AS value
+    FROM events
+    """,
+)
+def p5_negative_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: sanitize negative measures to NULL keeping the raw copy
+    (reference: stg_subscriptions.sql:25-28)."""
+    e = T(spark, sf_dir, "events")["events"]
+    return e.select(
+        "event_id",
+        F.col("value").alias("value_raw"),
+        negative_to_null("value").alias("value"),
+    )
+
+
+@query(
+    "p6_record_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(concat_ws('|',
+               coalesce(CAST(c_custkey AS VARCHAR), ''),
+               coalesce(trim(c_name), ''),
+               coalesce(CAST(c_nationkey AS VARCHAR), ''),
+               coalesce(CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS VARCHAR), ''),
+               coalesce(trim(c_mktsegment), ''))) AS record_hash
+    FROM customer
+    """,
+)
+def p6_record_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: md5 change-detection hash over NULL-coalesced business columns
+    (reference: stg_accounts.sql:33-46). Doubles canonicalized through
+    DECIMAL(18,4) so the hex digest is engine-independent."""
+    c = T(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        record_hash(
+            [
+                F.col("c_custkey"),
+                F.trim("c_name"),
+                F.col("c_nationkey"),
+                F.col("c_acctbal").cast("decimal(18,4)"),
+                F.trim("c_mktsegment"),
+            ]
+        ).alias("record_hash"),
+    )
+
+
+@query(
+    "p7_derived_boolean",
+    oracle="""
+    SELECT doc_id, (n_chars > 200) AS is_long, (lang IS NOT NULL) AS has_lang
+    FROM documents
+    """,
+)
+def p7_derived_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: derived boolean flags (reference: stg_support_tickets.sql:28)."""
+    d = T(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        (F.col("n_chars") > 200).alias("is_long"),
+        F.col("lang").isNotNull().alias("has_lang"),
+    )
+
+
+@query(
+    "p8_hwm_filter",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_recent
+    FROM events
+    WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY event_type
+    """,
+)
+def p8_hwm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: incremental high-watermark predicate with a scalar subquery
+    (reference: stg_accounts.sql:9-11). Implemented without a driver
+    collect: the 1-row bound aggregate is broadcast-cross-joined, so the
+    same plan works on a 1000-executor cluster."""
+    e = T(spark, sf_dir, "events")["events"]
+    bound = e.agg(F.max("ts").alias("max_ts"))
+    return (
+        e.crossJoin(F.broadcast(bound))
+        .filter(F.col("ts") > F.col("max_ts") - F.expr("interval 7 days"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_recent"))
+    )
+
+
+@query(
+    "p9_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def p9_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: filter on a window result (QUALIFY pattern, reference:
+    int_accounts_current.sql:3-10) — top-3 orders per customer. One
+    shuffle on the partition key; Spark pushes a per-partition top-K
+    (WindowGroupLimit) before the shuffle, so it scales."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "p10_predicate_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'N'
+    """,
+)
+def p10_predicate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: plain predicate filters (reference: fct_subscription_month.sql:12)
+    — conjunctive predicates all pushed to the parquet scan."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "N")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_month_spine_expansion",
+    oracle="""
+    SELECT o_custkey AS account_id,
+           unnest(generate_series(date_trunc('month', first_d)::DATE,
+                                  date_trunc('month', last_d)::DATE,
+                                  INTERVAL 1 MONTH))::DATE AS month_start_date
+    FROM (SELECT o_custkey, min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+          FROM orders GROUP BY o_custkey)
+    """,
+)
+def j1_month_spine_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the spine range join, rewritten the idiomatic Spark way —
+    ``explode(sequence(first_month, last_month, 1 month))`` instead of a
+    nested-loop BETWEEN join (reference: fct_subscription_month.sql:56-64,
+    SURVEY §2.3). One groupBy shuffle + a generator: linear in rows, no
+    N×M join — this is exactly the rewrite that survives 100 TB."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    bounds = o.groupBy(F.col("o_custkey").alias("account_id")).agg(
+        F.trunc(F.min("o_orderdate"), "month").alias("first_month"),
+        F.trunc(F.max("o_orderdate"), "month").alias("last_month"),
+    )
+    return bounds.select(
+        "account_id",
+        F.explode(
+            F.expr("sequence(first_month, last_month, interval 1 month)")
+        ).alias("month_start_date"),
+    )
+
+
+@query(
+    "j2_left_equi_zero_fill",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           CAST(coalesce(c.n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(c.total_acctbal, 0.0) AS DOUBLE) AS total_acctbal
+    FROM nation n
+    LEFT JOIN (
+      SELECT c_nationkey, count(*) AS n_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      FROM customer GROUP BY c_nationkey) c
+      ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def j2_left_equi_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left equi-join + zero-fill (reference: fct_account_month.sql:60-70,
+    mart_mrr_waterfall_month.sql:54-77). The aggregated side shrinks to
+    |nations| rows -> broadcast; no shuffle of the spine."""
+    t = T(spark, sf_dir, "nation", "customer")
+    agg = t["customer"].groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        exact_sum("c_acctbal").alias("total_acctbal"),
+    )
+    return (
+        t["nation"]
+        .join(F.broadcast(agg), t["nation"].n_nationkey == agg.c_nationkey, "left")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("total_acctbal", F.lit(0.0)).alias("total_acctbal"),
+        )
+    )
+
+
+_J3_DIM_SQL = """
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+      FROM events WHERE event_type = 'signup'
+"""
+
+
+@query(
+    "j3_validity_asof_join",
+    oracle=f"""
+    SELECT f.event_id, f.user_id, f.ts, f.value, d.valid_from, d.version
+    FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') f
+    LEFT JOIN ({_J3_DIM_SQL}) d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def j3_validity_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: SCD2 validity (as-of) join — equi key + half-open interval
+    (reference: dim_subscription.sql:39-48, fct_subscription_month.sql:123-138).
+    A versioned dim is derived from signup events via lead(); purchases
+    attach the version valid at their timestamp. Spark runs the equi part
+    as a hash join and the interval as a post-join filter; the dim side is
+    small per key, so broadcast at scale."""
+    e = T(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("valid_from"), "event_id")
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")))
+        .withColumn("version", F.row_number().over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")))
+        .drop("event_id")
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cond = (
+        (fact.user_id == dim.user_id)
+        & (fact.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (fact.ts < dim.valid_to))
+    )
+    return fact.join(F.broadcast(dim), cond, "left").select(
+        fact.event_id, fact.user_id, fact.ts, fact.value, dim.valid_from, dim.version
+    )
+
+
+@query(
+    "j4_first_version_backfill",
+    oracle=f"""
+    SELECT f.event_id, f.user_id, f.ts, d.version, d.effective_valid_from
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') f
+    LEFT JOIN (
+      SELECT user_id, valid_to, version,
+             CASE WHEN version = 1 THEN TIMESTAMP '1900-01-01' ELSE valid_from END
+               AS effective_valid_from
+      FROM ({_J3_DIM_SQL})
+    ) d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.effective_valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def j4_first_version_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: J3 with the earliest version's validity backdated to 1900-01-01
+    so facts predating the first observed version still resolve
+    (reference: fct_subscription_month.sql:131-137)."""
+    e = T(spark, sf_dir, "events")["events"]
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("valid_from"), "event_id")
+        .withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("version", F.row_number().over(wv))
+        .withColumn(
+            "effective_valid_from",
+            F.when(F.col("version") == 1, F.lit("1900-01-01").cast("timestamp")).otherwise(
+                F.col("valid_from")
+            ),
+        )
+        .drop("event_id", "valid_from")
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    cond = (
+        (fact.user_id == dim.user_id)
+        & (fact.ts >= dim.effective_valid_from)
+        & (dim.valid_to.isNull() | (fact.ts < dim.valid_to))
+    )
+    return fact.join(F.broadcast(dim), cond, "left").select(
+        fact.event_id, fact.user_id, fact.ts, dim.version, dim.effective_valid_from
+    )
+
+
+@query(
+    "j5_fk_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j5_fk_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: FK integrity as an anti join — child keys with no parent
+    (reference: relationships test, models/staging/schema.yml:17-20).
+    left_anti broadcasts the distinct key set when small; at 100 TB it
+    becomes a shuffled anti join on the key — still one shuffle."""
+    t = T(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j6_scalar_subquery_filter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_big,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_quantity > (
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def j6_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: scalar-subquery constant inside a predicate (reference:
+    fct_subscription_month.sql:44-52). The 1-row aggregate is broadcast —
+    no driver collect, so the plan is cluster-shaped. The threshold is an
+    exact decimal-sum / count, deterministic across engines."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    bound = li.agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count("*")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.crossJoin(F.broadcast(bound))
+        .filter(F.col("l_quantity") > F.col("avg_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_big"),
+            exact_sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_grouped_sum_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+             AS DOUBLE) AS sum_charge,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_grouped_sum_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: TPC-H Q1-shaped grouped sums (reference grouped_sum:
+    fct_account_month.sql:49-57). Partial (map-side) aggregation is
+    automatic; group cardinality is tiny so the shuffle moves ~nothing."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                scale=6,
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a2_grouped_min_max",
+    oracle="""
+    SELECT o_custkey,
+           CAST(min(o_orderdate) AS DATE) AS first_order_date,
+           CAST(max(o_orderdate) AS DATE) AS last_order_date,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a2_grouped_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-entity first/last activity (reference: fct_account_month.sql:26-35)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").cast("date").alias("first_order_date"),
+        F.max("o_orderdate").cast("date").alias("last_order_date"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "a3_global_scalar_agg",
+    oracle="""
+    SELECT CAST(min(o_orderdate) AS DATE) AS min_month,
+           CAST(max(o_orderdate) AS DATE) AS max_month,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    """,
+)
+def a3_global_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: global scalar aggregate — month bounds (reference:
+    fct_subscription_month.sql:25-30). Two-stage partial/final agg, one
+    row out — the cheapest possible global pass."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return o.agg(
+        F.min("o_orderdate").cast("date").alias("min_month"),
+        F.max("o_orderdate").cast("date").alias("max_month"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "a4_multi_sum_rollup",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate)::DATE AS month_start_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END
+               AS DECIMAL(18,4))) AS DOUBLE) AS fulfilled_revenue,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END
+               AS DECIMAL(18,4))) AS DOUBLE) AS open_revenue,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             - CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END
+                 AS DECIMAL(18,4))) AS DOUBLE) AS non_fulfilled_revenue
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)::DATE
+    """,
+)
+def a4_multi_sum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: waterfall-style month-grain rollup — many conditional sums plus
+    a derived net in ONE grouped pass (reference: mart_mrr_waterfall_month.sql:29-52)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    f_rev = exact_sum(
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)
+    )
+    out = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month_start_date"))
+        .agg(
+            exact_sum("o_totalprice").alias("total_revenue"),
+            f_rev.alias("fulfilled_revenue"),
+            exact_sum(
+                F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)
+            ).alias("open_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .withColumn(
+            "non_fulfilled_revenue", F.col("total_revenue") - F.col("fulfilled_revenue")
+        )
+    )
+    return out
+
+
+@query(
+    "a5_conditional_count_distinct",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT)
+             AS purchasing_users,
+           CAST(count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS BIGINT)
+             AS erroring_users,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def a5_conditional_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: several conditional COUNT(DISTINCT) in one GROUP BY (reference:
+    mart_mrr_waterfall_month.sql:44-47) — Spark plans this with an expand
+    node; exact, not approximate."""
+    e = T(spark, sf_dir, "events")["events"]
+    return e.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("purchasing_users"),
+        F.countDistinct(F.when(F.col("event_type") == "error", F.col("user_id"))).alias(
+            "erroring_users"
+        ),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+
+
+@query(
+    "a6_select_distinct",
+    oracle="""
+    SELECT DISTINCT date_trunc('month', o_orderdate)::DATE AS month_start_date
+    FROM orders
+    """,
+)
+def a6_select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distinct projection (reference: fct_subscription_month.sql:8-13)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return o.select(F.trunc("o_orderdate", "month").alias("month_start_date")).distinct()
+
+
+@query(
+    "a7_spine_zero_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', min(o_orderdate))::DATE AS min_m,
+             date_trunc('month', max(o_orderdate))::DATE AS max_m
+      FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(min_m, max_m, INTERVAL 1 MONTH))::DATE
+               AS month_start_date
+      FROM bounds),
+    rev AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT s.month_start_date,
+           CAST(coalesce(r.revenue, 0.0) AS DOUBLE) AS revenue,
+           CAST(coalesce(r.n_orders, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN rev r ON s.month_start_date = r.m
+    """,
+)
+def a7_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: complete month spine left-joined to aggregates, zero-filled so
+    empty months report 0 (reference: mart_mrr_waterfall_month.sql:54-77).
+    The spine is generated engine-side from the data's own bounds — no
+    driver round-trip — and is tiny, so the join broadcasts."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    spine = (
+        o.agg(
+            F.trunc(F.min("o_orderdate"), "month").alias("min_m"),
+            F.trunc(F.max("o_orderdate"), "month").alias("max_m"),
+        )
+        .select(
+            F.explode(F.expr("sequence(min_m, max_m, interval 1 month)")).alias(
+                "month_start_date"
+            )
+        )
+    )
+    rev = o.groupBy(F.trunc("o_orderdate", "month").alias("m")).agg(
+        exact_sum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spine.join(rev, spine.month_start_date == rev.m, "left")
+        .select(
+            "month_start_date",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_latest_row_dedup",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def w1_latest_row_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest-row-per-key dedup — the "current truth" view (reference:
+    int_accounts_current.sql:4-10). row_number over (key ORDER BY ts DESC)
+    = 1; one shuffle on the natural key."""
+    e = T(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@query(
+    "w2_lag_prev_month",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month_start_date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT o_custkey, month_start_date, revenue,
+           CAST(coalesce(lag(revenue) OVER (PARTITION BY o_custkey
+                                            ORDER BY month_start_date), 0.0) AS DOUBLE)
+             AS prev_revenue
+    FROM m
+    """,
+)
+def w2_lag_prev_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag(value) 0-defaulted — begin-of-month balance (reference:
+    fct_account_month.sql:79-84)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    m = o.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("month_start_date")
+    ).agg(exact_sum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy("o_custkey").orderBy("month_start_date")
+    return m.withColumn("prev_revenue", F.coalesce(F.lag("revenue").over(w), F.lit(0.0)))
+
+
+@query(
+    "w3_prior_history_flag",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month_start_date,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT o_custkey, month_start_date, revenue,
+           CAST(coalesce(max(CASE WHEN revenue > 200000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY o_custkey ORDER BY month_start_date
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+             AS had_big_month_before
+    FROM m
+    """,
+)
+def w3_prior_history_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: 'any prior qualifying month' — cumulative max over an explicit
+    ROWS frame that EXCLUDES the current row (reference "ever paid
+    before": fct_account_month.sql:93-101; distinguishes new vs
+    reactivation)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    m = o.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("month_start_date")
+    ).agg(exact_sum("o_totalprice").alias("revenue"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("month_start_date")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return m.withColumn(
+        "had_big_month_before",
+        F.coalesce(
+            F.max(F.when(F.col("revenue") > 200000, 1).otherwise(0)).over(w), F.lit(0)
+        ),
+    )
+
+
+@query(
+    "w4_partition_min",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(min(o_orderdate) OVER (PARTITION BY o_custkey) AS DATE) AS first_order_date
+    FROM orders
+    """,
+)
+def w4_partition_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: whole-partition min attached to every row (reference:
+    fct_subscription_month.sql:107,119)."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.min("o_orderdate").over(w).cast("date").alias("first_order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits  +  §2.7 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_ordered_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o1_ordered_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2: deterministic ORDER BY ... LIMIT (reference: dim_date.sql:54).
+    Spark plans TakeOrderedAndProject — per-partition top-N then a tiny
+    merge, no global sort."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "f_date_kit",
+    oracle="""
+    SELECT DISTINCT
+           CAST(o_orderdate AS DATE) AS d,
+           date_trunc('month', o_orderdate)::DATE AS month_start_date,
+           (date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY)::DATE
+             AS month_end_date,
+           (date_trunc('month', o_orderdate) - INTERVAL 1 MONTH)::DATE AS prev_month_start,
+           (date_trunc('month', o_orderdate) + INTERVAL 1 MONTH)::DATE AS next_month_start,
+           CAST(extract(year FROM o_orderdate) AS INT) AS year,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS quarter,
+           CAST(extract(month FROM o_orderdate) AS INT) AS month,
+           CAST(extract(year FROM o_orderdate) * 100 + extract(month FROM o_orderdate) AS INT)
+             AS year_month_key,
+           strftime(o_orderdate, '%B') AS month_name,
+           CAST(datediff('month', DATE '1970-01-01', date_trunc('month', o_orderdate)) AS INT)
+             AS month_index
+    FROM orders
+    """,
+)
+def f_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11-F18: the dim_date derivation kit (reference: dim_date.sql:21-48)
+    — month truncation, EOM via last_day, prev/next month, extracts,
+    composite year-month key, month name, month index since 1970."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    d = F.col("o_orderdate")
+    return o.select(
+        d.cast("date").alias("d"),
+        F.trunc(d, "month").alias("month_start_date"),
+        F.last_day(d).alias("month_end_date"),
+        F.add_months(F.trunc(d, "month"), -1).alias("prev_month_start"),
+        F.add_months(F.trunc(d, "month"), 1).alias("next_month_start"),
+        F.year(d).alias("year"),
+        F.quarter(d).alias("quarter"),
+        F.month(d).alias("month"),
+        (F.year(d) * 100 + F.month(d)).alias("year_month_key"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.months_between(F.trunc(d, "month"), F.lit("1970-01-01").cast("date"))
+        .cast("int")
+        .alias("month_index"),
+    ).distinct()
+
+
+@query(
+    "f19_date_spine",
+    oracle="""
+    SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY))::DATE
+             AS date_day
+    """,
+)
+def f19_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: day-grain date spine, END-EXCLUSIVE like dbt_utils.date_spine
+    (reference: dim_date.sql:9-13) — [2024-01-01, 2024-04-01) = 91 days.
+    Generated with explode(sequence(...)): constant-folded, engine-side."""
+    from ..functions.dates import date_spine
+
+    return date_spine(spark, "2024-01-01", "2024-04-01", end_exclusive=True)
+
+
+@query(
+    "f_misc_scalars",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(l_quantity, 25.0) AS capped_qty,
+           abs(l_extendedprice - 30000.0) AS price_dev,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+           CASE WHEN l_discount >= 0.05 THEN 'high'
+                WHEN l_discount > 0.0 THEN 'low'
+                ELSE 'zero' END AS discount_band
+    FROM lineitem
+    """,
+)
+def f_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F8/F9/F10 + F2: least, abs, coalesce/nullif, multi-branch CASE
+    (reference: fct_subscription_month.sql:48, fct_account_month.sql:110-123,152)."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("capped_qty"),
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("price_dev"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.when(F.col("l_discount") >= 0.05, "high")
+        .when(F.col("l_discount") > 0.0, "low")
+        .otherwise("zero")
+        .alias("discount_band"),
+    )
