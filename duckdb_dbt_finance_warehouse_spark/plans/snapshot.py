@@ -1,0 +1,98 @@
+"""SCD2 snapshot — dbt ``check``-strategy merge (SURVEY §7.4, D8).
+
+Reference config (snapshots/snap_accounts.sql:3-11): ``strategy='check',
+check_cols=['record_hash'], unique_key=<natural key>,
+invalidate_hard_deletes=true``. Public dbt-core semantics per run:
+
+- key only in source          -> INSERT new open version
+- key in both, hash equal     -> keep the open row unchanged
+- key in both, hash differs   -> CLOSE old version + INSERT new open one
+- key only in snapshot (hard delete) -> CLOSE the open version
+
+Determinism deviation (documented): dbt stamps ``dbt_valid_from`` /
+``dbt_valid_to`` with the snapshot run's wall clock; here versions open
+at the row's own ``ingested_at`` and close at the incoming row's
+``ingested_at`` (hard deletes close at the batch's max ``ingested_at``).
+Downstream consumers only use month-truncated validity plus the
+1900-01-01 first-version backfill (fct_subscription_month.sql:104-137),
+so this is observationally equivalent for all marts while making reruns
+reproducible.
+
+Scale: one full-outer shuffle join on the natural key between the OPEN
+slice of the snapshot and the deduped current view — closed history is
+never rejoined, only unioned back (append-only cold data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .registry import Context, Model
+
+
+def scd2_merge(
+    old: DataFrame | None,
+    new: DataFrame,
+    unique_key: str,
+    check_col: str = "record_hash",
+    batch_ts_col: str = "ingested_at",
+) -> DataFrame:
+    """Pure-DataFrame SCD2 merge; returns the full new snapshot state."""
+    new = new.withColumn("dbt_valid_from", F.col(batch_ts_col)).withColumn(
+        "dbt_valid_to", F.lit(None).cast("timestamp")
+    )
+    if old is None:
+        return new
+
+    closed_history = old.filter(F.col("dbt_valid_to").isNotNull())
+    open_rows = old.filter(F.col("dbt_valid_to").isNull())
+
+    # hard-delete close timestamp: the incoming batch's max ingested_at
+    batch_ts = new.agg(F.max(batch_ts_col)).first()[0]
+
+    o = open_rows.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col(f"o.{unique_key}") == F.col(f"n.{unique_key}"), "full_outer")
+
+    in_old = F.col(f"o.{unique_key}").isNotNull()
+    in_new = F.col(f"n.{unique_key}").isNotNull()
+    changed = in_old & in_new & (F.col(f"o.{check_col}") != F.col(f"n.{check_col}"))
+
+    old_cols = [F.col(f"o.{c}").alias(c) for c in open_rows.columns if c != "dbt_valid_to"]
+    new_cols = [F.col(f"n.{c}").alias(c) for c in new.columns]
+
+    # unchanged open rows pass through; changed/deleted get closed
+    kept_open = j.filter(in_old & in_new & ~changed).select(
+        *old_cols, F.lit(None).cast("timestamp").alias("dbt_valid_to")
+    )
+    closed_changed = j.filter(changed).select(
+        *old_cols, F.col(f"n.{batch_ts_col}").alias("dbt_valid_to")
+    )
+    closed_deleted = j.filter(in_old & ~in_new).select(
+        *old_cols, F.lit(batch_ts).cast("timestamp").alias("dbt_valid_to")
+    )
+    inserts_new = j.filter(~in_old & in_new).select(*new_cols)
+    inserts_changed = j.filter(changed).select(*new_cols)
+
+    return (
+        closed_history.unionByName(kept_open)
+        .unionByName(closed_changed)
+        .unionByName(closed_deleted)
+        .unionByName(inserts_new)
+        .unionByName(inserts_changed)
+    )
+
+
+def run_snapshot(ctx: Context, m: Model) -> None:
+    """Materialize a snapshot model: fn(ctx) yields the CURRENT rows
+    (from the deduped int_*_current view); merge into the stored state."""
+    new = m.fn(ctx)
+    old = ctx.wh.read(m.schema, m.name) if ctx.wh.exists(m.schema, m.name) else None
+    key = m.unique_key[0]
+    merged = scd2_merge(old, new, unique_key=key)
+    # the merge reads the files it is about to replace -> materialize first
+    merged = merged.cache()
+    merged.count()
+    ctx.wh.write(merged, m.schema, m.name, mode="overwrite")
+    merged.unpersist()

@@ -1,0 +1,116 @@
+"""Pipeline CLI — plays the role of the reference's loader script +
+``dbt build`` (SURVEY §3.1-3.2).
+
+  python runner.py ingest --warehouse WH --data DIR [--mode replace|append]
+                          [--batch-ts "2024-01-15 00:00:00"]
+  python runner.py build  --warehouse WH [--full-refresh] [--vars JSON]
+                          [--select model1,model2]
+  python runner.py test   --warehouse WH
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_dbt_finance_warehouse_spark.models import build_pipeline
+from duckdb_dbt_finance_warehouse_spark.session import get_spark
+from duckdb_dbt_finance_warehouse_spark.sources.csv import ingest_csv
+from duckdb_dbt_finance_warehouse_spark.sources.tables import Warehouse
+
+
+def cmd_ingest(args) -> int:
+    spark = get_spark("ingest")
+    wh = Warehouse(spark, args.warehouse)
+    batch_ts = (
+        datetime.strptime(args.batch_ts, "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc)
+        if args.batch_ts
+        else datetime.now(timezone.utc)
+    )
+    for path in sorted(glob.glob(os.path.join(args.data, "*.csv"))):
+        table = os.path.splitext(os.path.basename(path))[0]
+        df = ingest_csv(wh, path, table, mode=args.mode, batch_ts=batch_ts)
+        print(f"raw.{table}: {df.count()} rows")
+    return 0
+
+
+def cmd_build(args) -> int:
+    spark = get_spark("build")
+    wh = Warehouse(spark, args.warehouse)
+    variables = json.loads(args.vars) if args.vars else {}
+    select = args.select.split(",") if args.select else None
+    p = build_pipeline()
+    p.run(spark, wh, variables=variables, full_refresh=args.full_refresh, select=select)
+    for name in p.topo_order(select):
+        m = p.models[name]
+        if m.materialization != "view":
+            print(f"{m.schema}.{m.name}: {wh.read(m.schema, m.name).count()} rows")
+    return 0
+
+
+def cmd_test(args) -> int:
+    from duckdb_dbt_finance_warehouse_spark.plans import testing as tst
+
+    spark = get_spark("test")
+    wh = Warehouse(spark, args.warehouse)
+    fsm = wh.read("mart", "fct_subscription_month")
+    fam = wh.read("mart", "fct_account_month")
+    mart = wh.read("mart", "mart_mrr_waterfall_month")
+    stg_a = wh.read("stg", "stg_accounts")
+    stg_s = wh.read("stg", "stg_subscriptions")
+
+    checks = {
+        "stg_accounts.account_id not_null": tst.not_null(stg_a, "account_id"),
+        "stg_subscriptions.subscription_id not_null": tst.not_null(stg_s, "subscription_id"),
+        "stg_subscriptions.billing_frequency accepted": tst.accepted_values(
+            stg_s, "billing_frequency", ["monthly", "annual"]
+        ),
+        "stg_subscriptions -> stg_accounts FK": tst.relationships(
+            stg_s, "account_id", stg_a, "account_id"
+        ),
+        "fct_subscription_month grain unique": tst.unique_combination(
+            fsm, ["subscription_id", "month_start_date"]
+        ),
+        "fct_account_month grain unique": tst.unique_combination(
+            fam, ["account_id", "month_start_date"]
+        ),
+        "waterfall ties out": tst.waterfall_ties_out(mart),
+        "account ties subscription": tst.account_ties_subscription(fam, fsm),
+        "EOM boundary": tst.eom_boundary(fsm),
+    }
+    failed = 0
+    for name, viol in checks.items():
+        n = viol.count()
+        status = "PASS" if n == 0 else f"FAIL ({n} violations)"
+        if n:
+            failed += 1
+        print(f"{status}: {name}")
+    return 1 if failed else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("ingest", "build", "test"):
+        s = sub.add_parser(name)
+        s.add_argument("--warehouse", required=True)
+        if name == "ingest":
+            s.add_argument("--data", required=True)
+            s.add_argument("--mode", default="append", choices=["replace", "append"])
+            s.add_argument("--batch-ts", default=None)
+        if name == "build":
+            s.add_argument("--full-refresh", action="store_true")
+            s.add_argument("--vars", default=None)
+            s.add_argument("--select", default=None)
+    args = ap.parse_args()
+    return {"ingest": cmd_ingest, "build": cmd_build, "test": cmd_test}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""Direct unit tests of the SCD2 check-strategy merge (plans/snapshot.py)
+— every branch, including hard deletes (which the pipeline-level source,
+a dedup over an append-only log, can never produce)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from duckdb_dbt_finance_warehouse_spark.plans.snapshot import scd2_merge
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, val string, record_hash string, ingested_at timestamp"
+    )
+
+
+T1 = datetime(2024, 1, 1)
+T2 = datetime(2024, 2, 1)
+
+
+def test_first_run_opens_all(spark):
+    new = df_of(spark, [("K1", "a", "h1", T1), ("K2", "b", "h2", T1)])
+    out = scd2_merge(None, new, "key").collect()
+    assert len(out) == 2
+    assert all(r["dbt_valid_to"] is None and r["dbt_valid_from"] == T1 for r in out)
+
+
+def test_all_merge_branches(spark):
+    old = scd2_merge(None, df_of(spark, [("K1", "a", "h1", T1), ("K2", "b", "h2", T1), ("K3", "c", "h3", T1)]), "key")
+    # K1 changed, K2 unchanged, K3 hard-deleted, K4 new
+    new = df_of(spark, [("K1", "a2", "h1x", T2), ("K2", "b", "h2", T2), ("K4", "d", "h4", T2)])
+    out = scd2_merge(old, new, "key")
+    rows = {(r["key"], r["record_hash"]): r for r in out.collect()}
+
+    assert len(rows) == 5
+    # changed: old closed at the incoming row's ingest ts, new open
+    assert rows[("K1", "h1")]["dbt_valid_to"] == T2
+    assert rows[("K1", "h1x")]["dbt_valid_to"] is None
+    assert rows[("K1", "h1x")]["dbt_valid_from"] == T2
+    # unchanged: untouched open row, original valid_from
+    assert rows[("K2", "h2")]["dbt_valid_to"] is None
+    assert rows[("K2", "h2")]["dbt_valid_from"] == T1
+    # hard delete: closed at the batch's max ingest ts
+    assert rows[("K3", "h3")]["dbt_valid_to"] == T2
+    # insert
+    assert rows[("K4", "h4")]["dbt_valid_to"] is None
+
+
+def test_merge_is_idempotent_for_unchanged_batch(spark):
+    s1 = scd2_merge(None, df_of(spark, [("K1", "a", "h1", T1)]), "key")
+    s2 = scd2_merge(s1, df_of(spark, [("K1", "a", "h1", T2)]), "key")
+    rows = s2.collect()
+    assert len(rows) == 1
+    assert rows[0]["dbt_valid_from"] == T1 and rows[0]["dbt_valid_to"] is None
