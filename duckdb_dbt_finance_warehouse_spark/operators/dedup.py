@@ -1,0 +1,195 @@
+"""Deduplication operators for 100 TB-scale corpora (SURVEY §7.6).
+
+Four tiers, all pure DataFrame ops (no Python UDFs — every hash is a
+JVM-side built-in, so the whole family runs inside whole-stage codegen):
+
+- exact          : md5 over normalized content, groupBy hash — one shuffle.
+- MinHash + LSH  : shingle -> n seeded murmur3 minima -> band -> bucket
+  join. Candidate generation is linear-ish (explode by bands, self-join
+  per bucket); only candidates pay the verification cost.
+- SimHash        : 64-bit sign-aggregated token hashes; near-dups share
+  fingerprints at small Hamming distance.
+- n-gram Jaccard : exact set overlap for candidate verification.
+
+Scale notes: shingling multiplies rows by ~|text|; the LSH band join is
+the only shuffle whose key cardinality matters — bucket hashes are high-
+entropy so skew is bounded. Dedup at 100 TB = exact pass first (cheap,
+removes the bulk), then MinHash-LSH on the survivors.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c) -> F.Column:
+    """Canonical text form: lowercase, collapse whitespace, trim."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on normalized content: every row keyed by content hash,
+    winner = min id per group; ``is_duplicate`` marks losers."""
+    h = df.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("content_hash")
+    )
+    winners = h.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
+    )
+    return h.join(winners, "content_hash").select(
+        id_col,
+        "content_hash",
+        "keep_id",
+        "group_size",
+        (F.col(id_col) != F.col("keep_id")).alias("is_duplicate"),
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Distinct character k-shingles per document, engine-side:
+    transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
+    norm = normalize_text(text_col)
+    return (
+        df.select(F.col(id_col), norm.alias("_t"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), i -> substring(_t, i, {k}))")
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per doc: element-wise min over ``n_hashes`` seeded
+    murmur3 hashes of the shingle set. One groupBy shuffle on id."""
+    sh = shingles(df, id_col, text_col, k)
+    mins = [
+        F.min(F.hash(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature (bands x rows_per_band must cover n_hashes) and
+    self-join per (band, band_hash) bucket -> candidate pairs id_a < id_b."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bucket"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full near-dup pipeline: candidates via LSH, verified by estimated
+    Jaccard = fraction of matching signature components."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
+    a = sigs.alias("sa")
+    b = sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a", "id_b", (matches / F.lit(n_hashes)).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 by the
+    token hash's bit value; fingerprint bit = sign of the sum. Pure
+    aggregations — one shuffle on id."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(bits - 1),  # bit 63 would overflow signed long as 2^63
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs:
+    |A ∩ B| via a gram-level join, |A ∪ B| = |A| + |B| - |A ∩ B|."""
+    grams = shingles(df, id_col, text_col, n).withColumnRenamed("shingle", "gram")
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

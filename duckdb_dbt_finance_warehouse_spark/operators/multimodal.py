@@ -1,0 +1,79 @@
+"""Multimodal column plumbing (SURVEY §7.6).
+
+Images/audio/video ride through the warehouse as opaque ``binary``
+payloads + a typed metadata struct; decode/feature-extraction runs as
+Arrow-batched ``mapInPandas`` so each Python worker sees columnar
+batches, never row-at-a-time serde.
+
+The DECODE STEP IS STUBBED: real image/audio libs are not in this
+container, so ``extract_features`` computes deterministic byte-level
+features (length, simple byte histogram stats) as a stand-in with the
+same plumbing — schema, batch shape, partitioning — a real decoder would
+use. Swap ``_fake_decode`` for PIL/librosa at deployment; nothing else
+changes.
+
+Scale notes: payloads dominate row size — keep them OUT of shuffles.
+``extract_features`` is a mapPartitions-shaped narrow op (no shuffle);
+downstream joins carry only (id, features).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def synthesize_blobs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a multimodal-shaped table from text rows: binary payload
+    (utf-8 bytes as a stand-in for e.g. JPEG bytes) + metadata struct."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("blob/fake").alias("mime"),
+            F.length(F.col(text_col)).alias("n_bytes"),
+            F.lit(1).alias("version"),
+        ).alias("media_meta"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_max", T.IntegerType()),
+        T.StructField("distinct_bytes", T.IntegerType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[float, int, int]:
+    """STUB decoder — deterministic byte stats standing in for a real
+    image/audio decode. Replace with PIL/librosa in deployment."""
+    if not payload:
+        return 0.0, 0, 0
+    return sum(payload) / len(payload), max(payload), len(set(payload))
+
+
+def extract_features(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "byte_mean": [f[0] for f in feats],
+                    "byte_max": [f[1] for f in feats],
+                    "distinct_bytes": [f[2] for f in feats],
+                }
+            )
+
+    return blobs.select(id_col, "payload").mapInPandas(run, FEATURE_SCHEMA)

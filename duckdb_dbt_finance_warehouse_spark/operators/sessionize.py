@@ -1,0 +1,75 @@
+"""Event-stream batch operators: gap sessionization, tumbling windows,
+JSON property extraction. All window/groupBy compositions — the batch
+twins of the Structured Streaming versions in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessions: a session breaks when the time since the
+    previous event exceeds the gap. session_seq = cumulative count of
+    breaks; one shuffle on the user key."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return (
+        df.withColumn("is_new_session", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+        )
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    return s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias(
+            "duration_secs"
+        ),
+    )
+
+
+def tumbling_window(
+    df: DataFrame, ts_col: str = "ts", unit: str = "hour"
+) -> DataFrame:
+    """Tumbling event-time window aggregate (batch twin of streaming
+    window(ts, '1 hour'))."""
+    return df.groupBy(
+        F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def json_props(df: DataFrame, props_col: str = "props", key: str = "k") -> DataFrame:
+    """Extract a JSON property as typed column (events.props is a JSON
+    string; get_json_object is codegen'd, no UDF)."""
+    return df.withColumn(
+        f"prop_{key}", F.get_json_object(F.col(props_col), f"$.{key}").cast("int")
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (SURVEY §7.6).
+
+- ``cosine_topk``  : exact brute-force top-k — the correctness baseline.
+  Cosine is computed with zip_with/aggregate (JVM-side higher-order
+  functions, float accumulated in double); per-query top-k via a window.
+- ``lsh_ann_topk`` : the scale path — sign-random-projection bucketing.
+  Hyperplanes are derived deterministically from murmur3 hashes (no RNG,
+  reproducible across runs/engines); candidates = same-bucket vectors
+  (optionally multi-probe by flipping one bit), then exact cosine within
+  the bucket.
+
+Scale notes: brute force is O(|Q| x |C|) — fine for |Q| small (probe
+queries) but not for all-pairs; LSH turns it into per-bucket work. The
+corpus side is never collected; queries broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+NORM = (
+    "sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"{DOT.format(a=a, b=b)} / ({NORM.format(a=a)} * {NORM.format(a=b)})"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (excluding self-match).
+    ``queries`` is expected small -> broadcast; corpus streams."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_expr("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _plane_dot(vec_col: str, table: int, plane: int, dim: int) -> str:
+    """SQL for <v, plane> where the plane's component for dimension d is a
+    deterministic +-1 from murmur3(table, plane, d) — fixed, engine-
+    computable, no stored model, reproducible across runs."""
+    return (
+        "aggregate(zip_with({v}, sequence(0, {last}),"
+        " (x, d) -> CAST(x AS DOUBLE) * (CASE WHEN pmod(hash({t}, {p}, d), 2) = 0"
+        " THEN 1.0 ELSE -1.0 END)), CAST(0.0 AS DOUBLE), (acc, u) -> acc + u)"
+    ).format(v=vec_col, last=dim - 1, t=table, p=plane)
+
+
+def _table_buckets(vec_col: str, n_tables: int, n_planes: int, dim: int) -> F.Column:
+    """Array of (table, bucket) structs: one sign-bit bucket per hash
+    table. Multiple independent tables are what buys recall — a true
+    neighbor colliding in ANY table becomes a candidate."""
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            dot = F.expr(_plane_dot(vec_col, t, p, dim))
+            bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(0)
+        entries.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing a (table, bucket)
+    with the query in ANY of the ``n_tables`` hash tables; exact cosine +
+    window rank within candidates. With b planes/table and L tables a
+    neighbor at angle θ is found w.p. 1-(1-(1-θ/π)^b)^L. At 100 TB the
+    bucket join replaces the |Q|x|C| cross product with per-bucket work
+    (~|C| * L / 2^b candidates per query in expectation)."""
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(_table_buckets(vec_col, n_tables, n_planes, dim)).alias("tb"),
+    ).select("cand_id", "c_vec", "tb.tbl", "tb.bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_table_buckets(vec_col, n_tables, n_planes, dim)).alias("tb"),
+    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+    cands = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "cand_id", "c_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_expr("q_vec", "c_vec"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -1,0 +1,113 @@
+"""Text analysis operators for training-data pipelines (SURVEY §7.6):
+language ID, quality scoring, token counting, document fingerprinting.
+All pure built-in column expressions — regex + string ops run in codegen,
+so a 100 TB corpus pays one scan and (for langid) one small broadcast
+join + grouped argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "ein"],
+    "es": ["el", "la", "los", "de", "que", "es", "con", "una"],
+    "fr": ["le", "la", "les", "et", "est", "que", "des", "une"],
+}
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID: tokens join a broadcast stopword table,
+    argmax votes per doc (deterministic tiebreak on language code);
+    docs with no stopword hits -> 'und' (undetermined)."""
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], ["pred_lang", "tok"]
+    )
+    votes = (
+        tokens(df, id_col, text_col)
+        .join(F.broadcast(sw), "tok")
+        .groupBy(id_col, "pred_lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("votes"), F.asc("pred_lang"))
+    best = votes.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
+        id_col, "pred_lang", "votes"
+    )
+    return df.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("votes", F.lit(0)).alias("votes"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length band, punctuation density, stopword ratio, mean word length.
+    Mirrors the shape of C4/Gopher-style quality filters."""
+    t = normalize_text(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(t, " "))
+    n_punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
+    all_sw = [w for ws in STOPWORDS.values() for w in ws]
+    sw_arr = F.array(*[F.lit(w) for w in all_sw])
+    n_stop = F.size(F.array_intersect(F.split(t, " "), sw_arr))
+    mean_wlen = (n_chars - (n_tokens - 1)) / n_tokens
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 10000), 0.4).otherwise(0.0)
+        + F.when((n_punct / F.greatest(n_chars, F.lit(1))) < 0.1, 0.3).otherwise(0.0)
+        + F.when(n_stop > 0, 0.3).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_norm"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopword_kinds"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy: word chunks of
+    <=4 chars (ceil(len/4) per word) the way byte-pair vocabularies
+    fragment long words, + punctuation as single tokens."""
+    t = normalize_text(text_col)
+    words = F.split(t, " ")
+    ws_count = F.size(words)
+    bpe_ish = F.expr(
+        "aggregate(transform(split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' '),"
+        " w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)".format(
+            c=text_col
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        ws_count.alias("n_ws_tokens"),
+        bpe_ish.alias("n_bpe_ish_tokens"),
+        F.length(t).alias("n_chars_norm"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalization-robust document fingerprint: md5 of the canonical
+    text and of its sorted token multiset (catches reorderings)."""
+    t = normalize_text(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(t).alias("content_fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.split(t, " ")))).alias("bag_fp"),
+    )

@@ -1,0 +1,112 @@
+"""Structured Streaming variants of the incremental surface (SURVEY §2.8).
+
+The reference is batch-only — its "incremental" models are micro-batch
+jobs (high-watermark append S10, rolling-window restatement S11). These
+are their continuous twins:
+
+- ``stream_raw_to_staging``      : S10 as a file-source stream — new raw
+  parquet files appear, staged rows append; exactly-once via checkpoint.
+- ``windowed_event_counts``      : watermarked tumbling-window aggregate —
+  the streaming twin of x_event_tumbling_window; late events beyond the
+  watermark are dropped instead of restated.
+- ``session_window_stats``       : native session windows (gap-based),
+  the streaming twin of operators/sessionize.
+
+All three run with ``trigger(availableNow=True)`` for deterministic
+batch-driven tests and with the default micro-batch trigger in
+production. State stores shard by the grouping key — same partitioning
+story as the batch shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns (parquet TIMESTAMP(NANOS) as long)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet directory; ns epoch
+    normalized to TimestampType exactly like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_raw_to_staging(
+    events: DataFrame, batch_ts: str = "1970-01-01 00:00:00"
+) -> DataFrame:
+    """S10 as a stream: the staging typed-projection contract applied
+    continuously (cleaning + lineage stamping, no shuffle)."""
+    return events.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.lower(F.trim("event_type")).alias("event_type"),
+        F.when(F.col("value") < 0, None).otherwise(F.col("value")).alias("value"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.lit(batch_ts).cast("timestamp").alias("ingested_at"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type. The watermark
+    bounds state: windows older than max(event time) - watermark finalize
+    and evict — the streaming answer to the batch restatement window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.approx_count_distinct("user_id").alias("n_users_approx"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native gap-based session windows per user — streaming twin of
+    operators/sessionize.session_stats (state = one open session per
+    user, merged as events arrive, emitted once the watermark passes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a streaming DataFrame to completion against currently
+    available input (availableNow) into an in-memory table ``name``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

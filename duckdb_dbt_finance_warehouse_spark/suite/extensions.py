@@ -1,7 +1,359 @@
-"""Extension-surface suite (SURVEY §7.6): dedup, similarity search,
-text analysis, multimodal plumbing, event sessionization.
+"""Extension-surface suite (SURVEY §7.6): dedup, similarity search, text
+analysis, event sessionization / as-of joins, multimodal plumbing.
 
-Registered incrementally; see operators/ for the implementations.
+Oracle-paired wherever DuckDB can express the same computation (exact
+dedup, n-gram Jaccard, brute-force cosine, langid, quality, token
+counts, fingerprints, sessionization, tumbling windows, JSON props,
+ASOF join). Hash-seeded operators (MinHash-LSH, SimHash, hyperplane
+ANN) use Spark's murmur3/xxhash64 which DuckDB lacks -> rows-only checks.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import asof, dedup, multimodal, sessionize, similarity, text
+from ..sources.tables import load_testdata
+from .registry import query
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_STOPWORD_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in text.STOPWORDS.items() for w in ws
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, "documents")["documents"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, "events")["events"]
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_dedup_exact",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
+    w AS (SELECT content_hash, min(doc_id) AS keep_id,
+                 CAST(count(*) AS BIGINT) AS group_size
+          FROM h GROUP BY 1)
+    SELECT h.doc_id, h.content_hash, w.keep_id, w.group_size,
+           (h.doc_id != w.keep_id) AS is_duplicate
+    FROM h JOIN w USING (content_hash)
+    """,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 of normalized text, min-id winner per
+    group (operators/dedup.exact_dedup). One groupBy shuffle."""
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query("x_dedup_minhash_lsh", oracle=None)
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16x4) near-dup candidate pairs verified by
+    estimated Jaccard >= 0.5. Seeded murmur3 (Spark-side) -> rows-only
+    driver check; determinism covered by tests/test_operators.py."""
+    return dedup.minhash_lsh_dedup(
+        _docs(spark, sf_dir), "doc_id", "text", k=5, n_hashes=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query("x_dedup_simhash", oracle=None)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (xxhash64 token hashes, sign-aggregated
+    bits) — rows-only check."""
+    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "x_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+      FROM t, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id < 100),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN grams ga ON ga.doc_id = p.id_a
+      JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           round(coalesce(i.n_inter, 0)
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """,
+)
+def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for consecutive-id candidate pairs
+    (operators/dedup.ngram_jaccard) — the verification stage of a
+    near-dup pipeline, gram-join shaped."""
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b")).distinct(), "id_b", "left_semi"
+        )
+    )
+    return dedup.ngram_jaccard(docs, "doc_id", "text", pairs, n=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = """
+    round(
+      list_sum(list_transform(list_zip(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6)
+"""
+
+
+@query(
+    "x_ann_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 probe queries — the exact ANN
+    baseline (operators/similarity.cosine_topk): broadcast queries x
+    streamed corpus, per-query window top-k."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("x_ann_lsh_bucketed", oracle=None)
+def x_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH ANN (deterministic hash-derived
+    hyperplanes): bucket join instead of cross product — the 100 TB
+    scale path. Rows-only check; recall vs exact is asserted in tests."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_tables=8, n_planes=4, dim=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_text_langid",
+    oracle=f"""
+    WITH sw(pred_lang, tok) AS (VALUES {_STOPWORD_VALUES}),
+    toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    votes AS (SELECT doc_id, pred_lang, CAST(count(*) AS BIGINT) AS votes
+              FROM toks JOIN sw USING (tok) GROUP BY 1, 2),
+    best AS (SELECT doc_id, pred_lang, votes,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY votes DESC, pred_lang) AS rn
+             FROM votes)
+    SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
+           coalesce(b.votes, CAST(0 AS BIGINT)) AS votes
+    FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (operators/text.language_id): token
+    explode -> broadcast stopword join -> per-doc argmax."""
+    return text.language_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "x_text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents)
+    SELECT doc_id,
+           CAST(length(t) AS INT) AS n_chars_norm,
+           CAST(len(string_split(t, ' ')) AS INT) AS n_tokens,
+           CAST(length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS INT) AS n_punct,
+           CAST(len(list_intersect(string_split(t, ' '),
+                [{", ".join("'" + w + "'" for ws in text.STOPWORDS.values() for w in ws)}]))
+             AS INT) AS n_stopword_kinds,
+           round((length(t) - (len(string_split(t, ' ')) - 1))
+                 / len(string_split(t, ' ')), 6) AS mean_word_len,
+           CAST(round(
+             (CASE WHEN length(t) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g'))
+                      / greatest(length(t), 1) < 0.1 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN len(list_intersect(string_split(t, ' '),
+                  [{", ".join("'" + w + "'" for ws in text.STOPWORDS.values() for w in ws)}])) > 0
+                THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
+    FROM t
+    """,
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality features + composite score
+    (operators/text.quality_score) — single narrow scan."""
+    return text.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "x_token_count",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split(t, ' ')) AS INT) AS n_ws_tokens,
+           CAST(list_sum(list_transform(string_split(t, ' '),
+                w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_ish_tokens,
+           CAST(length(t) AS INT) AS n_chars_norm
+    FROM t
+    """,
+)
+def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (ceil(len/4) subword proxy) token counting
+    (operators/text.token_counts)."""
+    return text.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "x_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents)
+    SELECT doc_id, md5(t) AS content_fp,
+           md5(array_to_string(list_sort(string_split(t, ' ')), ' ')) AS bag_fp
+    FROM t
+    """,
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + bag-of-tokens fingerprints (operators/text.fingerprint):
+    md5 of canonical text and of the sorted token multiset."""
+    return text.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# event operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_sessionize",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s)
+    SELECT user_id, concat(user_id, '-', session_seq) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) AS BIGINT)
+             AS duration_secs
+    FROM s2 GROUP BY user_id, session_id
+    """,
+)
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session stats
+    (operators/sessionize.session_stats): lag + cumulative-sum windows,
+    one shuffle on the user key."""
+    return sessionize.session_stats(_events(spark, sf_dir), gap_minutes=30)
+
+
+@query(
+    "x_event_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x_event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch twin of the streaming
+    window aggregate in streaming/)."""
+    return sessionize.tumbling_window(_events(spark, sf_dir), unit="hour")
+
+
+@query(
+    "x_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS BIGINT))
+             AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def x_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (get_json_object, codegen'd) + rollup
+    (operators/sessionize.json_props)."""
+    e = sessionize.json_props(_events(spark, sf_dir), "props", "k")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("prop_k").cast("bigint")).alias("sum_k"),
+    )
+
+
+@query(
+    "x_asof_nearest",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           s.event_id AS asof_event_id, s.ts AS asof_ts
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-prior as-of join — purchases pick up the latest signup at
+    or before their timestamp. Spark side: single-shuffle union+window
+    (operators/asof.asof_nearest_prior); oracle: DuckDB's native ASOF
+    JOIN."""
+    e = _events(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    return asof.asof_nearest_prior(
+        left, right, key="user_id", left_ts="ts", right_ts="ts", payload_cols=["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("x_multimodal_features", oracle=None)
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct -> Arrow-batched mapInPandas
+    feature extraction (operators/multimodal; decode step stubbed with
+    deterministic byte stats). Rows-only check."""
+    blobs = multimodal.synthesize_blobs(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.extract_features(blobs, "doc_id")

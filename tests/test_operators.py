@@ -1,0 +1,141 @@
+"""Semantic tests for the extension operators: known-answer fixtures for
+dedup/similarity/text/as-of, determinism of the hash-seeded operators,
+and LSH-vs-exact agreement."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from duckdb_dbt_finance_warehouse_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    sessionize,
+    similarity,
+    text,
+)
+
+SF = "/root/testdata/sf0.001"
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "The  Quick Brown fox jumps over the lazy dog near the river bank today"),  # case/ws dup of 1
+    (5, "el gato y el perro con la casa de la madre una manana"),  # spanish-ish
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(spark):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(docs_df(spark), "doc_id", "text").collect()}
+    assert out[4]["is_duplicate"] is True and out[4]["keep_id"] == 1
+    assert out[1]["is_duplicate"] is False
+    assert out[2]["is_duplicate"] is False  # near-dup, not exact
+
+
+def test_minhash_lsh_finds_near_dup_and_is_deterministic(spark):
+    run = lambda: sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_dedup(
+            docs_df(spark), "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    pairs = run()
+    assert (1, 2) in pairs and (1, 4) in pairs  # near-dup + normalized dup
+    assert all(3 not in p for p in pairs)  # unrelated doc never pairs
+    assert pairs == run()  # seeded hashes -> bit-stable across runs
+
+
+def test_simhash_distance_orders_similarity(spark):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df(spark), "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert fp[1] == fp[4]  # normalization-identical docs
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])  # near-dup closer than unrelated
+
+
+def test_ngram_jaccard_known_values(spark):
+    pairs = docs_df(spark).sparkSession.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard(docs_df(spark), "doc_id", "text", pairs).collect()
+    }
+    assert out[(1, 4)] == 1.0  # identical after normalization
+    assert 0.5 < out[(1, 2)] < 1.0
+    assert out[(1, 3)] < 0.2
+
+
+def test_lsh_ann_matches_exact_cosines_and_has_recall(spark):
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    lsh = similarity.lsh_ann_topk(emb, queries, k=5, n_tables=8, n_planes=4, dim=64).collect()
+    exact_scores = {(r["query_id"], r["cand_id"]): r["cosine"] for r in exact}
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    # every LSH cosine for a pair that exact scored must agree bitwise
+    agree = [
+        r for r in lsh if (r["query_id"], r["cand_id"]) in exact_scores
+    ]
+    assert all(exact_scores[(r["query_id"], r["cand_id"])] == r["cosine"] for r in agree)
+    hits = sum(
+        1 for r in lsh if r["cand_id"] in exact_sets.get(r["query_id"], set())
+    )
+    recall = hits / (5 * len(exact_sets))
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_language_id_votes(spark):
+    out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs_df(spark), "doc_id", "text").collect()}
+    assert out[1] == "en" and out[5] == "es"
+
+
+def test_asof_window_equals_pandas_merge_asof(spark):
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    e = load_testdata(spark, SF, "events")["events"]
+    left = e.filter("event_type = 'purchase'").select("event_id", "user_id", "ts", "value")
+    right = e.filter("event_type = 'signup'").select("event_id", "user_id", "ts")
+    a = asof.asof_nearest_prior(left, right, "user_id", "ts", "ts", ["event_id"])
+    b = asof.merge_asof_pandas(left, right, "user_id", "ts", "ts", ["event_id"])
+    ka = sorted((r["event_id"], r["asof_event_id"]) for r in a.collect())
+    kb = sorted((r["event_id"], r["asof_event_id"]) for r in b.collect())
+    assert ka == kb
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 100, datetime(2024, 1, 1, 10, 0, 0)),
+        (2, 100, datetime(2024, 1, 1, 10, 10, 0)),   # same session (10 min)
+        (3, 100, datetime(2024, 1, 1, 11, 0, 0)),    # 50 min gap -> new session
+        (4, 200, datetime(2024, 1, 1, 10, 5, 0)),    # other user
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = sessionize.session_stats(df, gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[100]) == 2
+    sizes = sorted(r["n_events"] for r in by_user[100])
+    assert sizes == [1, 2]
+    assert len(by_user[200]) == 1
+
+
+def test_multimodal_feature_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
+    blobs = multimodal.synthesize_blobs(df, "doc_id", "text")
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(blobs).collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["byte_mean"] == (97 + 98 + 99) / 3
+    assert feats[1]["distinct_bytes"] == 3
+    assert feats[2]["n_bytes"] == 0 and feats[2]["byte_mean"] == 0.0
