@@ -68,26 +68,36 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 64
 ) -> DataFrame:
-    """MinHash signature per doc: element-wise min over ``n_hashes`` seeded
-    murmur3 hashes of the shingle set. One groupBy shuffle on id."""
+    """MinHash signature per doc as ONE array column: element-wise min
+    over ``n_hashes`` seeded murmur3 hashes of the shingle set. One
+    groupBy shuffle on id; the array keeps the shuffle payload and any
+    downstream join compact (vs 64 separate int columns)."""
     sh = shingles(df, id_col, text_col, k)
     mins = [
         F.min(F.hash(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature (bands x rows_per_band must cover n_hashes) and
-    self-join per (band, band_hash) bucket -> candidate pairs id_a < id_b."""
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("bucket"))
+    """Band the signature array (bands x rows_per_band must cover its
+    length) and self-join per (band, band_hash) bucket -> candidate
+    pairs id_a < id_b. The join key is (band, bucket) — high-entropy, so
+    the shuffle is skew-resistant."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(F.expr(f"slice(sig, {b * rows_per_band + 1}, {rows_per_band})")).alias(
+                "bucket"
+            ),
         )
+        for b in range(bands)
+    ]
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -117,21 +127,24 @@ def minhash_lsh_dedup(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Full near-dup pipeline: candidates via LSH, verified by estimated
-    Jaccard = fraction of matching signature components."""
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    Jaccard = fraction of matching signature components.
+
+    Signatures are persisted: the plan references them three times (band
+    explode + both sides of the verification join) and recomputing the
+    shingle explode + 64-way min aggregation per reference triples the
+    cost. At 100 TB signatures are ~0.1% of corpus size — materializing
+    them is exactly what a production near-dup pass does."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
-    a = sigs.alias("sa")
-    b = sigs.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
-        for i in range(n_hashes)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) / {n_hashes}"
     )
     return (
-        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
-        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
-        .select(
-            "id_a", "id_b", (matches / F.lit(n_hashes)).alias("est_jaccard")
-        )
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 

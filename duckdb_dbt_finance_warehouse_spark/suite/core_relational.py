@@ -301,7 +301,7 @@ def j1_month_spine_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n
     LEFT JOIN (
       SELECT c_nationkey, count(*) AS n_customers,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+             SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) / 10000.0 AS total_acctbal
       FROM customer GROUP BY c_nationkey) c
       ON n.n_nationkey = c.c_nationkey
     """,
@@ -446,10 +446,10 @@ def j5_fk_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_big,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
     FROM lineitem
     WHERE l_quantity > (
-      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      SELECT (SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0) / count(*)
       FROM lineitem)
     GROUP BY l_returnflag
     """,
@@ -459,12 +459,10 @@ def j6_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fct_subscription_month.sql:44-52). The 1-row aggregate is broadcast —
     no driver collect, so the plan is cluster-shaped. The threshold is an
     exact decimal-sum / count, deterministic across engines."""
+    from ..functions.money import exact_avg
+
     li = T(spark, sf_dir, "lineitem")["lineitem"]
-    bound = li.agg(
-        (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count("*")).alias(
-            "avg_qty"
-        )
-    )
+    bound = li.agg(exact_avg("l_quantity").alias("avg_qty"))
     return (
         li.crossJoin(F.broadcast(bound))
         .filter(F.col("l_quantity") > F.col("avg_qty"))
@@ -485,12 +483,13 @@ def j6_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_grouped_sum_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
-             AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
-             AS DOUBLE) AS sum_charge,
+           SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,
+           SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS sum_base_price,
+           SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
+             / 10000.0 AS sum_disc_price,
+           SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5)
+             AS BIGINT)) / 1000000.0 AS sum_charge,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -565,15 +564,16 @@ def a3_global_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_multi_sum_rollup",
     oracle="""
     SELECT date_trunc('month', o_orderdate)::DATE AS month_start_date,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
-           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END
-               AS DECIMAL(18,4))) AS DOUBLE) AS fulfilled_revenue,
-           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END
-               AS DECIMAL(18,4))) AS DOUBLE) AS open_revenue,
+           SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS total_revenue,
+           SUM(CAST(floor((CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)
+               * 10000 + 0.5) AS BIGINT)) / 10000.0 AS fulfilled_revenue,
+           SUM(CAST(floor((CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END)
+               * 10000 + 0.5) AS BIGINT)) / 10000.0 AS open_revenue,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-             - CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END
-                 AS DECIMAL(18,4))) AS DOUBLE) AS non_fulfilled_revenue
+           SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+             - SUM(CAST(floor((CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END)
+                 * 10000 + 0.5) AS BIGINT)) / 10000.0 AS non_fulfilled_revenue
     FROM orders
     GROUP BY date_trunc('month', o_orderdate)::DATE
     """,
@@ -657,7 +657,7 @@ def a6_select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bounds),
     rev AS (
       SELECT date_trunc('month', o_orderdate)::DATE AS m,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
              count(*) AS n_orders
       FROM orders GROUP BY 1)
     SELECT s.month_start_date,
@@ -731,7 +731,7 @@ def w1_latest_row_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month_start_date,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
       FROM orders GROUP BY 1, 2)
     SELECT o_custkey, month_start_date, revenue,
            CAST(coalesce(lag(revenue) OVER (PARTITION BY o_custkey
@@ -756,7 +756,7 @@ def w2_lag_prev_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month_start_date,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
       FROM orders GROUP BY 1, 2)
     SELECT o_custkey, month_start_date, revenue,
            CAST(coalesce(max(CASE WHEN revenue > 200000 THEN 1 ELSE 0 END)
