@@ -893,6 +893,90 @@ def f19_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a8_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a8_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (beyond-reference coverage): exact interpolated percentiles —
+    Spark ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit. Exact
+    percentile is a sort-based aggregate; at 100 TB prefer
+    ``percentile_approx`` (t-digest, mergeable) — kept exact here for the
+    oracle."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "a9_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (beyond-reference coverage): hierarchical ROLLUP totals —
+    subtotal + grand-total rows in one grouped pass (Spark expands
+    grouping sets; partial aggregation still applies)."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), exact_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "a10_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n,
+           max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def a10_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: skew-proof two-stage salted aggregation
+    (operators/skew.salted_agg) — results must equal the plain groupBy
+    (the oracle IS the plain groupBy). Hot keys split across 16 salts in
+    stage 1; stage 2 merges tiny per-salt partials. Money stays a scaled
+    LONG through both stages (exact merge in any order), divided back
+    only at the end."""
+    from ..operators.skew import salted_agg
+
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "revenue_scaled": (
+                "sum",
+                F.sum(F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5))),
+            ),
+            "n": ("sum", F.count("*")),
+            "max_qty": ("max", F.max("l_quantity")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_suppkey",
+        (F.col("revenue_scaled") / F.lit(10000.0)).alias("revenue"),
+        "n",
+        "max_qty",
+    )
+
+
+@query(
     "f_misc_scalars",
     oracle="""
     SELECT l_orderkey, l_linenumber,

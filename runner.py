@@ -94,10 +94,20 @@ def cmd_test(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_query(args) -> int:
+    from duckdb_dbt_finance_warehouse_spark.sql import register_warehouse
+
+    spark = get_spark("query")
+    wh = Warehouse(spark, args.warehouse)
+    register_warehouse(wh)
+    spark.sql(args.sql).show(args.rows, truncate=False)
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("ingest", "build", "test"):
+    for name in ("ingest", "build", "test", "query"):
         s = sub.add_parser(name)
         s.add_argument("--warehouse", required=True)
         if name == "ingest":
@@ -108,8 +118,16 @@ def main() -> int:
             s.add_argument("--full-refresh", action="store_true")
             s.add_argument("--vars", default=None)
             s.add_argument("--select", default=None)
+        if name == "query":
+            s.add_argument("sql")
+            s.add_argument("--rows", type=int, default=50)
     args = ap.parse_args()
-    return {"ingest": cmd_ingest, "build": cmd_build, "test": cmd_test}[args.cmd](args)
+    return {
+        "ingest": cmd_ingest,
+        "build": cmd_build,
+        "test": cmd_test,
+        "query": cmd_query,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,76 @@
+"""Physical-plan regression guards: the scale-critical plan properties
+(pushdown, broadcast joins, window top-k pushdown, no Python in the hot
+path) must survive refactors. Checking plans is cheap — no execution."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    p = plan_of(spark, "p10_predicate_filter")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "GreaterThanOrEqual(l_quantity,10.0)" in m.group(1)
+    assert "EqualTo(l_returnflag,N)" in m.group(1)
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = plan_of(spark, "a1_grouped_sum_q1")
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    assert m and "l_orderkey" not in m.group(1)  # unused columns pruned
+    assert "l_quantity" in m.group(1)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["j2_left_equi_zero_fill", "j3_validity_asof_join", "a7_spine_zero_fill",
+     "j6_scalar_subquery_filter"],
+)
+def test_small_sides_broadcast(spark, name):
+    p = plan_of(spark, name)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+@pytest.mark.parametrize("name", ["p9_topk_per_group", "w1_latest_row_dedup"])
+def test_window_topk_pushdown(spark, name):
+    assert "WindowGroupLimit" in plan_of(spark, name)
+
+
+def test_order_limit_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "o1_ordered_topn")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["a1_grouped_sum_q1", "w2_lag_prev_month", "x_dedup_exact", "x_sessionize",
+     "x_text_langid", "x_ann_cosine_topk"],
+)
+def test_no_python_in_hot_path(spark, name):
+    p = plan_of(spark, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    df = REGISTRY["a1_grouped_sum_q1"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    assert "partial_sum" in p  # map-side combine
