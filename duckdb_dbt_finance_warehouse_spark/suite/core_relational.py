@@ -4,8 +4,9 @@ Each query is written DataFrame-first (declarative, Catalyst-optimizable,
 no Python UDFs) and paired with a byte-parity DuckDB oracle. Determinism
 rules applied throughout (validated empirically in tools/parity_scratch.py):
 
-- money/double SUMs go through DECIMAL(18,4) then cast back to DOUBLE —
-  exact, order-independent, identical across engines & parallelism;
+- money/double SUMs use scaled-integer accumulation (functions/money
+  ``exact_sum``: floor(x*10^s + 0.5) summed as longs) — exact,
+  order-independent, identical across engines & parallelism;
 - DuckDB ``sum(int)`` returns HUGEINT and ``year()`` BIGINT — oracles
   cast to BIGINT/INT to match Spark's schema;
 - timestamps compared at microsecond precision (events ns are floored
@@ -805,6 +806,178 @@ def w4_partition_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.min("o_orderdate").over(w).cast("date").alias("first_order_date"),
+    )
+
+
+_M1_SQL = """
+    WITH monthly AS (
+      SELECT o_custkey AS account_id,
+             date_trunc('month', o_orderdate)::DATE AS m,
+             SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0 AS rev
+      FROM orders GROUP BY 1, 2),
+    bounds AS (
+      SELECT account_id, min(m) AS first_m, max(m) AS last_m FROM monthly GROUP BY 1),
+    spine AS (
+      SELECT account_id,
+             unnest(generate_series(first_m, (last_m + INTERVAL 1 MONTH)::DATE,
+                                    INTERVAL 1 MONTH))::DATE AS month_start_date
+      FROM bounds),
+    spined AS (
+      SELECT s.account_id, s.month_start_date,
+             coalesce(mo.rev, 0.0) AS end_rev
+      FROM spine s LEFT JOIN monthly mo
+        ON mo.account_id = s.account_id AND mo.m = s.month_start_date),
+    flagged AS (
+      SELECT *,
+             coalesce(lag(end_rev) OVER w, 0.0) AS begin_rev,
+             coalesce(max(CASE WHEN end_rev > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY account_id ORDER BY month_start_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+               AS has_paid_before
+      FROM spined
+      WINDOW w AS (PARTITION BY account_id ORDER BY month_start_date))
+    SELECT account_id, month_start_date, begin_rev, end_rev,
+           CAST(end_rev - begin_rev AS DOUBLE) AS delta,
+           CASE
+             WHEN begin_rev = 0 AND end_rev > 0 AND NOT has_paid_before THEN 'new'
+             WHEN begin_rev = 0 AND end_rev > 0 AND has_paid_before THEN 'reactivation'
+             WHEN begin_rev > 0 AND end_rev = 0 THEN 'churn'
+             WHEN begin_rev > 0 AND end_rev > 0 AND end_rev - begin_rev > 0 THEN 'upgrade'
+             WHEN begin_rev > 0 AND end_rev > 0 AND end_rev - begin_rev < 0 THEN 'downgrade'
+             WHEN begin_rev = 0 AND end_rev = 0 THEN 'zero'
+             ELSE 'no_change'
+           END AS movement_type
+    FROM flagged
+"""
+
+
+@query(
+    "m1_movement_classification",
+    oracle=_M1_SQL,
+)
+def m1_movement_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: the reference's flagship business logic — month-over-month
+    movement classification (new / reactivation / churn / upgrade /
+    downgrade / zero) — run on the testdata ``orders`` as the revenue
+    source (reference: fct_account_month.sql:79-123). Composition:
+    grouped exact sums -> per-entity month spine (explode, +1 trailing
+    month so final churn is observable) -> zero-fill -> lag + prior-paid
+    window -> CASE classify. Two shuffles total (group, window)."""
+    from ..functions.money import exact_sum as _es
+
+    o = T(spark, sf_dir, "orders")["orders"]
+    monthly = o.groupBy(
+        F.col("o_custkey").alias("account_id"),
+        F.trunc("o_orderdate", "month").alias("m"),
+    ).agg(_es("o_totalprice").alias("rev"))
+    spine = (
+        monthly.groupBy("account_id")
+        .agg(F.min("m").alias("first_m"), F.max("m").alias("last_m"))
+        .select(
+            "account_id",
+            F.explode(
+                F.expr("sequence(first_m, add_months(last_m, 1), interval 1 month)")
+            ).alias("month_start_date"),
+        )
+    )
+    spined = (
+        spine.join(
+            monthly,
+            (monthly.account_id == spine.account_id)
+            & (monthly.m == spine.month_start_date),
+            "left",
+        )
+        .select(
+            spine.account_id,
+            "month_start_date",
+            F.coalesce("rev", F.lit(0.0)).alias("end_rev"),
+        )
+    )
+    w = Window.partitionBy("account_id").orderBy("month_start_date")
+    flagged = spined.withColumn(
+        "begin_rev", F.coalesce(F.lag("end_rev").over(w), F.lit(0.0))
+    ).withColumn(
+        "has_paid_before",
+        F.coalesce(
+            F.max(F.when(F.col("end_rev") > 0, 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        == 1,
+    )
+    begin, end = F.col("begin_rev"), F.col("end_rev")
+    return flagged.select(
+        "account_id",
+        "month_start_date",
+        "begin_rev",
+        "end_rev",
+        (end - begin).alias("delta"),
+        F.when((begin == 0) & (end > 0) & ~F.col("has_paid_before"), "new")
+        .when((begin == 0) & (end > 0) & F.col("has_paid_before"), "reactivation")
+        .when((begin > 0) & (end == 0), "churn")
+        .when((begin > 0) & (end > 0) & (end - begin > 0), "upgrade")
+        .when((begin > 0) & (end > 0) & (end - begin < 0), "downgrade")
+        .when((begin == 0) & (end == 0), "zero")
+        .otherwise("no_change")
+        .alias("movement_type"),
+    )
+
+
+@query(
+    "m2_waterfall_rollup",
+    oracle=f"""
+    WITH base AS ({_M1_SQL})
+    SELECT month_start_date,
+           SUM(CAST(floor(begin_rev * 10000 + 0.5) AS BIGINT)) / 10000.0 AS begin_rev,
+           SUM(CAST(floor(end_rev * 10000 + 0.5) AS BIGINT)) / 10000.0 AS end_rev,
+           SUM(CAST(floor(CASE WHEN movement_type = 'new' THEN end_rev ELSE 0 END
+             * 10000 + 0.5) AS BIGINT)) / 10000.0 AS new_rev,
+           SUM(CAST(floor(CASE WHEN movement_type = 'reactivation' THEN end_rev ELSE 0 END
+             * 10000 + 0.5) AS BIGINT)) / 10000.0 AS reactivation_rev,
+           SUM(CAST(floor(CASE WHEN movement_type = 'upgrade' THEN delta ELSE 0 END
+             * 10000 + 0.5) AS BIGINT)) / 10000.0 AS expansion_rev,
+           SUM(CAST(floor(CASE WHEN movement_type = 'downgrade' THEN abs(delta) ELSE 0 END
+             * 10000 + 0.5) AS BIGINT)) / 10000.0 AS contraction_rev,
+           SUM(CAST(floor(CASE WHEN movement_type = 'churn' THEN begin_rev ELSE 0 END
+             * 10000 + 0.5) AS BIGINT)) / 10000.0 AS churn_rev,
+           CAST(count(DISTINCT CASE WHEN end_rev > 0 THEN account_id END) AS BIGINT)
+             AS active_accounts,
+           CAST(count(DISTINCT CASE WHEN movement_type = 'churn' THEN account_id END)
+             AS BIGINT) AS churned_accounts
+    FROM base GROUP BY month_start_date
+    """,
+)
+def m2_waterfall_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: the waterfall mart on top of M1 — one grouped pass with
+    movement-conditional exact sums + conditional distinct counts
+    (reference: mart_mrr_waterfall_month.sql:29-52). With M1 this is the
+    reference's full flagship chain, oracle-verified end-to-end on the
+    driver corpus."""
+    base = m1_movement_classification(spark, sf_dir)
+    mt = F.col("movement_type")
+    return base.groupBy("month_start_date").agg(
+        exact_sum("begin_rev").alias("begin_rev"),
+        exact_sum("end_rev").alias("end_rev"),
+        exact_sum(F.when(mt == "new", F.col("end_rev")).otherwise(0.0)).alias("new_rev"),
+        exact_sum(
+            F.when(mt == "reactivation", F.col("end_rev")).otherwise(0.0)
+        ).alias("reactivation_rev"),
+        exact_sum(F.when(mt == "upgrade", F.col("delta")).otherwise(0.0)).alias(
+            "expansion_rev"
+        ),
+        exact_sum(
+            F.when(mt == "downgrade", F.abs(F.col("delta"))).otherwise(0.0)
+        ).alias("contraction_rev"),
+        exact_sum(F.when(mt == "churn", F.col("begin_rev")).otherwise(0.0)).alias(
+            "churn_rev"
+        ),
+        F.countDistinct(F.when(F.col("end_rev") > 0, F.col("account_id"))).alias(
+            "active_accounts"
+        ),
+        F.countDistinct(F.when(mt == "churn", F.col("account_id"))).alias(
+            "churned_accounts"
+        ),
     )
 
 
