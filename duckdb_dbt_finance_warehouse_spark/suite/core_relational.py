@@ -925,6 +925,47 @@ def m1_movement_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql1_join_agg_q3_style",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+             AS BIGINT)) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    """,
+)
+def sql1_join_agg_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface (SURVEY §3.3): TPC-H Q3-shaped 3-way join + agg
+    written as spark.sql text — same Catalyst plan as the DataFrame API;
+    customer filter pushes down, customer side broadcasts."""
+    for n, df in T(spark, sf_dir, "customer", "orders", "lineitem").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5))
+                 / CAST(10000 AS DOUBLE) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+        """
+    )
+
+
+@query(
     "m2_waterfall_rollup",
     oracle=f"""
     WITH base AS ({_M1_SQL})

@@ -1,0 +1,53 @@
+"""Bucketed co-located joins — the 100 TB repeated-join strategy
+(SURVEY §4): write both sides bucketed by the join key, and the join
+plans with NO shuffle exchange on either side."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    import os
+
+    wh = str(tmp_path_factory.mktemp("buckets"))
+    t = load_testdata(spark, SF, "orders", "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # external bucketed tables (warehouse.dir is a static conf; an
+    # explicit path keeps test artifacts in tmp)
+    t["orders"].write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", os.path.join(wh, "b_orders")
+    ).saveAsTable("b_orders")
+    t["lineitem"].write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", os.path.join(wh, "b_lineitem")
+    ).saveAsTable("b_lineitem")
+    yield spark.table("b_orders"), spark.table("b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed):
+    orders, lineitem = bucketed
+    # disable broadcast so the join strategy question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan  # co-located: no shuffle either side
+        assert "SortMergeJoin" in plan
+        # and it still computes the right thing
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
