@@ -90,6 +90,28 @@ def _table_buckets(vec_col: str, n_tables: int, n_planes: int, dim: int) -> F.Co
     return F.array(*entries)
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold) — brute-force all-pairs, the exactness baseline for
+    embedding dedup. At 100 TB swap the cross join for the LSH bucket
+    join (lsh_ann_topk's candidate stage); the scoring expression is
+    shared."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -102,6 +102,46 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf-idf.
+
+    tf = term count in doc; idf = ln(N / df_t) (natural log, no
+    smoothing — identical IEEE ops in any engine). Three aggregations +
+    one broadcast join + one window top-k; at 100 TB the term-frequency
+    tables are the only shuffles and they key on the term, which is
+    high-cardinality and evenly distributed."""
+    toks = tokens(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    df_t = (
+        toks.select(id_col, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df_t"))
+    )
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "tok",
+            "tf",
+            "df_t",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6).alias(
+                "tf_idf"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "tok", "tf", F.col("df_t").alias("doc_freq"), "tf_idf", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalization-robust document fingerprint: md5 of the canonical
     text and of its sorted token multiset (catches reorderings)."""

@@ -99,6 +99,39 @@ def session_window_stats(
     )
 
 
+def stream_append_to_warehouse(
+    staged: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """S10 as a continuous job with exactly-once delivery.
+
+    foreachBatch + plain append is at-least-once under retry; here each
+    micro-batch lands in its own ``_epoch=<id>`` partition via dynamic
+    partition overwrite, so a replayed epoch REPLACES itself instead of
+    duplicating — idempotent, hence exactly-once end-to-end with the
+    checkpointed source offsets. Readers just read the directory
+    (partition column pruned out)."""
+    from pyspark.sql import functions as F2
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("_epoch", F2.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
+
+    q = (
+        staged.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion against currently
     available input (availableNow) into an in-memory table ``name``."""

@@ -249,6 +249,53 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 
+@query(
+    "x_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq
+            FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dft.doc_freq,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / doc_freq), 6) AS tf_idf
+      FROM tf JOIN dft USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tf_idf DESC, tok) AS INT) AS rank
+      FROM scored)
+    SELECT doc_id, tok, tf, doc_freq, tf_idf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (operators/text.tf_idf_top_terms):
+    term-frequency + doc-frequency aggregations, broadcast N, window
+    top-k."""
+    return text.tf_idf_top_terms(_docs(spark, sf_dir), "doc_id", "text", top_k=3)
+
+
+@query(
+    "x_embed_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}
+            >= 0.5
+    """,
+)
+def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at threshold 0.5 (operators/
+    similarity.embedding_near_dup_pairs) — exact all-pairs baseline for
+    embedding-level dedup; the LSH candidate stage replaces the cross
+    join at scale."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # event operators
 # ---------------------------------------------------------------------------

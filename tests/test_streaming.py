@@ -64,6 +64,30 @@ def test_windowed_counts_match_batch_tumbling(spark, events_dir):
     assert all(got[k] == want[k] for k in got)
 
 
+def test_stream_to_warehouse_exactly_once(spark, tmp_path_factory):
+    src_dir = str(tmp_path_factory.mktemp("src"))
+    out = str(tmp_path_factory.mktemp("out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    shutil.copy(os.path.join(SF, "events.parquet"), os.path.join(src_dir, "f1.parquet"))
+
+    def run():
+        src = streaming.pipeline.read_event_stream(spark, src_dir)
+        streaming.pipeline.stream_append_to_warehouse(
+            streaming.stream_raw_to_staging(src), out, ckpt
+        )
+
+    n_src = load_testdata(spark, SF, "events")["events"].count()
+    run()
+    assert spark.read.parquet(out).count() == n_src
+    # replay with same checkpoint: no new input -> no duplicates
+    run()
+    assert spark.read.parquet(out).count() == n_src
+    # new file arrives -> only the delta lands
+    shutil.copy(os.path.join(SF, "events.parquet"), os.path.join(src_dir, "f2.parquet"))
+    run()
+    assert spark.read.parquet(out).count() == 2 * n_src
+
+
 def test_session_windows_emit(spark, events_dir):
     src = streaming.pipeline.read_event_stream(spark, events_dir)
     out = _mem(spark, streaming.session_window_stats(src, gap="30 minutes"), "sess")
