@@ -149,14 +149,34 @@ def minhash_lsh_dedup(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 by the
-    token hash's bit value; fingerprint bit = sign of the sum. Pure
-    aggregations — one shuffle on id."""
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sum +1/-1 by the token
+    hash's bit value; fingerprint bit = sign of the sum. Pure
+    aggregations — one shuffle on id.
+
+    ``hash_fn='md5'`` (default, <=60 bits) takes the first 15 hex chars
+    of md5 — portable across engines, so the fingerprint is
+    oracle-verifiable. ``'xxhash64'`` (<=64 bits) is the faster
+    JVM-native variant."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
+    )
+    if hash_fn == "md5":
+        assert bits <= 60
+        toks = toks.withColumn(
+            "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
+        top = bits  # 2^59 max: no sign-bit overflow
+    else:
+        toks = toks.withColumn("th", F.xxhash64("tok"))
+        top = min(bits, 63)  # bit 63 would overflow signed long
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1)
@@ -169,10 +189,91 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         ),
-        range(bits - 1),  # bit 63 would overflow signed long as 2^63
+        range(top),
         F.lit(0).cast("long"),
     )
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+PORTABLE_PRIME = 2147483647  # 2^31 - 1
+
+
+def portable_hash_params(i: int) -> tuple[int, int]:
+    """Deterministic Carter-Wegman multiply-add constants for hash i —
+    plain integer arithmetic, identical in any engine."""
+    a = (i * 2654435761 + 1) % PORTABLE_PRIME
+    b = (i * 40503 + 7) % PORTABLE_PRIME
+    return a, b
+
+
+def minhash_lsh_dedup_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Engine-portable MinHash+LSH near-dup pairs.
+
+    Same algorithm as ``minhash_lsh_dedup`` but every hash is derivable
+    in plain SQL: shingle -> 28-bit md5 prefix x, h_i = (a_i*x + b_i)
+    mod (2^31-1) (products stay < 2^59 — no 64-bit overflow in engines
+    that error on it), band key = md5 of the '|'-joined signature slice.
+    Long (id, i, mh) format instead of arrays so a DuckDB oracle can
+    replay it exactly. Use the murmur3 array variant for raw speed; use
+    this one when cross-engine verifiability matters."""
+    spark = df.sparkSession
+    sh = shingles(df, id_col, text_col, k).withColumn(
+        "x", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    )
+    seeds = spark.createDataFrame(
+        [(i, *portable_hash_params(i)) for i in range(n_hashes)], ["i", "a", "b"]
+    )
+    hashed = sh.crossJoin(F.broadcast(seeds)).select(
+        id_col,
+        "i",
+        ((F.col("a") * F.col("x") + F.col("b")) % PORTABLE_PRIME).alias("h"),
+    )
+    sigs = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
+
+    rows_per_band = n_hashes // bands
+    banded = (
+        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "mh"))).alias("arr"))
+        .select(
+            id_col,
+            "band",
+            F.md5(
+                F.concat_ws("|", F.expr("transform(arr, s -> cast(s.mh as string))"))
+            ).alias("bkey"),
+        )
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = sigs.select(F.col(id_col).alias("id_a"), "i", F.col("mh").alias("mh_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), "i", F.col("mh").alias("mh_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "i"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard(

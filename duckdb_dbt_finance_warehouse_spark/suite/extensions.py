@@ -65,11 +65,28 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("x_dedup_simhash", oracle=None)
+@query(
+    "x_dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+    bits AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             SUM(CASE WHEN (th >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hx CROSS JOIN unnest(generate_series(0, 59)) AS u(i)
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (xxhash64 token hashes, sign-aggregated
-    bits) — rows-only check."""
-    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+    """60-bit SimHash fingerprints from portable md5 token hashes,
+    sign-aggregated per bit (operators/dedup.simhash) — fully
+    oracle-verified."""
+    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=60, hash_fn="md5")
 
 
 @query(
@@ -111,6 +128,54 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.ngram_jaccard(docs, "doc_id", "text", pairs, n=3)
+
+
+def _minhash_portable_oracle(k: int = 5, n_hashes: int = 64, bands: int = 16) -> str:
+    from ..operators.dedup import PORTABLE_PRIME, portable_hash_params
+
+    rows_per_band = n_hashes // bands
+    seeds = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in ((j, portable_hash_params(j)) for j in range(n_hashes))
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {k}) AS shingle
+      FROM t, unnest(generate_series(1, greatest(length(t) - {k - 1}, 1))) AS u(i)),
+    hx AS (SELECT doc_id, shingle,
+                  ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x FROM sh),
+    seeds(i, a, b) AS (VALUES {seeds}),
+    sigs AS (
+      SELECT doc_id, i, min((a * x + b) % {PORTABLE_PRIME}) AS mh
+      FROM hx CROSS JOIN seeds GROUP BY 1, 2),
+    banded AS (
+      SELECT doc_id, CAST(i // {rows_per_band} AS INT) AS band,
+             md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bkey
+      FROM sigs GROUP BY 1, 2),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT p.id_a, p.id_b,
+           CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+                / {float(n_hashes)} AS DOUBLE) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(n_hashes)} >= 0.5
+    """
+
+
+@query("x_dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def x_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash(64)+LSH(16x4) near-dup pairs with
+    Carter-Wegman hashes over md5 shingle prefixes
+    (operators/dedup.minhash_lsh_dedup_portable) — the full LSH pipeline
+    replayed and verified by the DuckDB oracle."""
+    return dedup.minhash_lsh_dedup_portable(
+        _docs(spark, sf_dir), "doc_id", "text", k=5, n_hashes=64, bands=16, threshold=0.5
+    )
 
 
 # ---------------------------------------------------------------------------
