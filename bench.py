@@ -42,6 +42,11 @@ HEADLINE = [
     "x_sessionize",               # gap sessionization
     "x_text_langid",              # stopword-vote language ID
     "x_asof_nearest",             # union+window as-of join
+    "m1_movement_classification", # flagship movement classification
+    "m2_waterfall_rollup",        # flagship waterfall mart
+    "sql1_join_agg_q3_style",     # SQL-API 3-way join + agg
+    "x_tfidf_top_terms",          # tf-idf term ranking
+    "a10_salted_agg",             # skew-proof two-stage aggregation
 ]
 
 

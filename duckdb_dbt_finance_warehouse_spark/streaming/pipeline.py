@@ -99,6 +99,61 @@ def session_window_stats(
     )
 
 
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("batch_events", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value total carried across
+    micro-batches in the state store (the streaming twin of a
+    cumulative window). Emits one row per (user, batch) with the
+    updated running totals.
+
+    State shards by the grouping key exactly like a shuffle partition —
+    the same partitioning story as the batch windows, so the operator
+    scales with the key cardinality, not the stream length."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = (state.get if state.exists else (lambda: (0, 0.0)))()
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "batch_events": [batch_n],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def stream_append_to_warehouse(
     staged: DataFrame,
     out_path: str,

@@ -925,6 +925,57 @@ def m1_movement_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a11_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CAST(floor(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END
+             * 10000 + 0.5) AS BIGINT)) / 10000.0 AS qty_open,
+           SUM(CAST(floor(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END
+             * 10000 + 0.5) AS BIGINT)) / 10000.0 AS qty_fulfilled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (beyond-reference): pivot with explicit value list — Spark
+    plans it as conditional aggregation, identical to the oracle's CASE
+    sums; listing pivot values keeps the schema static and avoids the
+    extra distinct-values job."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(exact_sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0.0)).alias("qty_open"),
+        F.coalesce("F", F.lit(0.0)).alias("qty_fulfilled"),
+    )
+
+
+@query(
+    "a12_unpivot",
+    oracle="""
+    SELECT o_orderkey, k.measure, k.value
+    FROM orders,
+    LATERAL (VALUES ('total_price', o_totalprice),
+                    ('custkey_as_double', CAST(o_custkey AS DOUBLE))) k(measure, value)
+    """,
+)
+def a12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (beyond-reference): unpivot via stack() — wide measures to
+    long (measure, value) rows; a generator, no shuffle."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'total_price', o_totalprice,"
+            " 'custkey_as_double', CAST(o_custkey AS DOUBLE)) AS (measure, value)"
+        ),
+    )
+
+
+@query(
     "sql1_join_agg_q3_style",
     oracle="""
     SELECT o.o_orderkey,

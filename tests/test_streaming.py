@@ -88,6 +88,28 @@ def test_stream_to_warehouse_exactly_once(spark, tmp_path_factory):
     assert spark.read.parquet(out).count() == 2 * n_src
 
 
+def test_stateful_running_totals_match_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    src = streaming.pipeline.read_event_stream(spark, events_dir)
+    out = _mem(spark, streaming.pipeline.running_user_totals(src), "state")
+    batch = load_testdata(spark, SF, "events")["events"]
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("tv"),
+        )
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in out.collect()  # availableNow: one emission per user
+    }
+    assert got == want
+
+
 def test_session_windows_emit(spark, events_dir):
     src = streaming.pipeline.read_event_stream(spark, events_dir)
     out = _mem(spark, streaming.session_window_stats(src, gap="30 minutes"), "sess")
