@@ -90,6 +90,74 @@ def _table_buckets(vec_col: str, n_tables: int, n_planes: int, dim: int) -> F.Co
     return F.array(*entries)
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids_mod: int = 32,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: a deterministic sample of corpus vectors acts as
+    centroids (every ``n_centroids_mod``-th id — reproducible without a
+    trained model; swap in k-means centroids at deployment, the plan is
+    unchanged). Every corpus vector is assigned to its nearest centroid
+    (the inverted lists); a query probes its ``n_probes`` nearest
+    centroids and scores only those lists.
+
+    Scale: assignment is |C| x |centroids| against a BROADCAST centroid
+    table (narrow, no shuffle of the corpus); the probe join touches
+    ~n_probes/|centroids| of the corpus per query instead of all of it."""
+    cents = corpus.filter((F.col(id_col) % n_centroids_mod) == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def nearest(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(idc),
+            F.col(vecc),
+            "centroid_id",
+            F.round(cosine_expr(vecc, "cent_vec"), 6).alias("cent_cos"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .drop("cent_cos", "crank")
+        )
+
+    lists = nearest(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")),
+        "cand_id",
+        "c_vec",
+        1,
+    )
+    probes = nearest(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+        n_probes,
+    )
+    scored = (
+        lists.join(probes, "centroid_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_expr("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

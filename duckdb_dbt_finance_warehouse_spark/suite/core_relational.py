@@ -1033,10 +1033,10 @@ def sql1_join_agg_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
              * 10000 + 0.5) AS BIGINT)) / 10000.0 AS contraction_rev,
            SUM(CAST(floor(CASE WHEN movement_type = 'churn' THEN begin_rev ELSE 0 END
              * 10000 + 0.5) AS BIGINT)) / 10000.0 AS churn_rev,
-           CAST(count(DISTINCT CASE WHEN end_rev > 0 THEN account_id END) AS BIGINT)
+           CAST(SUM(CASE WHEN end_rev > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS active_accounts,
-           CAST(count(DISTINCT CASE WHEN movement_type = 'churn' THEN account_id END)
-             AS BIGINT) AS churned_accounts
+           CAST(SUM(CASE WHEN movement_type = 'churn' THEN 1 ELSE 0 END) AS BIGINT)
+             AS churned_accounts
     FROM base GROUP BY month_start_date
     """,
 )
@@ -1064,10 +1064,12 @@ def m2_waterfall_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(F.when(mt == "churn", F.col("begin_rev")).otherwise(0.0)).alias(
             "churn_rev"
         ),
-        F.countDistinct(F.when(F.col("end_rev") > 0, F.col("account_id"))).alias(
+        # (account_id, month) is the input's unique grain, so distinct
+        # account counts degrade to conditional row counts — no expand
+        F.sum(F.when(F.col("end_rev") > 0, 1).otherwise(0)).cast("bigint").alias(
             "active_accounts"
         ),
-        F.countDistinct(F.when(mt == "churn", F.col("account_id"))).alias(
+        F.sum(F.when(mt == "churn", 1).otherwise(0)).cast("bigint").alias(
             "churned_accounts"
         ),
     )

@@ -214,6 +214,61 @@ def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+_CENT_COS = """
+    round(
+      list_sum(list_transform(list_zip({a}.embedding, c.cent_vec),
+               zz -> CAST(zz[1] AS DOUBLE) * CAST(zz[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform({a}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.cent_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6)
+"""
+
+
+@query(
+    "x_ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 32 = 0),
+    assign AS (
+      SELECT v.vec_id AS cand_id, v.embedding AS c_vec, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {_CENT_COS.format(a='v')} DESC, c.centroid_id) AS crank
+      FROM embeddings v CROSS JOIN cents c),
+    lists AS (SELECT cand_id, c_vec, centroid_id FROM assign WHERE crank = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_CENT_COS.format(a='q')} DESC, c.centroid_id) AS crank
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5),
+    scored AS (
+      SELECT p.query_id, l.cand_id,
+             round(
+               list_sum(list_transform(list_zip(p.q_vec, l.c_vec),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(p.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(l.c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cosine
+      FROM (SELECT * FROM probes WHERE crank <= 2) p
+      JOIN lists l ON l.centroid_id = p.centroid_id AND l.cand_id != p.query_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/similarity.ivf_ann_topk):
+    deterministic coarse quantizer (every 32nd vector as centroid),
+    nearest-centroid inverted lists, 2-probe queries, exact cosine within
+    probed lists — the whole IVF pipeline replayed by the oracle."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids_mod=32, n_probes=2
+    )
+
+
 @query("x_ann_lsh_bucketed", oracle=None)
 def x_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH ANN (deterministic hash-derived
