@@ -47,6 +47,8 @@ HEADLINE = [
     "sql1_join_agg_q3_style",     # SQL-API 3-way join + agg
     "x_tfidf_top_terms",          # tf-idf term ranking
     "a10_salted_agg",             # skew-proof two-stage aggregation
+    "x_ann_ivf_topk",             # IVF inverted-list ANN
+    "x_dedup_minhash_portable",   # portable MinHash-LSH (oracle-paired)
 ]
 
 

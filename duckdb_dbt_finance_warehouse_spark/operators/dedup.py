@@ -224,33 +224,46 @@ def minhash_lsh_dedup_portable(
     Long (id, i, mh) format instead of arrays so a DuckDB oracle can
     replay it exactly. Use the murmur3 array variant for raw speed; use
     this one when cross-engine verifiability matters."""
-    spark = df.sparkSession
     sh = shingles(df, id_col, text_col, k).withColumn(
         "x", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     )
-    seeds = spark.createDataFrame(
-        [(i, *portable_hash_params(i)) for i in range(n_hashes)], ["i", "a", "b"]
+    # one grouped pass computes all n_hashes minima as expressions over
+    # the shingle set (same shape as the murmur3 variant — no seed
+    # explode, no long-format re-computation), packed into an array
+    mins = []
+    for i in range(n_hashes):
+        a, b = portable_hash_params(i)
+        mins.append(
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % PORTABLE_PRIME).alias(f"mh_{i}")
+        )
+    sigs = (
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
+        )
+        .persist()
     )
-    hashed = sh.crossJoin(F.broadcast(seeds)).select(
-        id_col,
-        "i",
-        ((F.col("a") * F.col("x") + F.col("b")) % PORTABLE_PRIME).alias("h"),
-    )
-    sigs = hashed.groupBy(id_col, "i").agg(F.min("h").alias("mh"))
 
     rows_per_band = n_hashes // bands
-    banded = (
-        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.sort_array(F.collect_list(F.struct("i", "mh"))).alias("arr"))
-        .select(
-            id_col,
-            "band",
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.concat_ws("|", F.expr("transform(arr, s -> cast(s.mh as string))"))
+                F.concat_ws(
+                    "|",
+                    F.expr(
+                        f"transform(slice(sig, {b * rows_per_band + 1}, {rows_per_band}),"
+                        " v -> cast(v as string))"
+                    ),
+                )
             ).alias("bkey"),
         )
-    )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bkey")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bkey")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bkey")
     pairs = (
@@ -260,18 +273,15 @@ def minhash_lsh_dedup_portable(
         .distinct()
     )
 
-    sa = sigs.select(F.col(id_col).alias("id_a"), "i", F.col("mh").alias("mh_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), "i", F.col("mh").alias("mh_b"))
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))"
+    ) / F.lit(float(n_hashes))
     return (
         pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "i"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            (
-                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-                / F.lit(float(n_hashes))
-            ).alias("est_jaccard")
-        )
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 

@@ -122,6 +122,15 @@ def ivf_ann_topk(
             "centroid_id",
             F.round(cosine_expr(vecc, "cent_vec"), 6).alias("cent_cos"),
         )
+        if n == 1:
+            # assignment: argmax via max_by — one grouped pass, no window
+            # shuffle+sort (tiebreak: lowest centroid_id wins)
+            return scored.groupBy(idc).agg(
+                F.first(vecc).alias(vecc),
+                F.expr(
+                    "max_by(centroid_id, struct(cent_cos, -centroid_id))"
+                ).alias("centroid_id"),
+            )
         w = Window.partitionBy(idc).orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
         return (
             scored.withColumn("crank", F.row_number().over(w))
