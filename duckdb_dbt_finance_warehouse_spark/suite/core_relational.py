@@ -1100,6 +1100,74 @@ def o1_ordered_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w5_rank_kit",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month_start_date,
+             SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
+      FROM orders GROUP BY 1, 2)
+    SELECT o_custkey, month_start_date, revenue,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY month_start_date) AS INT) AS quartile,
+           lead(revenue) OVER (PARTITION BY o_custkey
+                               ORDER BY month_start_date) AS next_revenue,
+           first_value(revenue) OVER (PARTITION BY o_custkey
+                                      ORDER BY month_start_date
+                                      ROWS UNBOUNDED PRECEDING) AS first_revenue
+    FROM m
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY revenue DESC, month_start_date)
+    """,
+)
+def w5_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 (beyond-reference; SURVEY §2.5 'absent' list): rank /
+    dense_rank / ntile / lead / first_value — available by construction,
+    demonstrated over the entity-month grain with deterministic
+    orderings."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    m = o.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("month_start_date")
+    ).agg(exact_sum("o_totalprice").alias("revenue"))
+    w_rev = Window.partitionBy("o_custkey").orderBy(F.desc("revenue"), "month_start_date")
+    w_time = Window.partitionBy("o_custkey").orderBy("month_start_date")
+    return m.select(
+        "o_custkey",
+        "month_start_date",
+        "revenue",
+        F.rank().over(w_rev).alias("rnk"),
+        F.dense_rank().over(w_rev).alias("drnk"),
+        F.ntile(4).over(w_time).alias("quartile"),
+        F.lead("revenue").over(w_time).alias("next_revenue"),
+        F.first("revenue").over(
+            w_time.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("first_revenue"),
+    )
+
+
+@query(
+    "o3_set_ops",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def o3_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 (beyond-reference; SURVEY §2.6 notes no set ops in the
+    reference): INTERSECT / EXCEPT — customers with both fulfilled and
+    open orders, minus big spenders. Spark plans these as semi/anti
+    joins."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    f = o.filter("o_orderstatus = 'F'").select("o_custkey")
+    op = o.filter("o_orderstatus = 'O'").select("o_custkey")
+    big = o.filter("o_totalprice > 450000").select("o_custkey")
+    return f.intersect(op).exceptAll(big.distinct())
+
+
+@query(
     "f_date_kit",
     oracle="""
     SELECT DISTINCT
