@@ -512,6 +512,83 @@ def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_profile_stats",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           min(l_quantity) AS min_val, max(l_quantity) AS max_val,
+           SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           min(l_extendedprice), max(l_extendedprice),
+           SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+    FROM lineitem
+    """,
+)
+def x_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the data-quality summary a training pipeline
+    runs before ingestion (rows/nulls/distinct/min/max/sum per column),
+    one grouped pass per column unioned long-form."""
+    from ..functions.money import exact_sum as _es
+
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("min_val"),
+            F.max(col).alias("max_val"),
+            _es(col).alias("sum_val"),
+        )
+
+    return profile("l_quantity").unionByName(profile("l_extendedprice"))
+
+
+@query(
+    "x_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events)
+    SELECT event_id, value,
+           CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END
+             AS value_winsorized,
+           (value < lo OR value > hi) AS was_clipped
+    FROM events, b
+    """,
+)
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — outlier clipping at the 5th/95th percentile, the
+    standard numeric-feature cleaning step. Percentile bounds are a
+    1-row broadcast; the clip itself is a narrow map."""
+    e = load_testdata(spark, sf_dir, "events")["events"]
+    b = e.agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return e.crossJoin(F.broadcast(b)).select(
+        "event_id",
+        "value",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("value_winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
