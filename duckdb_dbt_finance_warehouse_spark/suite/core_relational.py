@@ -870,28 +870,29 @@ def m1_movement_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("account_id"),
         F.trunc("o_orderdate", "month").alias("m"),
     ).agg(_es("o_totalprice").alias("rev"))
-    spine = (
-        monthly.groupBy("account_id")
-        .agg(F.min("m").alias("first_m"), F.max("m").alias("last_m"))
-        .select(
-            "account_id",
-            F.explode(
-                F.expr("sequence(first_m, add_months(last_m, 1), interval 1 month)")
-            ).alias("month_start_date"),
-        )
+    # single-shuffle zero-filled spine: fold each account's months into a
+    # map, explode the month sequence, look revenue up in the map. The
+    # groupBy leaves data hash-partitioned on account_id, which is
+    # exactly what the windows below need — no further exchange (the
+    # join formulation would cost two more shuffles). Map size is
+    # calendar-bounded (<=~120 entries/account), safe at any row scale.
+    per_acct = monthly.groupBy("account_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("m", "rev"))).alias("rev_by_month"),
+        F.min("m").alias("first_m"),
+        F.max("m").alias("last_m"),
     )
-    spined = (
-        spine.join(
-            monthly,
-            (monthly.account_id == spine.account_id)
-            & (monthly.m == spine.month_start_date),
-            "left",
-        )
-        .select(
-            spine.account_id,
-            "month_start_date",
-            F.coalesce("rev", F.lit(0.0)).alias("end_rev"),
-        )
+    spined = per_acct.select(
+        "account_id",
+        F.explode(
+            F.expr("sequence(first_m, add_months(last_m, 1), interval 1 month)")
+        ).alias("month_start_date"),
+        "rev_by_month",
+    ).select(
+        "account_id",
+        "month_start_date",
+        F.coalesce(
+            F.element_at("rev_by_month", F.col("month_start_date")), F.lit(0.0)
+        ).alias("end_rev"),
     )
     w = Window.partitionBy("account_id").orderBy("month_start_date")
     flagged = spined.withColumn(
