@@ -112,15 +112,24 @@ def ivf_ann_topk(
     table (narrow, no shuffle of the corpus); the probe join touches
     ~n_probes/|centroids| of the corpus per query instead of all of it."""
     cents = corpus.filter((F.col(id_col) % n_centroids_mod) == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        F.expr(NORM.format(a=vec_col)).alias("cent_norm"),
     )
 
     def nearest(df: DataFrame, idc: str, vecc: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
+        # norms precomputed once per side; only the dot product is
+        # evaluated per (vector, centroid) pair
+        with_norm = df.withColumn("_vnorm", F.expr(NORM.format(a=vecc)))
+        scored = with_norm.crossJoin(F.broadcast(cents)).select(
             F.col(idc),
             F.col(vecc),
             "centroid_id",
-            F.round(cosine_expr(vecc, "cent_vec"), 6).alias("cent_cos"),
+            F.round(
+                F.expr(DOT.format(a=vecc, b="cent_vec"))
+                / (F.col("_vnorm") * F.col("cent_norm")),
+                6,
+            ).alias("cent_cos"),
         )
         if n == 1:
             # assignment: argmax via max_by — one grouped pass, no window
