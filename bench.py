@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from duckdb_dbt_finance_warehouse_spark.operators.dedup import release_persisted
 from duckdb_dbt_finance_warehouse_spark.session import get_spark
 from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
 
@@ -72,6 +73,7 @@ def main() -> None:
         t0 = time.time()
         execute(df)
         timings[name] = round(time.time() - t0, 4)
+        release_persisted()  # drop minhash signature caches between queries
 
     total = round(sum(timings.values()), 4)
     print(

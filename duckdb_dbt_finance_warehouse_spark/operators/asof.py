@@ -26,13 +26,17 @@ def asof_nearest_prior(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row: the most recent right row at-or-before its ts.
 
     union-tagged rows are windowed per key ordered by (ts, side) with
     right rows sorting BEFORE left rows at equal timestamps, so an exact
     tie matches (as-of <= semantics, like DuckDB ASOF JOIN / pandas
-    merge_asof backward)."""
+    merge_asof backward). When several right rows share (key, ts), the
+    one with the greatest ``right_tiebreak`` (default: first payload
+    column) wins — a deterministic choice where engines with native ASOF
+    joins pick arbitrarily."""
     lcols = left.columns
     l_tag = left.select(
         *lcols,
@@ -51,9 +55,14 @@ def asof_nearest_prior(
     ).select(*l_tag.columns)
 
     u = l_tag.unionByName(r_tag)
+    tb = right_tiebreak or (payload_cols[0] if payload_cols else None)
+    order = [F.col("_ts"), F.col("_side")]
+    if tb is not None:
+        # nulls first so a null payload never shadows a real one
+        order.append(F.asc_nulls_first(f"_r_{tb}"))
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(

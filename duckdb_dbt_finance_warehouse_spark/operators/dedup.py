@@ -25,6 +25,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Persisted signature frames, registered so callers can release them:
+# signatures are deliberately cached (referenced 3x per pipeline — band
+# explode + both verify-join sides), but the cache outlives the returned
+# plan, so long-lived sessions (bench loops, notebooks) should call
+# ``release_persisted()`` after consuming results.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every signature cache created by the minhash pipelines —
+    call after the returned DataFrames have been consumed."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def normalize_text(c) -> F.Column:
     """Canonical text form: lowercase, collapse whitespace, trim."""
     col = F.col(c) if isinstance(c, str) else c
@@ -134,7 +155,7 @@ def minhash_lsh_dedup(
     shingle explode + 64-way min aggregation per reference triples the
     cost. At 100 TB signatures are ~0.1% of corpus size — materializing
     them is exactly what a production near-dup pass does."""
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes).persist()
+    sigs = _persist(minhash_signatures(df, id_col, text_col, k, n_hashes))
     pairs = lsh_candidate_pairs(sigs, id_col, bands, n_hashes // bands)
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -242,8 +263,8 @@ def minhash_lsh_dedup_portable(
         .select(
             id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
         )
-        .persist()
     )
+    sigs = _persist(sigs)
 
     rows_per_band = n_hashes // bands
     band_cols = [

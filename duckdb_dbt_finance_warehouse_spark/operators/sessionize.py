@@ -14,11 +14,19 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
     """Gap-based sessions: a session breaks when the time since the
     previous event exceeds the gap. session_seq = cumulative count of
-    breaks; one shuffle on the user key."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    breaks; one shuffle on the user key.
+
+    ``tiebreak_col`` makes ordering deterministic for equal timestamps;
+    it is ignored when absent from ``df`` (pass an id column for frames
+    with duplicate (user, ts) rows)."""
+    order = [ts_col] + (
+        [tiebreak_col] if tiebreak_col and tiebreak_col in df.columns else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return (
@@ -41,8 +49,9 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
-    s = sessionize(df, user_col, ts_col, gap_minutes)
+    s = sessionize(df, user_col, ts_col, gap_minutes, tiebreak_col)
     return s.groupBy(user_col, "session_id").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

@@ -58,13 +58,9 @@ def materialize(ctx: Context, m: Model) -> None:
                 df.select(*m.unique_key).distinct(), list(m.unique_key), "left_anti"
             )
             out = keep.unionByName(df)
-            # full rewrite through a staging location would be needed for
-            # self-referential safety; at parquet level we cache + count to
-            # force evaluation before the overwrite
-            out = out.cache()
-            out.count()
-            ctx.wh.write(out, m.schema, m.name, mode="overwrite")
-            out.unpersist()
+            # self-referential overwrite -> staged write + directory swap
+            # (the anti-join reads the files being replaced)
+            ctx.wh.write_staged(out, m.schema, m.name)
         return
 
     raise ValueError(f"unknown materialization {m.materialization}")

@@ -37,8 +37,14 @@ def scd2_merge(
     unique_key: str,
     check_col: str = "record_hash",
     batch_ts_col: str = "ingested_at",
+    run_ts=None,
 ) -> DataFrame:
-    """Pure-DataFrame SCD2 merge; returns the full new snapshot state."""
+    """Pure-DataFrame SCD2 merge; returns the full new snapshot state.
+
+    ``run_ts`` (optional) is the close timestamp for hard deletes when
+    the incoming batch is EMPTY (no rows -> no batch max to close at).
+    Without it an empty batch returns the state unchanged rather than
+    silently closing rows at NULL (which would leave them open forever)."""
     new = new.withColumn("dbt_valid_from", F.col(batch_ts_col)).withColumn(
         "dbt_valid_to", F.lit(None).cast("timestamp")
     )
@@ -50,6 +56,13 @@ def scd2_merge(
 
     # hard-delete close timestamp: the incoming batch's max ingested_at
     batch_ts = new.agg(F.max(batch_ts_col)).first()[0]
+    if batch_ts is None:
+        # empty batch: nothing to insert/change; every open key would be
+        # a "hard delete" — only close them if the caller supplied a
+        # deterministic run timestamp, else keep the state as-is
+        if run_ts is None:
+            return old
+        batch_ts = run_ts
 
     o = open_rows.alias("o")
     n = new.alias("n")
@@ -57,7 +70,13 @@ def scd2_merge(
 
     in_old = F.col(f"o.{unique_key}").isNotNull()
     in_new = F.col(f"n.{unique_key}").isNotNull()
-    changed = in_old & in_new & (F.col(f"o.{check_col}") != F.col(f"n.{check_col}"))
+    # null-safe: a NULL record_hash on either side must count as a change
+    # (plain != yields NULL -> silently "unchanged")
+    changed = (
+        in_old
+        & in_new
+        & ~F.col(f"o.{check_col}").eqNullSafe(F.col(f"n.{check_col}"))
+    )
 
     old_cols = [F.col(f"o.{c}").alias(c) for c in open_rows.columns if c != "dbt_valid_to"]
     new_cols = [F.col(f"n.{c}").alias(c) for c in new.columns]
@@ -91,8 +110,6 @@ def run_snapshot(ctx: Context, m: Model) -> None:
     old = ctx.wh.read(m.schema, m.name) if ctx.wh.exists(m.schema, m.name) else None
     key = m.unique_key[0]
     merged = scd2_merge(old, new, unique_key=key)
-    # the merge reads the files it is about to replace -> materialize first
-    merged = merged.cache()
-    merged.count()
-    ctx.wh.write(merged, m.schema, m.name, mode="overwrite")
-    merged.unpersist()
+    # the merge reads the files it is about to replace -> staged write +
+    # directory swap: old state stays durable until the new one is
+    ctx.wh.write_staged(merged, m.schema, m.name)

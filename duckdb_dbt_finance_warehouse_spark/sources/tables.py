@@ -90,3 +90,34 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(schema, table))
+
+    def write_staged(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Self-referential-safe overwrite: the plan may READ the table it
+        replaces (SCD2 merge, keyed delete+insert). Write the new state to
+        a staging sibling first, then swap directory names. The source
+        files are never deleted before the new copy is fully durable — a
+        crash or executor loss mid-write leaves the old table intact,
+        unlike cache()+overwrite where a recomputed partition would read
+        files the overwrite already deleted. On a cluster the same
+        pattern is a FileSystem.rename of cloud-store prefixes."""
+        import shutil
+
+        target = self.path(schema, table)
+        staging = self.path(schema, f"_staging_{table}")
+        trash = self.path(schema, f"_trash_{table}")
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+        if os.path.isdir(target):
+            os.rename(target, trash)  # old state kept until swap completes
+        os.rename(staging, target)
+        shutil.rmtree(trash, ignore_errors=True)

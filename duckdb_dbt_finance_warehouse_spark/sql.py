@@ -18,25 +18,31 @@ from .sources.tables import Warehouse, load_testdata
 
 def register_warehouse(wh: Warehouse) -> list[str]:
     """Register every table in the warehouse as temp views; returns the
-    registered names."""
+    registered names. Bare-name aliases (dbt-style ref names) are only
+    created for table names that occur in exactly ONE schema — a name
+    shared by two schemas gets no bare alias (first-schema-wins binding
+    would silently pick the alphabetically-first one)."""
     names: list[str] = []
     if not os.path.isdir(wh.root):
         return names
-    for schema in sorted(os.listdir(wh.root)):
-        sdir = os.path.join(wh.root, schema)
-        if not os.path.isdir(sdir):
-            continue
-        for table in sorted(os.listdir(sdir)):
-            if not wh.exists(schema, table):
-                continue
-            df = wh.read(schema, table)
-            qualified = f"{schema}_{table}"
-            df.createOrReplaceTempView(qualified)
-            names.append(qualified)
-            # bare alias (dbt-style ref name) when it cannot collide
-            if table not in names:
-                df.createOrReplaceTempView(table)
-                names.append(table)
+    pairs = [
+        (schema, table)
+        for schema in sorted(os.listdir(wh.root))
+        if os.path.isdir(os.path.join(wh.root, schema))
+        for table in sorted(os.listdir(os.path.join(wh.root, schema)))
+        if wh.exists(schema, table)
+    ]
+    table_counts: dict[str, int] = {}
+    for _, table in pairs:
+        table_counts[table] = table_counts.get(table, 0) + 1
+    for schema, table in pairs:
+        df = wh.read(schema, table)
+        qualified = f"{schema}_{table}"
+        df.createOrReplaceTempView(qualified)
+        names.append(qualified)
+        if table_counts[table] == 1 and table not in names:
+            df.createOrReplaceTempView(table)
+            names.append(table)
     return names
 
 

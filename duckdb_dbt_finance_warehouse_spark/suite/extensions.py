@@ -1,11 +1,13 @@
 """Extension-surface suite (SURVEY §7.6): dedup, similarity search, text
 analysis, event sessionization / as-of joins, multimodal plumbing.
 
-Oracle-paired wherever DuckDB can express the same computation (exact
-dedup, n-gram Jaccard, brute-force cosine, langid, quality, token
-counts, fingerprints, sessionization, tumbling windows, JSON props,
-ASOF join). Hash-seeded operators (MinHash-LSH, SimHash, hyperplane
-ANN) use Spark's murmur3/xxhash64 which DuckDB lacks -> rows-only checks.
+Every entry is oracle-paired except the one Arrow/mapInPandas query
+(x_multimodal_features — Python decode can't run inside DuckDB; its
+binary plumbing is oracle-verified separately by x_multimodal_bytestats).
+Hash-seeded operators use engine-portable hashes on the judged surface
+(md5 / Carter-Wegman / literal ±1 hyperplanes) so DuckDB replays them
+bit-for-bit; Spark-native murmur3/xxhash64 variants remain in
+operators/ as documented fast paths, pinned by tests/test_operators.py.
 """
 
 from __future__ import annotations
@@ -53,16 +55,6 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: md5 of normalized text, min-id winner per
     group (operators/dedup.exact_dedup). One groupBy shuffle."""
     return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
-
-
-@query("x_dedup_minhash_lsh", oracle=None)
-def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH(16x4) near-dup candidate pairs verified by
-    estimated Jaccard >= 0.5. Seeded murmur3 (Spark-side) -> rows-only
-    driver check; determinism covered by tests/test_operators.py."""
-    return dedup.minhash_lsh_dedup(
-        _docs(spark, sf_dir), "doc_id", "text", k=5, n_hashes=64, bands=16, threshold=0.5
-    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -130,7 +122,9 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard(docs, "doc_id", "text", pairs, n=3)
 
 
-def _minhash_portable_oracle(k: int = 5, n_hashes: int = 64, bands: int = 16) -> str:
+def _minhash_portable_oracle(
+    k: int = 5, n_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
     from ..operators.dedup import PORTABLE_PRIME, portable_hash_params
 
     rows_per_band = n_hashes // bands
@@ -163,7 +157,8 @@ def _minhash_portable_oracle(k: int = 5, n_hashes: int = 64, bands: int = 16) ->
     JOIN sigs sa ON sa.doc_id = p.id_a
     JOIN sigs sb ON sb.doc_id = p.id_b AND sb.i = sa.i
     GROUP BY 1, 2
-    HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(n_hashes)} >= 0.5
+    HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(n_hashes)}
+           >= {threshold}
     """
 
 
@@ -175,6 +170,22 @@ def x_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed and verified by the DuckDB oracle."""
     return dedup.minhash_lsh_dedup_portable(
         _docs(spark, sf_dir), "doc_id", "text", k=5, n_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@query(
+    "x_dedup_minhash_lsh",
+    oracle=_minhash_portable_oracle(k=4, n_hashes=32, bands=8, threshold=0.5),
+)
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8x4) near-dup pairs at shingle k=4 — a second,
+    differently-tuned LSH configuration (fewer/wider bands trade recall
+    for candidate volume), fully oracle-replayed via the portable
+    Carter-Wegman hashes. The murmur3 array variant
+    (operators/dedup.minhash_lsh_dedup) is the bench-only fast path,
+    pinned for determinism + known answers in tests/test_operators.py."""
+    return dedup.minhash_lsh_dedup_portable(
+        _docs(spark, sf_dir), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
     )
 
 
@@ -269,11 +280,38 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_ann_lsh_bucketed", oracle=None)
+_LSH_BUCKETS = similarity.lsh_buckets_oracle_sql(
+    "embeddings", n_tables=8, n_planes=4, dim=64
+)
+
+
+@query(
+    "x_ann_lsh_bucketed",
+    oracle=f"""
+    WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+    cands AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+      FROM (SELECT * FROM bk WHERE vec_id < 5) qb
+      JOIN bk cb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                AND cb.vec_id != qb.vec_id),
+    scored AS (
+      SELECT cands.query_id, cands.cand_id, {_COS} AS cosine
+      FROM cands
+      JOIN embeddings q ON q.vec_id = cands.query_id
+      JOIN embeddings c ON c.vec_id = cands.cand_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def x_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH ANN (deterministic hash-derived
-    hyperplanes): bucket join instead of cross product — the 100 TB
-    scale path. Rows-only check; recall vs exact is asserted in tests."""
+    """Sign-random-projection LSH ANN: bucket join instead of cross
+    product — the 100 TB scale path. Hyperplanes are literal ±1 vectors
+    derived from md5 driver-side (similarity.plane_signs), so the DuckDB
+    oracle replays bucket assignment, candidate join, and top-k
+    verbatim. Recall vs exact additionally asserted in tests."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_tables=8, n_planes=4, dim=64
@@ -399,21 +437,29 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x_embed_near_dup",
     oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_COS.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}
-             AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS.replace('q.embedding', 'a.embedding').replace('c.embedding', 'b.embedding')}
-            >= 0.5
+    WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON b.tbl = a.tbl AND b.bucket = a.bucket
+                         AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT pairs.id_a, pairs.id_b, {_COS} AS cosine
+      FROM pairs
+      JOIN embeddings q ON q.vec_id = pairs.id_a
+      JOIN embeddings c ON c.vec_id = pairs.id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
     """,
 )
 def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at threshold 0.5 (operators/
-    similarity.embedding_near_dup_pairs) — exact all-pairs baseline for
-    embedding-level dedup; the LSH candidate stage replaces the cross
-    join at scale."""
+    """Embedding-level near-dup pairs at scale (operators/
+    similarity.embedding_near_dup_pairs_lsh): candidates share an LSH
+    (table, bucket) — ids-only self-join, never all-pairs — then exact
+    cosine verifies candidates only. The literal md5-derived hyperplanes
+    let the DuckDB oracle replay candidate generation verbatim. The
+    O(N²) exact baseline (embedding_near_dup_pairs) is verification-only
+    at small N (tests assert the LSH recall against it)."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.5)
+    return similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
@@ -598,6 +644,32 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct -> Arrow-batched mapInPandas
     feature extraction (operators/multimodal; decode step stubbed with
-    deterministic byte stats). Rows-only check."""
+    deterministic byte stats). Rows-only check — the Python decode can't
+    run inside DuckDB; the binary plumbing itself is oracle-verified by
+    x_multimodal_bytestats."""
     blobs = multimodal.synthesize_blobs(_docs(spark, sf_dir), "doc_id", "text")
     return multimodal.extract_features(blobs, "doc_id")
+
+
+@query(
+    "x_multimodal_bytestats",
+    oracle="""
+    SELECT doc_id, 'blob/fake' AS mime,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def x_multimodal_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL twin of the multimodal pipeline's binary plumbing: the
+    synthesized binary payloads (operators/multimodal.synthesize_blobs)
+    are byte-identical across engines — byte length and md5 of the
+    payload match DuckDB's encode()/md5 over the same rows. Proves the
+    opaque-binary column round-trips losslessly without Python."""
+    blobs = multimodal.synthesize_blobs(_docs(spark, sf_dir), "doc_id", "text")
+    return blobs.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

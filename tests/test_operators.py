@@ -95,6 +95,27 @@ def test_lsh_ann_matches_exact_cosines_and_has_recall(spark):
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
 
 
+def test_embed_near_dup_lsh_subset_of_exact_with_recall(spark):
+    """The scale path (LSH bucket candidates + exact verify) must emit a
+    subset of the all-pairs baseline with identical cosines, and recall
+    high enough to be useful."""
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert set(lsh) <= set(exact)  # verify stage is exact -> no false positives
+    assert all(exact[p] == lsh[p] for p in lsh)  # bitwise-identical cosines
+    assert exact, "fixture produced no near-dup pairs"
+    assert len(lsh) / len(exact) >= 0.5, f"LSH near-dup recall: {len(lsh)}/{len(exact)}"
+
+
 def test_language_id_votes(spark):
     out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs_df(spark), "doc_id", "text").collect()}
     assert out[1] == "en" and out[5] == "es"
@@ -129,6 +150,21 @@ def test_sessionize_gap_semantics(spark):
     sizes = sorted(r["n_events"] for r in by_user[100])
     assert sizes == [1, 2]
     assert len(by_user[200]) == 1
+
+
+def test_sessionize_without_tiebreak_column(spark):
+    """Frames lacking the default tiebreak column must still sessionize
+    (the tiebreak is advisory, not a schema requirement)."""
+    rows = [
+        (100, datetime(2024, 1, 1, 10, 0, 0)),
+        (100, datetime(2024, 1, 1, 11, 0, 0)),  # 60 min gap -> new session
+        (200, datetime(2024, 1, 1, 10, 5, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["account", "seen_at"])
+    out = sessionize.session_stats(
+        df, user_col="account", ts_col="seen_at", gap_minutes=30
+    ).collect()
+    assert sorted(r["session_id"] for r in out) == ["100-1", "100-2", "200-1"]
 
 
 def test_multimodal_feature_plumbing(spark):

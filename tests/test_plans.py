@@ -67,6 +67,32 @@ def test_no_python_in_hot_path(spark, name):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+# Cross joins where one side is a broadcast scalar/tiny aggregate (HWM
+# bound, scalar subquery, percentile bounds, doc count, probe queries,
+# centroid table) — constant-size build sides, safe at any corpus scale.
+BNLJ_ALLOWED = {
+    "p8_hwm_filter",
+    "j6_scalar_subquery_filter",
+    "x_ann_cosine_topk",
+    "x_ann_ivf_topk",
+    "x_tfidf_top_terms",
+    "x_winsorize",
+}
+
+
+def test_no_all_pairs_joins_anywhere(spark):
+    """No suite plan may contain an O(N²) join shape (BNLJ / cartesian)
+    outside the documented tiny-broadcast allowlist — the 100× scale-up
+    guard. In particular x_embed_near_dup must stay LSH-bucketed."""
+    offenders = []
+    for name in REGISTRY:
+        p = plan_of(spark, name)
+        if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+            if name not in BNLJ_ALLOWED:
+                offenders.append(name)
+    assert offenders == []
+
+
 def test_partial_aggregation_before_shuffle(spark):
     df = REGISTRY["a1_grouped_sum_q1"].fn(spark, SF)
     buf = io.StringIO()

@@ -53,3 +53,51 @@ def test_merge_is_idempotent_for_unchanged_batch(spark):
     rows = s2.collect()
     assert len(rows) == 1
     assert rows[0]["dbt_valid_from"] == T1 and rows[0]["dbt_valid_to"] is None
+
+
+def test_empty_batch_keeps_state_unless_run_ts_given(spark):
+    s1 = scd2_merge(None, df_of(spark, [("K1", "a", "h1", T1)]), "key")
+    empty = df_of(spark, [])
+    # no run_ts: state unchanged (NOT silently closed at NULL)
+    kept = scd2_merge(s1, empty, "key").collect()
+    assert len(kept) == 1 and kept[0]["dbt_valid_to"] is None
+    # run_ts supplied: open rows close as hard deletes at that ts
+    closed = scd2_merge(s1, empty, "key", run_ts=T2).collect()
+    assert len(closed) == 1 and closed[0]["dbt_valid_to"] == T2
+
+
+def test_null_record_hash_counts_as_change(spark):
+    s1 = scd2_merge(None, df_of(spark, [("K1", "a", None, T1)]), "key")
+    s2 = scd2_merge(s1, df_of(spark, [("K1", "a2", "h1", T2)]), "key")
+    rows = {(r["val"]): r for r in s2.collect()}
+    assert rows["a"]["dbt_valid_to"] == T2  # NULL -> h1 closed the old row
+    assert rows["a2"]["dbt_valid_to"] is None
+
+
+def test_staged_write_survives_failure_midway(spark, tmp_path):
+    """A write that dies after reading the target must leave the old
+    state intact — the staged-swap guarantee cache()+overwrite lacked."""
+    import pyspark.sql.functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    v1 = df_of(spark, [("K1", "a", "h1", T1)])
+    wh.write(v1, "snapshots", "snap")
+
+    # new state reads the files it will replace, then fails mid-job
+    poisoned = wh.read("snapshots", "snap").withColumn(
+        "val", F.raise_error(F.lit("executor died"))
+    )
+    try:
+        wh.write_staged(poisoned, "snapshots", "snap")
+        raise AssertionError("write should have failed")
+    except Exception:
+        pass
+    survivors = wh.read("snapshots", "snap").collect()
+    assert [r["key"] for r in survivors] == ["K1"]  # old state intact
+
+    # and a successful staged write replaces it cleanly
+    v2 = df_of(spark, [("K1", "a", "h1", T1), ("K2", "b", "h2", T1)])
+    wh.write_staged(v2, "snapshots", "snap")
+    assert wh.read("snapshots", "snap").count() == 2

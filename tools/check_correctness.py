@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entrymod
+from duckdb_dbt_finance_warehouse_spark.operators.dedup import release_persisted
 from duckdb_dbt_finance_warehouse_spark.session import get_spark
 from duckdb_dbt_finance_warehouse_spark.sources.tables import TESTDATA_TABLES
 
@@ -63,6 +64,7 @@ def main() -> int:
             sdf = qs[name](spark, args.sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            release_persisted()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
