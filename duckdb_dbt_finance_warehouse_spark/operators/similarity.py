@@ -171,6 +171,43 @@ def lsh_buckets_oracle_sql(
     return "(" + "\nUNION ALL\n".join(selects) + ")"
 
 
+# Quantization scale for the IVF assignment metric: components are
+# rounded to integer multiples of 2^-18. A power of two makes v * SCALE
+# exact in float64, and every quantized product / partial sum is an
+# integer far below 2^53 — so dots and squared norms are EXACT in
+# float64 regardless of summation order. BLAS np.dot, a JVM fold, and
+# DuckDB's list_sum all produce the same bits by construction; no
+# round-before-compare is needed anywhere in the assignment.
+QUANT_SCALE = float(1 << 18)
+
+
+def _np_quant(V):
+    """Half-away-from-zero round of V * QUANT_SCALE (matches SQL
+    round()); V * QUANT_SCALE is exact, so both engines round the same
+    value."""
+    import numpy as np
+
+    Y = V * QUANT_SCALE
+    return np.sign(Y) * np.floor(np.abs(Y) + 0.5)
+
+
+def _np_quant_cos(V, Cq, cnorms):
+    """Quantized-cosine matrix of raw float64 rows V against
+    pre-quantized centroids Cq: exact integer dot (BLAS) over exact
+    integer norms — deterministic IEEE ops only."""
+    import numpy as np
+
+    Xq = _np_quant(V)
+    dots = Xq @ Cq.T
+    nx = np.sqrt((Xq * Xq).sum(axis=1))
+    return dots / (nx[:, None] * cnorms[None, :])
+
+
+def _np_quant_cos_pre(Xq, Cq, xnorms, cnorms):
+    """Quantized-cosine matrix when BOTH sides are already quantized."""
+    return (Xq @ Cq.T) / (xnorms[:, None] * cnorms[None, :])
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,67 +222,113 @@ def ivf_ann_topk(
     Coarse quantizer: a deterministic sample of corpus vectors acts as
     centroids (every ``n_centroids_mod``-th id — reproducible without a
     trained model; swap in k-means centroids at deployment, the plan is
-    unchanged).
+    unchanged). The centroid table IS the model: it is collected to the
+    driver (documented collect, bounded at |corpus|/n_centroids_mod
+    rows — a trained quantizer would be loaded the same way) and
+    broadcast to executors. The probe QUERIES are likewise driver-side —
+    in a real search API they arrive at the driver; their n_probes
+    nearest centroids are picked locally at zero Spark cost.
 
-    Single-pass assignment: corpus and queries are UNIONed and scored
-    against the broadcast centroid table once; one window ranks
-    centroids per vector, keeping rank 1 for corpus rows (the inverted
-    lists) and rank <= n_probes for query rows. Both consumers of the
-    ranking share the same shuffle (Spark exchange reuse), so the
-    |C| x |centroids| dot-product pass runs exactly once. The probe
-    join broadcasts the tiny probe side and touches
-    ~n_probes/|centroids| of the corpus per query."""
-    cents = corpus.filter((F.col(id_col) % n_centroids_mod) == 0).select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cent_vec"),
-        F.expr(NORM.format(a=vec_col)).alias("cent_norm"),
+    Everything distance-related uses the QUANTIZED cosine
+    (``QUANT_SCALE``): exact-integer dots and norms make every score
+    bit-identical across numpy/BLAS, the JVM, and DuckDB regardless of
+    summation order — the oracle replays the whole pipeline verbatim
+    with no float hazards.
+
+    Execution is ONE narrow Arrow stage over the corpus (mapInPandas —
+    the one place in this module where the DataFrame API expresses the
+    semantics but not the performance: higher-order functions are
+    CodegenFallback, interpreted per row, ~8x slower than vectorized
+    batch math; an expression-unrolled GetArrayItem chain is slower
+    still). Each batch assigns its rows to centroids (BLAS matmul
+    against the broadcast model), keeps only rows landing in a probed
+    centroid, and emits (query_id, cand_id, cosine) directly — no join
+    stage, no broadcast job. Only the ~n_probes/|cents| matched
+    candidates leave the stage, into one tiny top-k window shuffle.
+
+    At 100 TB you would persist the inverted lists (partitioned by
+    centroid_id) once and let query batches prune to their probed
+    partitions; the per-batch scoring kernel is unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.filter((F.col(id_col) % n_centroids_mod) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .collect()
     )
-    u = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
-        F.lit(False).alias("_is_q"),
-    ).unionByName(
-        queries.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
-            F.lit(True).alias("_is_q"),
-        )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    Cq = _np_quant(np.array([r["cvec"] for r in cent_rows], dtype=np.float64))
+    cnorms = np.sqrt((Cq * Cq).sum(axis=1))
+    n_probes_eff = min(n_probes, len(cids))
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Qq = _np_quant(np.array([r["q_vec"] for r in q_rows], dtype=np.float64)) if q_rows else np.zeros((0, 1))
+    qnorms = np.sqrt((Qq * Qq).sum(axis=1))
+    # probe map: centroid_id -> query indexes probing that list
+    probe_map: dict[int, list[int]] = {}
+    if q_rows:
+        r_cos = _np_quant_cos_pre(Qq, Cq, qnorms, cnorms)
+        # stable sort on -cos keeps cid-ascending order among ties
+        order = np.argsort(-r_cos, axis=1, kind="stable")[:, :n_probes_eff]
+        for qi in range(len(q_rows)):
+            for j in order[qi]:
+                probe_map.setdefault(int(cids[j]), []).append(qi)
+
+    bc = spark.sparkContext.broadcast((cids, Cq, cnorms, qids, Qq, qnorms, probe_map))
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("cand_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    scored = (
-        u.withColumn("_vnorm", F.expr(NORM.format(a="_vec")))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "_id",
-            "_vec",
-            "_is_q",
-            "centroid_id",
-            F.round(
-                F.expr(DOT.format(a="_vec", b="cent_vec"))
-                / (F.col("_vnorm") * F.col("cent_norm")),
-                6,
-            ).alias("cent_cos"),
-        )
-    )
-    w = Window.partitionBy("_id", "_is_q").orderBy(
-        F.desc("cent_cos"), F.asc("centroid_id")
-    )
-    ranked = scored.withColumn("crank", F.row_number().over(w)).filter(
-        (F.col("_is_q") & (F.col("crank") <= n_probes))
-        | (~F.col("_is_q") & (F.col("crank") == 1))
-    )
-    lists = ranked.filter(~F.col("_is_q")).select(
-        F.col("_id").alias("cand_id"), F.col("_vec").alias("c_vec"), "centroid_id"
-    )
-    probes = ranked.filter(F.col("_is_q")).select(
-        F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec"), "centroid_id"
-    )
-    pair_scored = (
-        lists.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine_expr("q_vec", "c_vec"), 6).alias("cosine"),
-        )
-    )
+
+    def score_batches(batches):
+        cids_, Cq_, cn_, qids_, Qq_, qn_, pm_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xq = _np_quant(np.stack(pdf["c_vec"].to_numpy()).astype(np.float64))
+            xnorm = np.sqrt((Xq * Xq).sum(axis=1))
+            cos_mat = (Xq @ Cq_.T) / (xnorm[:, None] * cn_[None, :])
+            # argmax returns the FIRST max; centroids are cid-sorted, so
+            # exact ties break to the lowest cid (matches the oracle)
+            assigned = cids_[np.argmax(cos_mat, axis=1)]
+            ids = pdf["cand_id"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for cid, q_idxs in pm_.items():
+                rows = np.nonzero(assigned == cid)[0]
+                if rows.size == 0:
+                    continue
+                for qi in q_idxs:
+                    cos = (Xq[rows] @ Qq_[qi]) / (xnorm[rows] * qn_[qi])
+                    keep = ids[rows] != qids_[qi]
+                    out_q.append(np.full(keep.sum(), qids_[qi]))
+                    out_c.append(ids[rows][keep])
+                    # ROUND(x, 6) half away from zero, as both SQL engines do
+                    c6 = cos[keep]
+                    out_s.append(np.sign(c6) * np.floor(np.abs(c6) * 1e6 + 0.5) / 1e6)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    pair_scored = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    ).mapInPandas(score_batches, out_schema)
     wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         pair_scored.withColumn("rank", F.row_number().over(wk))

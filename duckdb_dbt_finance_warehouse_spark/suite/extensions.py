@@ -225,13 +225,18 @@ def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-_CENT_COS = """
-    round(
-      list_sum(list_transform(list_zip({a}.embedding, c.cent_vec),
-               zz -> CAST(zz[1] AS DOUBLE) * CAST(zz[2] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform({a}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       * sqrt(list_sum(list_transform(c.cent_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-      6)
+# quantized-cosine assignment metric (operators/similarity.QUANT_SCALE):
+# components round to integer multiples of 2^-18, so every dot / squared
+# norm is an exact float64 integer — summation-order-free, bit-identical
+# between DuckDB's list_sum and the Spark side's BLAS matmul.
+_QS = f"{int(similarity.QUANT_SCALE)}.0"
+_CENT_COS = f"""
+    (list_sum(list_transform(list_zip({{a}}.embedding, c.cent_vec),
+        zz -> round(CAST(zz[1] AS DOUBLE) * {_QS}) * round(CAST(zz[2] AS DOUBLE) * {_QS}))))
+    / (sqrt(list_sum(list_transform({{a}}.embedding,
+        x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))
+     * sqrt(list_sum(list_transform(c.cent_vec,
+        x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS})))))
 """
 
 
@@ -256,9 +261,9 @@ _CENT_COS = """
       SELECT p.query_id, l.cand_id,
              round(
                list_sum(list_transform(list_zip(p.q_vec, l.c_vec),
-                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(p.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(l.c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                        z -> round(CAST(z[1] AS DOUBLE) * {_QS}) * round(CAST(z[2] AS DOUBLE) * {_QS})))
+               / (sqrt(list_sum(list_transform(p.q_vec, x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))
+                * sqrt(list_sum(list_transform(l.c_vec, x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))),
                6) AS cosine
       FROM (SELECT * FROM probes WHERE crank <= 2) p
       JOIN lists l ON l.centroid_id = p.centroid_id AND l.cand_id != p.query_id),
@@ -272,8 +277,10 @@ _CENT_COS = """
 def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (operators/similarity.ivf_ann_topk):
     deterministic coarse quantizer (every 32nd vector as centroid),
-    nearest-centroid inverted lists, 2-probe queries, exact cosine within
-    probed lists — the whole IVF pipeline replayed by the oracle."""
+    nearest-centroid inverted lists, 2-probe queries, quantized-cosine
+    scoring within probed lists (exact-integer arithmetic — see
+    similarity.QUANT_SCALE) — the whole IVF pipeline replayed bit-for-bit
+    by the oracle."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids_mod=32, n_probes=2
