@@ -84,3 +84,108 @@ def eom_boundary(fct_subscription_month: DataFrame) -> DataFrame:
         & (F.trunc("subscription_end_date", "month") == F.col("month_start_date"))
         & (F.col("mrr_amount") > 0)
     )
+
+
+def declared_reference_tests(wh) -> dict[str, DataFrame]:
+    """The COMPLETE test matrix the reference declares — every generic
+    test in models/staging/schema.yml, models/reporting/dimensions/
+    schema.yml and models/reporting/facts/schema.yml plus the three
+    singular tests in tests/*.sql — as named violating-row DataFrames
+    (pass == 0 rows each).
+
+    Deviation (same root cause as anomaly A1, SURVEY §8): the reference
+    declares ``unique`` on staging keys (staging/schema.yml:7,13), but
+    staging is an append-only arrival log — with >1 ingested batch the
+    declared test fails in dbt too (it only passes on the single-batch
+    shipped data). Uniqueness is asserted on the current-truth view
+    (latest arrival per key), the invariant the declaration means.
+    dim_feature / mart_subscription_month_enriched tests target models
+    that do not exist in the reference (anomaly A3) and are skipped."""
+    from ..models.intermediate import _latest_per_key
+
+    stg_a = wh.read("stg", "stg_accounts")
+    stg_s = wh.read("stg", "stg_subscriptions")
+    cur_a = _latest_per_key(stg_a, "account_id")
+    cur_s = _latest_per_key(stg_s, "subscription_id")
+    dim_a = wh.read("mart", "dim_account")
+    dim_s = wh.read("mart", "dim_subscription")
+    dim_d = wh.read("mart", "dim_date")
+    fsm = wh.read("mart", "fct_subscription_month")
+    fam = wh.read("mart", "fct_account_month")
+    mart = wh.read("mart", "mart_mrr_waterfall_month")
+
+    return {
+        # --- models/staging/schema.yml ---
+        "stg_accounts.account_id not_null": not_null(stg_a, "account_id"),
+        "stg_accounts.account_id unique (current view — A1 deviation)": unique(
+            cur_a, "account_id"
+        ),
+        "stg_accounts.signup_date not_null": not_null(stg_a, "signup_date"),
+        "stg_subscriptions.subscription_id not_null": not_null(
+            stg_s, "subscription_id"
+        ),
+        "stg_subscriptions.subscription_id unique (current view — A1 deviation)": unique(
+            cur_s, "subscription_id"
+        ),
+        "stg_subscriptions.account_id not_null": not_null(stg_s, "account_id"),
+        "stg_subscriptions.account_id -> stg_accounts FK": relationships(
+            stg_s, "account_id", stg_a, "account_id"
+        ),
+        "stg_subscriptions.billing_frequency accepted_values": accepted_values(
+            stg_s, "billing_frequency", ["monthly", "annual"]
+        ),
+        # --- models/reporting/dimensions/schema.yml ---
+        "dim_account.account_key not_null": not_null(dim_a, "account_key"),
+        "dim_account.account_key unique": unique(dim_a, "account_key"),
+        "dim_account.account_id not_null": not_null(dim_a, "account_id"),
+        "dim_account.valid_from not_null": not_null(dim_a, "valid_from"),
+        "dim_subscription.subscription_key not_null": not_null(
+            dim_s, "subscription_key"
+        ),
+        "dim_subscription.subscription_key unique": unique(dim_s, "subscription_key"),
+        "dim_subscription.subscription_id not_null": not_null(
+            dim_s, "subscription_id"
+        ),
+        "dim_subscription.account_key not_null": not_null(dim_s, "account_key"),
+        "dim_subscription.account_key -> dim_account FK": relationships(
+            dim_s, "account_key", dim_a, "account_key"
+        ),
+        "dim_subscription.valid_from not_null": not_null(dim_s, "valid_from"),
+        # --- models/reporting/facts/schema.yml ---
+        "fct_subscription_month grain unique": unique_combination(
+            fsm, ["subscription_id", "month_start_date"]
+        ),
+        "fct_subscription_month.subscription_key not_null": not_null(
+            fsm, "subscription_key"
+        ),
+        "fct_subscription_month.subscription_key -> dim_subscription FK": relationships(
+            fsm, "subscription_key", dim_s, "subscription_key"
+        ),
+        "fct_subscription_month.account_key not_null": not_null(fsm, "account_key"),
+        "fct_subscription_month.account_key -> dim_account FK": relationships(
+            fsm, "account_key", dim_a, "account_key"
+        ),
+        "fct_subscription_month.month_start_date not_null": not_null(
+            fsm, "month_start_date"
+        ),
+        "fct_subscription_month.month_start_date -> dim_date FK": relationships(
+            fsm, "month_start_date", dim_d, "date_day"
+        ),
+        "fct_account_month grain unique": unique_combination(
+            fam, ["account_id", "month_start_date"]
+        ),
+        "fct_account_month.account_key not_null": not_null(fam, "account_key"),
+        "fct_account_month.account_key -> dim_account FK": relationships(
+            fam, "account_key", dim_a, "account_key"
+        ),
+        "fct_account_month.month_start_date not_null": not_null(
+            fam, "month_start_date"
+        ),
+        "fct_account_month.month_start_date -> dim_date FK": relationships(
+            fam, "month_start_date", dim_d, "date_day"
+        ),
+        # --- tests/*.sql (singular) ---
+        "waterfall ties out": waterfall_ties_out(mart),
+        "account ties subscription": account_ties_subscription(fam, fsm),
+        "EOM boundary": eom_boundary(fsm),
+    }

@@ -55,35 +55,15 @@ def cmd_build(args) -> int:
 
 
 def cmd_test(args) -> int:
-    from duckdb_dbt_finance_warehouse_spark.plans import testing as tst
+    """Run every data test the reference declares (generic tests from
+    models/*/schema.yml + singular tests from tests/) — one line per
+    declared test; see plans/testing.declared_reference_tests for the
+    matrix and its two documented deviations (A1/A3)."""
+    from duckdb_dbt_finance_warehouse_spark.plans.testing import declared_reference_tests
 
     spark = get_spark("test")
     wh = Warehouse(spark, args.warehouse)
-    fsm = wh.read("mart", "fct_subscription_month")
-    fam = wh.read("mart", "fct_account_month")
-    mart = wh.read("mart", "mart_mrr_waterfall_month")
-    stg_a = wh.read("stg", "stg_accounts")
-    stg_s = wh.read("stg", "stg_subscriptions")
-
-    checks = {
-        "stg_accounts.account_id not_null": tst.not_null(stg_a, "account_id"),
-        "stg_subscriptions.subscription_id not_null": tst.not_null(stg_s, "subscription_id"),
-        "stg_subscriptions.billing_frequency accepted": tst.accepted_values(
-            stg_s, "billing_frequency", ["monthly", "annual"]
-        ),
-        "stg_subscriptions -> stg_accounts FK": tst.relationships(
-            stg_s, "account_id", stg_a, "account_id"
-        ),
-        "fct_subscription_month grain unique": tst.unique_combination(
-            fsm, ["subscription_id", "month_start_date"]
-        ),
-        "fct_account_month grain unique": tst.unique_combination(
-            fam, ["account_id", "month_start_date"]
-        ),
-        "waterfall ties out": tst.waterfall_ties_out(mart),
-        "account ties subscription": tst.account_ties_subscription(fam, fsm),
-        "EOM boundary": tst.eom_boundary(fsm),
-    }
+    checks = declared_reference_tests(wh)
     failed = 0
     for name, viol in checks.items():
         n = viol.count()
@@ -91,6 +71,7 @@ def cmd_test(args) -> int:
         if n:
             failed += 1
         print(f"{status}: {name}")
+    print(f"{len(checks) - failed}/{len(checks)} tests passed")
     return 1 if failed else 0
 
 

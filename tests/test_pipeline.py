@@ -205,3 +205,14 @@ def test_fk_and_generic_tests(spark, wh):
     # staging hashes are stable across batches for identical business rows
     s2 = stg_s.filter("subscription_id = 'SUB2'").select("record_hash").distinct()
     assert s2.count() == 1
+
+
+def test_full_declared_matrix_after_three_batches(spark, wh):
+    """Every test the reference declares passes on the 3-batch state —
+    the stronger gate `dbt build` would give a real user."""
+    failures = {
+        name: viol.count()
+        for name, viol in tst.declared_reference_tests(wh).items()
+        if viol.count() > 0
+    }
+    assert failures == {}
