@@ -44,6 +44,16 @@ def exact_sum(c: Column | str, scale: int = 4, wide: bool = False) -> Column:
     return (F.sum(F.floor(col * s + F.lit(0.5))) / F.lit(float(s))).cast("double")
 
 
+def exact_sum_scaled(c: Column | str, scale: int = 4) -> Column:
+    """SUM as the scaled LONG itself (no divide-back) — for plans that
+    keep aggregating the result (e.g. window frames over pre-aggregated
+    money: integer sums stay order-independent through any frame
+    evaluation strategy — running accumulator, segment tree, re-scan —
+    where a double sum would not). Divide by 10^scale at presentation."""
+    col = _col(c)
+    return F.sum(F.floor(col * (10 ** scale) + F.lit(0.5)).cast("long"))
+
+
 def exact_avg(c: Column | str, scale: int = 4, wide: bool = False) -> Column:
     """AVG as exact-sum / count — deterministic to the last bit."""
     col = _col(c)

@@ -94,29 +94,33 @@ def plane_signs(table: int, plane: int, dim: int) -> tuple[float, ...]:
     )
 
 
-def _plane_dot_sql(vec_col: str, signs: tuple[float, ...]) -> str:
-    """Spark SQL for <v, plane> with the plane as an array literal —
-    evaluated entirely in whole-stage codegen, no per-row hashing."""
-    arr = ", ".join("1.0D" if s > 0 else "-1.0D" for s in signs)
-    return (
-        f"aggregate(zip_with({vec_col}, array({arr}),"
-        " (x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v)"
+def _sign_matrix(n_tables: int, n_planes: int, dim: int):
+    """(n_tables*n_planes, dim) ±1 matrix from ``plane_signs``, row
+    t*n_planes+p = plane p of table t."""
+    import numpy as np
+
+    return np.array(
+        [
+            plane_signs(t, p, dim)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
     )
 
 
-def bucket_col(vec_col: str, table: int, n_planes: int, dim: int) -> F.Column:
-    """Sign-bit bucket id for one hash table: bit p set iff the dot with
-    plane p is positive. Dots are rounded to 6 dp before the sign test so
-    the oracle's (possibly differently-ordered) float summation can never
-    flip a borderline bit."""
-    b = F.lit(0).cast("long")
-    for p in range(n_planes):
-        dot = F.round(F.expr(_plane_dot_sql(vec_col, plane_signs(table, p, dim))), 6)
-        b = b + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return b
+def _np_bucket_ids(V, S, n_tables: int, n_planes: int):
+    """(B, n_tables) bucket ids: bit p of table t set iff the QUANTIZED
+    dot with plane (t, p) is positive. Quantized components make every
+    plane dot an exact float64 integer (products are ±quantized values,
+    partial sums integers << 2^53), so the sign — and therefore the
+    bucket — is engine-independent with no rounding rule at all."""
+    import numpy as np
+
+    P = _np_quant(V) @ S.T  # exact integers
+    bits = (P > 0).astype(np.int64).reshape(len(V), n_tables, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    return (bits * weights[None, None, :]).sum(axis=2)
 
 
 def lsh_bucket_assignments(
@@ -129,17 +133,49 @@ def lsh_bucket_assignments(
 ) -> DataFrame:
     """(id, tbl, bucket) — one row per (vector, hash table). Multiple
     independent tables buy recall: a true neighbor colliding in ANY
-    table becomes a candidate. Narrow projection (no vector payload) so
-    the downstream bucket self-join shuffles only ids."""
-    entries = [
-        F.struct(
-            F.lit(t).alias("tbl"), bucket_col(vec_col, t, n_planes, dim).alias("bucket")
-        )
-        for t in range(n_tables)
-    ]
-    return df.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("tb")
-    ).select(id_col, "tb.tbl", "tb.bucket")
+    table becomes a candidate.
+
+    One narrow Arrow stage: all n_tables x n_planes plane dots are a
+    single BLAS matmul per batch against the broadcast ±1 sign matrix
+    (quantized-exact — see ``_np_bucket_ids``; the interpreted
+    higher-order-function form costs ~10x more). Output is ids only (no
+    vector payload), so the downstream bucket self-join shuffles only
+    ids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    S = _sign_matrix(n_tables, n_planes, dim)
+    bc = df.sparkSession.sparkContext.broadcast(S)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def assign(batches):
+        S_ = bc.value
+        tbls = np.arange(n_tables, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            buckets = _np_bucket_ids(V, S_, n_tables, n_planes)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_tables),
+                    "tbl": np.tile(tbls, n),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col).alias("_vec")).mapInPandas(
+        assign, schema
+    )
 
 
 def lsh_buckets_oracle_sql(
@@ -150,8 +186,10 @@ def lsh_buckets_oracle_sql(
     n_planes: int = 4,
     dim: int = 64,
 ) -> str:
-    """DuckDB SQL computing the identical (id, tbl, bucket) assignment —
-    the same literal ±1 planes, same round-before-sign rule."""
+    """DuckDB SQL computing the identical (id, tbl, bucket) assignment:
+    the same literal ±1 planes over the same quantized components —
+    exact integer dots, so the sign test needs no rounding rule."""
+    qs = f"{int(QUANT_SCALE)}.0"
     selects = []
     for t in range(n_tables):
         bits = []
@@ -160,8 +198,8 @@ def lsh_buckets_oracle_sql(
                 "1.0" if s > 0 else "-1.0" for s in plane_signs(t, p, dim)
             ) + "]"
             dot = (
-                f"round(list_sum(list_transform(list_zip({vec_col}, {arr}),"
-                " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))), 6)"
+                f"list_sum(list_transform(list_zip({vec_col}, {arr}),"
+                f" z -> round(CAST(z[1] AS DOUBLE) * {qs}) * CAST(z[2] AS DOUBLE)))"
             )
             bits.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)")
         selects.append(
@@ -367,28 +405,93 @@ def embedding_near_dup_pairs_lsh(
     n_planes: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding near-dup pairs at scale: candidate pairs share an LSH
-    (table, bucket); exact cosine verifies candidates only. The bucket
-    self-join shuffles (id, tbl, bucket) — never vectors, never all
-    pairs; expected candidates per row ~ |C| * L / 2^planes. With the
-    literal md5-derived planes the full candidate generation is replayed
-    verbatim by the DuckDB oracle."""
-    b = lsh_bucket_assignments(corpus, id_col, vec_col, n_tables, n_planes, dim)
-    pa = b.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
-    pb = b.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
-    pairs = (
-        pa.join(pb, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    """Embedding near-dup pairs at scale: candidates share an LSH
+    (table, bucket); quantized cosine verifies candidates only — never
+    all-pairs across the corpus.
+
+    Shape: ONE Arrow bucket-assignment stage (vectors ride along), one
+    shuffle on (tbl, bucket), then per-bucket vectorized all-pairs
+    scoring via ``applyInPandas`` and a global DISTINCT (a pair can
+    collide in several tables; its quantized cosine is identical
+    everywhere, so exact dedup is safe). Per-bucket work is O(|bucket|²)
+    — n_planes controls expected bucket size (|C|/2^planes per table);
+    raise it for denser corpora. The DuckDB oracle replays bucket
+    assignment, pairing, and scoring bit-for-bit (exact-integer
+    quantized arithmetic, ``QUANT_SCALE``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    S = _sign_matrix(n_tables, n_planes, dim)
+    bc = corpus.sparkSession.sparkContext.broadcast(S)
+    id_type = corpus.schema[id_col].dataType
+    vec_type = corpus.schema[vec_col].dataType
+    b_schema = T.StructType(
+        [
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField(id_col, id_type),
+            T.StructField("_vec", vec_type),
+        ]
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+
+    def assign(batches):
+        S_ = bc.value
+        tbls = np.arange(n_tables, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            B = _np_bucket_ids(V, S_, n_tables, n_planes)
+            n = len(pdf)
+            idx = np.repeat(np.arange(n), n_tables)
+            yield pd.DataFrame(
+                {
+                    "tbl": np.tile(tbls, n),
+                    "bucket": B.ravel(),
+                    id_col: pdf[id_col].to_numpy()[idx],
+                    "_vec": pdf["_vec"].to_numpy()[idx],
+                }
+            )
+
+    buckets = corpus.select(F.col(id_col), F.col(vec_col).alias("_vec")).mapInPandas(
+        assign, b_schema
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = {"id_a": np.array([], dtype=np.int64),
+             "id_b": np.array([], dtype=np.int64),
+             "cosine": np.array([], dtype=np.float64)}
+
+    def bucket_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        Xq = _np_quant(V)
+        xn = np.sqrt((Xq * Xq).sum(axis=1))
+        C = (Xq @ Xq.T) / np.outer(xn, xn)
+        # ROUND(x, 6) half away from zero, as both SQL engines do
+        C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+        ia, ib = np.triu_indices(n, k=1)
+        ids = pdf[id_col].to_numpy()
+        a, b, cs = ids[ia], ids[ib], C[ia, ib]
+        keep = cs >= threshold
+        a, b, cs = a[keep], b[keep], cs[keep]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": cs}
+        )
+
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine_expr("va", "vb"), 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        buckets.groupBy("tbl", "bucket")
+        .applyInPandas(bucket_pairs, pair_schema)
+        .distinct()
     )
 
 
@@ -403,32 +506,82 @@ def lsh_ann_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing a (table, bucket)
-    with the query in ANY of the ``n_tables`` hash tables; exact cosine +
-    window rank within candidates. With b planes/table and L tables a
-    neighbor at angle θ is found w.p. 1-(1-(1-θ/π)^b)^L. At 100 TB the
-    bucket join replaces the |Q|x|C| cross product with per-bucket work
-    (~|C| * L / 2^b candidates per query in expectation). Candidate
-    dedup shuffles ids only; vectors join back afterwards."""
-    cb = lsh_bucket_assignments(corpus, id_col, vec_col, n_tables, n_planes, dim)
-    qb = lsh_bucket_assignments(queries, id_col, vec_col, n_tables, n_planes, dim)
-    cands = (
-        cb.withColumnRenamed(id_col, "cand_id")
-        .join(F.broadcast(qb.withColumnRenamed(id_col, "query_id")), ["tbl", "bucket"])
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id")
-        .distinct()
+    with the query in ANY of the ``n_tables`` hash tables; quantized
+    cosine + window rank within candidates. With b planes/table and L
+    tables a neighbor at angle θ is found w.p. 1-(1-(1-θ/π)^b)^L.
+
+    Same execution shape as ``ivf_ann_topk``: query buckets are computed
+    driver-side (probe queries are small and driver-origin); ONE narrow
+    Arrow stage buckets each corpus batch (a single BLAS matmul against
+    the broadcast ±1 sign matrix), masks rows colliding with any query
+    bucket, scores only those, and emits (query_id, cand_id, cosine) —
+    the bucket join replaces the |Q| x |C| cross product with per-bucket
+    work (~|C| * L / 2^b candidates per query in expectation), and only
+    those candidates reach the final top-k window shuffle. All scores
+    are quantized-exact (``QUANT_SCALE``), replayed verbatim by the
+    DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    S = _sign_matrix(n_tables, n_planes, dim)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Qq = _np_quant(np.array([r["q_vec"] for r in q_rows], dtype=np.float64)) if q_rows else np.zeros((0, dim))
+    qnorms = np.sqrt((Qq * Qq).sum(axis=1))
+    qbuckets = _np_bucket_ids(
+        np.array([r["q_vec"] for r in q_rows], dtype=np.float64), S, n_tables, n_planes
+    ) if q_rows else np.zeros((0, n_tables), dtype=np.int64)
+
+    bc = spark.sparkContext.broadcast((S, qids, Qq, qnorms, qbuckets))
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("cand_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
-    scored = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(c, "cand_id")
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine_expr("q_vec", "c_vec"), 6).alias("cosine"),
-        )
-    )
+
+    def score(batches):
+        S_, qids_, Qq_, qn_, qb_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids_) == 0:
+                continue
+            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            Xq = _np_quant(V)
+            xnorm = np.sqrt((Xq * Xq).sum(axis=1))
+            B = _np_bucket_ids(V, S_, n_tables, n_planes)
+            ids = pdf["cand_id"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(qids_)):
+                # candidate iff the row shares qi's bucket in ANY table
+                mask = (B == qb_[qi][None, :]).any(axis=1)
+                mask &= ids != qids_[qi]
+                rows = np.nonzero(mask)[0]
+                if rows.size == 0:
+                    continue
+                cos = (Xq[rows] @ Qq_[qi]) / (xnorm[rows] * qn_[qi])
+                out_q.append(np.full(rows.size, qids_[qi]))
+                out_c.append(ids[rows])
+                # ROUND(x, 6) half away from zero, as both SQL engines do
+                out_s.append(np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6)
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "cand_id": np.concatenate(out_c),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import empty_to_null, lower_norm, negative_to_null, record_hash
-from ..functions.money import exact_sum
+from ..functions.money import exact_sum, exact_sum_scaled
 from ..sources.tables import load_testdata
 from .registry import query
 
@@ -1143,6 +1143,60 @@ def w5_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("revenue").over(
             w_time.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("first_revenue"),
+    )
+
+
+@query(
+    "w6_range_frames",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS month_start_date,
+             (EXTRACT(year FROM date_trunc('month', o_orderdate)) * 12
+              + EXTRACT(month FROM date_trunc('month', o_orderdate)))::BIGINT AS month_idx,
+             SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS revenue_scaled
+      FROM orders GROUP BY 1, 2, 3)
+    SELECT o_custkey, month_start_date,
+           revenue_scaled / 10000.0 AS revenue,
+           CAST(SUM(revenue_scaled) OVER (PARTITION BY o_custkey ORDER BY month_idx
+                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) / 10000.0
+             AS trailing_3mo_revenue,
+           percent_rank() OVER w AS revenue_pct_rank,
+           cume_dist() OVER w AS revenue_cume_dist
+    FROM m
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY revenue_scaled)
+    """,
+)
+def w6_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 (beyond-reference; closes SURVEY §2.5's absent list): RANGE
+    frame + percent_rank/cume_dist. The trailing-3-month revenue uses a
+    VALUE-based (RANGE) frame over a month index — calendar gaps shrink
+    the frame, which ROWS frames cannot express. The frame aggregates
+    the SCALED LONG (exact_sum_scaled): integer sums are
+    order-independent under any window evaluation strategy (running
+    accumulator vs DuckDB's segment tree), where double sums would
+    diverge in the last ulp. percent_rank/cume_dist are exact small
+    rationals — identical in both engines."""
+    o = load_testdata(spark, sf_dir, "orders")["orders"]
+    m = o.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("month_start_date")
+    ).agg(exact_sum_scaled("o_totalprice").alias("revenue_scaled"))
+    m = m.withColumn(
+        "month_idx",
+        (F.year("month_start_date") * 12 + F.month("month_start_date")).cast("long"),
+    )
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("month_idx").rangeBetween(-2, 0)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy("revenue_scaled")
+    return m.select(
+        "o_custkey",
+        "month_start_date",
+        (F.col("revenue_scaled") / 10000.0).alias("revenue"),
+        (F.sum("revenue_scaled").over(w_range).cast("long") / 10000.0).alias(
+            "trailing_3mo_revenue"
+        ),
+        F.percent_rank().over(w_rank).alias("revenue_pct_rank"),
+        F.cume_dist().over(w_rank).alias("revenue_cume_dist"),
     )
 
 

@@ -291,6 +291,18 @@ _LSH_BUCKETS = similarity.lsh_buckets_oracle_sql(
     "embeddings", n_tables=8, n_planes=4, dim=64
 )
 
+# quantized pair cosine (same exact-integer arithmetic as _CENT_COS)
+_QCOS_PAIR = f"""
+    round(
+      (list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          p -> round(CAST(p[1] AS DOUBLE) * {_QS}) * round(CAST(p[2] AS DOUBLE) * {_QS}))))
+      / (sqrt(list_sum(list_transform(q.embedding,
+          x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))
+       * sqrt(list_sum(list_transform(c.embedding,
+          x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))),
+      6)
+"""
+
 
 @query(
     "x_ann_lsh_bucketed",
@@ -302,7 +314,7 @@ _LSH_BUCKETS = similarity.lsh_buckets_oracle_sql(
       JOIN bk cb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
                 AND cb.vec_id != qb.vec_id),
     scored AS (
-      SELECT cands.query_id, cands.cand_id, {_COS} AS cosine
+      SELECT cands.query_id, cands.cand_id, {_QCOS_PAIR} AS cosine
       FROM cands
       JOIN embeddings q ON q.vec_id = cands.query_id
       JOIN embeddings c ON c.vec_id = cands.cand_id),
@@ -314,11 +326,13 @@ _LSH_BUCKETS = similarity.lsh_buckets_oracle_sql(
     """,
 )
 def x_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH ANN: bucket join instead of cross
+    """Sign-random-projection LSH ANN: bucket collision instead of cross
     product — the 100 TB scale path. Hyperplanes are literal ±1 vectors
-    derived from md5 driver-side (similarity.plane_signs), so the DuckDB
-    oracle replays bucket assignment, candidate join, and top-k
-    verbatim. Recall vs exact additionally asserted in tests."""
+    derived from md5 driver-side (similarity.plane_signs); bucket signs
+    and candidate cosines use exact-integer quantized arithmetic
+    (similarity.QUANT_SCALE), so the DuckDB oracle replays bucket
+    assignment, candidate matching, and top-k bit-for-bit. Recall vs
+    exact additionally asserted in tests."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_tables=8, n_planes=4, dim=64
@@ -450,7 +464,7 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bk a JOIN bk b ON b.tbl = a.tbl AND b.bucket = a.bucket
                          AND a.vec_id < b.vec_id),
     scored AS (
-      SELECT pairs.id_a, pairs.id_b, {_COS} AS cosine
+      SELECT pairs.id_a, pairs.id_b, {_QCOS_PAIR} AS cosine
       FROM pairs
       JOIN embeddings q ON q.vec_id = pairs.id_a
       JOIN embeddings c ON c.vec_id = pairs.id_b)

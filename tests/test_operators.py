@@ -83,11 +83,16 @@ def test_lsh_ann_matches_exact_cosines_and_has_recall(spark):
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
-    # every LSH cosine for a pair that exact scored must agree bitwise
+    # LSH scores are the QUANTIZED cosine (2^-18 component grid) — they
+    # must agree with the float cosine to quantization precision
     agree = [
         r for r in lsh if (r["query_id"], r["cand_id"]) in exact_scores
     ]
-    assert all(exact_scores[(r["query_id"], r["cand_id"])] == r["cosine"] for r in agree)
+    assert agree
+    assert all(
+        abs(exact_scores[(r["query_id"], r["cand_id"])] - r["cosine"]) < 1e-4
+        for r in agree
+    )
     hits = sum(
         1 for r in lsh if r["cand_id"] in exact_sets.get(r["query_id"], set())
     )
@@ -102,18 +107,23 @@ def test_embed_near_dup_lsh_subset_of_exact_with_recall(spark):
     from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
 
     emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    # exact baseline at a slightly lower threshold: LSH scores are the
+    # quantized cosine, which can differ from the float cosine by ~1e-5
+    # right at the threshold boundary
     exact = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.399).collect()
     }
+    strict = {p for p, c in exact.items() if c >= 0.401}
     lsh = {
         (r["id_a"], r["id_b"]): r["cosine"]
         for r in similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
     }
     assert set(lsh) <= set(exact)  # verify stage is exact -> no false positives
-    assert all(exact[p] == lsh[p] for p in lsh)  # bitwise-identical cosines
-    assert exact, "fixture produced no near-dup pairs"
-    assert len(lsh) / len(exact) >= 0.5, f"LSH near-dup recall: {len(lsh)}/{len(exact)}"
+    assert all(abs(exact[p] - lsh[p]) < 1e-4 for p in lsh)
+    assert strict, "fixture produced no near-dup pairs"
+    hits = len(strict & set(lsh))
+    assert hits / len(strict) >= 0.5, f"LSH near-dup recall: {hits}/{len(strict)}"
 
 
 def test_language_id_votes(spark):
