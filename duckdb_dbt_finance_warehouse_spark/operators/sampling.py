@@ -1,0 +1,86 @@
+"""Deterministic sampling / training-mix curation (SURVEY §7.6 family).
+
+The operations a data pipeline runs to turn a raw corpus into a
+training mix: Bernoulli sampling, per-stratum quotas, and weighted
+mixture sampling — all DETERMINISTIC (hash-derived uniforms, no RNG):
+reruns, retries, and different engines select the same rows, which is
+what makes ablations and incremental re-mixes reproducible.
+
+The uniform for a row is the first 8 hex digits of
+``md5(salt ':' id)`` scaled to [0, 1) — engine-portable (md5 is
+byte-identical everywhere; the arithmetic is exact integers / one
+division), so every operator here is replayed bit-for-bit by the
+DuckDB oracle.
+
+Scale notes: hash_sample and mixture_sample are narrow maps (filter on
+a computed column — no shuffle, no state); stratified_quota_sample is
+one window shuffle on the stratum key, with WindowGroupLimit pushing
+the per-stratum limit below the sort. None of them collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TWO_32 = float(1 << 32)
+
+
+def hash_uniform(id_col: str, salt: str = "s0") -> F.Column:
+    """Deterministic uniform in [0, 1): md5-derived 32-bit value / 2^32.
+    Exact integer -> double division, identical in any engine."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(TWO_32)
+
+
+def hash_uniform_oracle_sql(id_col: str, salt: str = "s0") -> str:
+    """DuckDB SQL for the identical uniform."""
+    return (
+        f"(('0x' || substr(md5('{salt}' || ':' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" / {TWO_32})"
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash-uniform is
+    below ``fraction``. Unlike ``df.sample()`` the selection is a pure
+    function of (salt, id): stable across reruns, engines, partitionings
+    and cluster sizes."""
+    return df.withColumn("sample_u", hash_uniform(id_col, salt)).filter(
+        F.col("sample_u") < fraction
+    )
+
+
+def stratified_quota_sample(
+    df: DataFrame, id_col: str, stratum_col: str, n_per_stratum: int, salt: str = "s0"
+) -> DataFrame:
+    """Per-stratum quota: the ``n_per_stratum`` rows with the smallest
+    hash-uniform in each stratum — a deterministic 'N examples per
+    source/language' curation step. One window shuffle on the stratum;
+    WindowGroupLimit prunes to the per-stratum top-N before the sort."""
+    w = Window.partitionBy(stratum_col).orderBy(hash_uniform(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Weighted mixture: per-stratum keep-fractions (e.g. upsample
+    curated sources, downsample crawl) — the standard training-mix
+    re-weighting, as a narrow deterministic filter."""
+    frac = F.lit(float(default_fraction))
+    for value, p in sorted(weights.items()):
+        frac = F.when(F.col(stratum_col) == value, F.lit(float(p))).otherwise(frac)
+    return df.withColumn("sample_u", hash_uniform(id_col, salt)).filter(
+        F.col("sample_u") < frac
+    )

@@ -46,6 +46,45 @@ def register_warehouse(wh: Warehouse) -> list[str]:
     return names
 
 
+def register_warehouse_catalog(wh: Warehouse) -> list[str]:
+    """Catalog-backed registration — the closer analog of the
+    reference's named DuckDB schemas (scripts/load_csvs_to_duckdb.py
+    routes tables into raw/stg/mart/... schemas inside warehouse.duckdb).
+
+    One catalog DATABASE per warehouse schema, one EXTERNAL parquet
+    table per materialized table (``SELECT ... FROM mart.fct_account_month``).
+    Partitioned tables (facts by month_start_date) get their partitions
+    recovered so partition pruning works through the catalog. With a
+    persistent metastore the registrations survive session restarts;
+    data stays in place either way (external tables over the existing
+    parquet layout — registering is metadata-only)."""
+    spark = wh.spark
+    names: list[str] = []
+    if not os.path.isdir(wh.root):
+        return names
+    for schema in sorted(os.listdir(wh.root)):
+        sdir = os.path.join(wh.root, schema)
+        if not os.path.isdir(sdir):
+            continue
+        made_db = False
+        for table in sorted(os.listdir(sdir)):
+            if not wh.exists(schema, table):
+                continue
+            if not made_db:
+                spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}`")
+                made_db = True
+            path = wh.path(schema, table)
+            partitioned = any("=" in d for d in os.listdir(path) if not d.startswith("_"))
+            spark.sql(f"DROP TABLE IF EXISTS `{schema}`.`{table}`")
+            spark.sql(
+                f"CREATE TABLE `{schema}`.`{table}` USING PARQUET LOCATION '{path}'"
+            )
+            if partitioned:
+                spark.sql(f"MSCK REPAIR TABLE `{schema}`.`{table}`")
+            names.append(f"{schema}.{table}")
+    return names
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register the driver corpus tables under their bare names."""
     dfs = load_testdata(spark, sf_dir)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import asof, dedup, multimodal, sessionize, similarity, text
+from ..operators import asof, dedup, multimodal, sampling, sessionize, similarity, text
 from ..sources.tables import load_testdata
 from .registry import query
 
@@ -481,6 +481,75 @@ def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at small N (tests assert the LSH recall against it)."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# sampling / training-mix curation
+# ---------------------------------------------------------------------------
+
+_U = sampling.hash_uniform_oracle_sql("doc_id")
+
+
+@query(
+    "x_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source, u AS sample_u
+    FROM (SELECT doc_id, lang, source, {_U} AS u FROM documents)
+    WHERE u < 0.1
+    """,
+)
+def x_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample at 10% (operators/sampling.
+    hash_sample): md5-derived uniforms, so reruns / engines / cluster
+    sizes select identical rows — a pure narrow filter, no shuffle."""
+    return sampling.hash_sample(_docs(spark, sf_dir), "doc_id", 0.1).select(
+        "doc_id", "lang", "source", "sample_u"
+    )
+
+
+@query(
+    "x_sample_stratified",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang, {_U} AS u,
+             row_number() OVER (PARTITION BY lang ORDER BY {_U}, doc_id) AS rnk
+      FROM documents)
+    SELECT doc_id, lang, CAST(rnk AS INT) AS sample_rank
+    FROM r WHERE rnk <= 20
+    """,
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota of 20 docs (operators/sampling.
+    stratified_quota_sample): deterministic 'N per stratum' curation —
+    one window shuffle, WindowGroupLimit prunes below the sort."""
+    return sampling.stratified_quota_sample(
+        _docs(spark, sf_dir), "doc_id", "lang", 20
+    ).select("doc_id", "lang", "sample_rank")
+
+
+@query(
+    "x_sample_mixture",
+    oracle=f"""
+    SELECT doc_id, lang, u AS sample_u
+    FROM (SELECT doc_id, lang, {_U} AS u,
+                 CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.15
+                           ELSE 0.02 END AS f
+          FROM documents)
+    WHERE u < f
+    """,
+)
+def x_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix sampling (operators/sampling.
+    mixture_sample): per-language keep fractions (upsample en/zh,
+    downsample the rest) — the standard corpus re-weighting step as a
+    deterministic narrow filter."""
+    return sampling.mixture_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        {"en": 0.2, "zh": 0.15},
+        default_fraction=0.02,
+    ).select("doc_id", "lang", "sample_u")
 
 
 # ---------------------------------------------------------------------------

@@ -177,6 +177,28 @@ def test_sessionize_without_tiebreak_column(spark):
     assert sorted(r["session_id"] for r in out) == ["100-1", "100-2", "200-1"]
 
 
+def test_sampling_determinism_and_mix(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import sampling
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    docs = load_testdata(spark, SF, "documents")["documents"]
+    s1 = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.2).collect()}
+    assert s1 == s2 and s1  # rerun-stable, non-empty
+    # smaller fraction is a strict subset (uniforms are per-row constants)
+    s_small = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.05).collect()}
+    assert s_small <= s1
+    # a different salt draws a different sample
+    s_salt = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.2, salt="s1").collect()}
+    assert s_salt != s1
+    # quotas are exact per stratum (enough rows per lang in the fixture)
+    q = sampling.stratified_quota_sample(docs, "doc_id", "lang", 3).collect()
+    per = {}
+    for r in q:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    assert all(n == 3 for n in per.values()) and len(per) >= 3
+
+
 def test_multimodal_feature_plumbing(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
     blobs = multimodal.synthesize_blobs(df, "doc_id", "text")

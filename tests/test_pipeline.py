@@ -216,3 +216,34 @@ def test_full_declared_matrix_after_three_batches(spark, wh):
         if viol.count() > 0
     }
     assert failures == {}
+
+
+def test_catalog_registration(spark, wh):
+    """Catalog mode (sql.register_warehouse_catalog): one database per
+    warehouse schema, external tables over the parquet layout, partition
+    recovery for the month-partitioned facts — the analog of the
+    reference's named DuckDB schemas for BI consumers."""
+    import contextlib
+    import io
+
+    from duckdb_dbt_finance_warehouse_spark.sql import register_warehouse_catalog
+
+    names = register_warehouse_catalog(wh)
+    try:
+        assert "mart.fct_account_month" in names
+        direct = wh.read("mart", "fct_account_month").count()
+        via_catalog = spark.sql("SELECT count(*) FROM mart.fct_account_month").first()[0]
+        assert via_catalog == direct
+        # partition pruning must reach the scan through the catalog
+        p = spark.sql(
+            "SELECT subscription_id FROM mart.fct_subscription_month "
+            "WHERE month_start_date = DATE'2024-02-01'"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            p.explain("formatted")
+        assert "PartitionFilters: [isnotnull(month_start_date" in buf.getvalue()
+        assert p.count() > 0
+    finally:
+        for db in {n.split(".")[0] for n in names}:
+            spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")

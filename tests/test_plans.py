@@ -48,7 +48,9 @@ def test_small_sides_broadcast(spark, name):
     assert "SortMergeJoin" not in p
 
 
-@pytest.mark.parametrize("name", ["p9_topk_per_group", "w1_latest_row_dedup"])
+@pytest.mark.parametrize(
+    "name", ["p9_topk_per_group", "w1_latest_row_dedup", "x_sample_stratified"]
+)
 def test_window_topk_pushdown(spark, name):
     assert "WindowGroupLimit" in plan_of(spark, name)
 
