@@ -229,20 +229,10 @@ def _np_quant(V):
     return np.sign(Y) * np.floor(np.abs(Y) + 0.5)
 
 
-def _np_quant_cos(V, Cq, cnorms):
-    """Quantized-cosine matrix of raw float64 rows V against
-    pre-quantized centroids Cq: exact integer dot (BLAS) over exact
-    integer norms — deterministic IEEE ops only."""
-    import numpy as np
-
-    Xq = _np_quant(V)
-    dots = Xq @ Cq.T
-    nx = np.sqrt((Xq * Xq).sum(axis=1))
-    return dots / (nx[:, None] * cnorms[None, :])
-
-
 def _np_quant_cos_pre(Xq, Cq, xnorms, cnorms):
-    """Quantized-cosine matrix when BOTH sides are already quantized."""
+    """Quantized-cosine matrix for pre-quantized sides: exact integer
+    dots (BLAS) over exact integer norms — deterministic IEEE ops only,
+    bit-identical to any SQL replay of the same quantized expression."""
     return (Xq @ Cq.T) / (xnorms[:, None] * cnorms[None, :])
 
 

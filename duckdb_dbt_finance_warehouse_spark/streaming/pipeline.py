@@ -11,6 +11,9 @@ are their continuous twins:
   watermark are dropped instead of restated.
 - ``session_window_stats``       : native session windows (gap-based),
   the streaming twin of operators/sessionize.
+- ``stream_dedup``               : watermark-bounded exactly-once dedup
+  on event_id — the ingestion guarantee against at-least-once sources;
+  the streaming face of the dedup family in operators/dedup.
 
 All three run with ``trigger(availableNow=True)`` for deterministic
 batch-driven tests and with the default micro-batch trigger in
@@ -57,6 +60,20 @@ def stream_raw_to_staging(
         F.when(F.col("value") < 0, None).otherwise(F.col("value")).alias("value"),
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
         F.lit(batch_ts).cast("timestamp").alias("ingested_at"),
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id — the ingestion-side guarantee a
+    training pipeline needs against at-least-once sources (replayed
+    files, retried producers). ``dropDuplicatesWithinWatermark`` keys
+    state by event_id and evicts entries older than the watermark, so
+    state is bounded by (arrival rate x watermark), not by history —
+    unlike ``dropDuplicates`` whose state grows forever. Duplicates
+    arriving within the watermark window are suppressed exactly-once;
+    the batch twin is operators/dedup.exact_dedup over content hashes."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
 
 

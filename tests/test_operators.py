@@ -177,6 +177,28 @@ def test_sessionize_without_tiebreak_column(spark):
     assert sorted(r["session_id"] for r in out) == ["100-1", "100-2", "200-1"]
 
 
+def test_lsh_bucket_assignments_index_workflow(spark):
+    """lsh_bucket_assignments is the persisted-index building block (at
+    100 TB you materialize (id, tbl, bucket) once and join query buckets
+    against it): assignments must be rerun-stable and joining a vector's
+    own buckets back must find it (same vector -> same buckets)."""
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    b1 = similarity.lsh_bucket_assignments(emb, "vec_id", n_tables=4, n_planes=4)
+    b2 = similarity.lsh_bucket_assignments(emb, "vec_id", n_tables=4, n_planes=4)
+    rows1 = sorted(map(tuple, b1.collect()))
+    assert rows1 == sorted(map(tuple, b2.collect()))
+    n = emb.count()
+    assert len(rows1) == n * 4  # one row per (vector, table)
+    # self-join on (tbl, bucket): every vector collides with itself in
+    # all tables -> at least n*4 matched pairs
+    a = b1.withColumnRenamed("vec_id", "a")
+    assert a.join(b2.withColumnRenamed("vec_id", "b"), ["tbl", "bucket"]).filter(
+        "a = b"
+    ).count() == n * 4
+
+
 def test_sampling_determinism_and_mix(spark):
     from duckdb_dbt_finance_warehouse_spark.operators import sampling
     from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata

@@ -41,6 +41,19 @@ def test_stream_staging_appends_typed_rows(spark, events_dir):
     assert row["ts"] == batch.filter("event_id = 0").first()["ts"]
 
 
+def test_stream_dedup_suppresses_replayed_file(spark, events_dir, tmp_path_factory):
+    """An at-least-once source replays a whole file; the streaming dedup
+    must emit each event_id once."""
+    d = str(tmp_path_factory.mktemp("events_dup"))
+    shutil.copy(os.path.join(events_dir, "part-0.parquet"), os.path.join(d, "a.parquet"))
+    shutil.copy(os.path.join(events_dir, "part-0.parquet"), os.path.join(d, "b.parquet"))
+    src = streaming.pipeline.read_event_stream(spark, d)
+    out = _mem(spark, streaming.pipeline.stream_dedup(src), "dedup")
+    n_unique = load_testdata(spark, SF, "events")["events"].count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+
+
 def test_windowed_counts_match_batch_tumbling(spark, events_dir):
     src = streaming.pipeline.read_event_stream(spark, events_dir)
     out = _mem(spark, streaming.windowed_event_counts(src), "win")
