@@ -50,6 +50,9 @@ HEADLINE = [
     "a10_salted_agg",             # skew-proof two-stage aggregation
     "x_ann_ivf_topk",             # IVF inverted-list ANN
     "x_dedup_minhash_portable",   # portable MinHash-LSH (oracle-paired)
+    "x_embed_near_dup",           # LSH-bucketed embedding near-dup pairs
+    "w6_range_frames",            # RANGE frame + percent_rank/cume_dist
+    "x_sample_stratified",        # per-stratum quota sampling
 ]
 
 
