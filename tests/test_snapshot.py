@@ -74,6 +74,45 @@ def test_null_record_hash_counts_as_change(spark):
     assert rows["a2"]["dbt_valid_to"] is None
 
 
+def test_scd2_invariants_under_random_batch_sequences(spark):
+    """Property test: any sequence of batches must leave (1) at most one
+    open row per key, (2) non-overlapping ordered validity intervals,
+    (3) the open row carrying the latest batch's hash for keys present
+    in the final batch. Batches are generated from a seeded RNG (6
+    seeds) — a lightweight hypothesis-style sweep without per-example
+    Spark session cost blowup."""
+    import random
+
+    keys = ["K1", "K2", "K3", "K4"]
+    for seed in range(6):
+        rng = random.Random(seed)
+        state = None
+        last_hash: dict[str, str] = {}
+        for b in range(1, 4):
+            ts = datetime(2024, b, 1)
+            batch = []
+            for k in keys:
+                if rng.random() < 0.7:  # key present this batch
+                    h = f"h{rng.randint(0, 2)}"
+                    batch.append((k, f"v{b}", h, ts))
+            state = scd2_merge(state, df_of(spark, batch), "key", run_ts=ts)
+            last_hash = {r[0]: r[2] for r in batch}
+        rows = state.collect()
+        by_key: dict[str, list] = {}
+        for r in rows:
+            by_key.setdefault(r["key"], []).append(r)
+        for k, vs in by_key.items():
+            open_rows = [r for r in vs if r["dbt_valid_to"] is None]
+            assert len(open_rows) <= 1, f"seed {seed}: {k} has {len(open_rows)} open"
+            ivals = sorted(
+                (r["dbt_valid_from"], r["dbt_valid_to"]) for r in vs
+            )
+            for (f1, t1), (f2, _) in zip(ivals, ivals[1:]):
+                assert t1 is not None and t1 <= f2, f"seed {seed}: {k} overlaps"
+            if k in last_hash:
+                assert open_rows and open_rows[0]["record_hash"] == last_hash[k]
+
+
 def test_staged_write_survives_failure_midway(spark, tmp_path):
     """A write that dies after reading the target must leave the old
     state intact — the staged-swap guarantee cache()+overwrite lacked."""
