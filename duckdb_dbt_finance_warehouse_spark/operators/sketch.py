@@ -1,0 +1,119 @@
+"""Engine-portable distinct-count sketching (HyperLogLog).
+
+``approx_count_distinct`` exists in both Spark and DuckDB, but their
+sketches are engine-private: the estimates differ and can't be
+oracle-compared. This HLL is built from PORTABLE primitives instead —
+md5-derived 60-bit hashes, bucket = low 8 bits, rank = leading-zero
+count of the remaining 52 bits via ``length(bin(x))`` — so the
+registers AND the estimate are bit-identical in any engine.
+
+Determinism of the harmonic mean: the indicator sum uses
+``2^(53 - M_j)`` per bucket — every term and partial sum is an exact
+integer below 2^61, so the sum is order-free; the estimate is then one
+float division of exact operands by a shared literal constant. The
+standard small-range linear-counting correction (``m * ln(m / zeros)``
+when the raw estimate is below 2.5m) uses one ``ln`` per output row on
+identical operands — libm implementations agree to ≤1 ulp, and the
+final round-to-4dp makes a cross-engine mismatch a ~1e-9 event.
+
+Scale: registers are a groupBy over 2^b buckets — map-side combine
+collapses each partition to at most 256 rows before the exchange; at
+100 TB the sketch of any column costs one narrow scan + a 256-row
+shuffle. Sketches of disjoint partitions merge by bucket-wise max
+(HLL's defining property), so incremental refresh is a 256-row union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+B_BITS = 8
+M = 1 << B_BITS  # 256 buckets
+REST_BITS = 52  # 60-bit hash minus the bucket byte
+MAX_RANK = REST_BITS + 1
+# alpha_256 * m^2 * 2^53, precomputed so both engines parse ONE literal
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+EST_NUM = repr(ALPHA * M * M * float(1 << MAX_RANK))
+
+
+def _hash60(col: str) -> F.Column:
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, max_rank) registers — the sketch itself, deterministic
+    and engine-portable. Merge sketches with bucket-wise max."""
+    h = _hash60(col)
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.pmod(h, F.lit(M)).alias("bucket"),
+        F.shiftrightunsigned(h, B_BITS).alias("_rest"),
+    )
+    rank = F.when(F.col("_rest") == 0, F.lit(MAX_RANK)).otherwise(
+        F.lit(MAX_RANK) - F.length(F.expr("bin(_rest)"))
+    )
+    return (
+        base.select("bucket", rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """One-row raw HLL estimate for ``col`` (see module docstring for
+    the exact-arithmetic determinism argument)."""
+    regs = hll_registers(df, col)
+    agg = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {MAX_RANK} - max_rank)")
+        ).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    intsum = F.col("s_present") + (F.lit(M) - F.col("n_present")) * F.lit(
+        1 << MAX_RANK
+    ).cast("long")
+    raw = F.lit(float(EST_NUM)) / intsum
+    zeros = (F.lit(M) - F.col("n_present")).cast("long")
+    est = F.when(
+        (raw <= F.lit(2.5 * M)) & (zeros > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(col).alias("column_name"),
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("n_present").cast("long").alias("buckets_used"),
+    )
+
+
+def hll_oracle_sql(src: str, col: str) -> str:
+    """DuckDB SQL replaying registers + estimate bit-for-bit."""
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {src} WHERE {col} IS NOT NULL),
+    r AS (
+      SELECT h % {M} AS bucket,
+             CASE WHEN (h >> {B_BITS}) = 0 THEN {MAX_RANK}
+                  ELSE {MAX_RANK} - length(bin(h >> {B_BITS})) END AS rank
+      FROM h),
+    regs AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY 1),
+    agg AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({MAX_RANK} - max_rank)) AS BIGINT)
+               AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM regs),
+    est AS (
+      SELECT n_present,
+             {EST_NUM} / (s_present + ({M} - n_present)
+               * (CAST(1 AS BIGINT) << {MAX_RANK})) AS raw,
+             CAST({M} - n_present AS BIGINT) AS zeros
+      FROM agg)
+    SELECT '{col}' AS column_name,
+           round(CASE WHEN raw <= {2.5 * M} AND zeros > 0
+                      THEN {float(M)} * ln({float(M)} / zeros)
+                      ELSE raw END, 4) AS hll_estimate,
+           n_present AS buckets_used
+    FROM est
+    """

@@ -15,7 +15,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import asof, dedup, multimodal, sampling, sessionize, similarity, text
+from ..operators import (
+    asof,
+    dedup,
+    multimodal,
+    sampling,
+    sessionize,
+    similarity,
+    sketch,
+    text,
+)
 from ..sources.tables import load_testdata
 from .registry import query
 
@@ -550,6 +559,27 @@ def x_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.2, "zh": 0.15},
         default_fraction=0.02,
     ).select("doc_id", "lang", "sample_u")
+
+
+@query(
+    "x_hll_distinct",
+    oracle=f"""
+    ({sketch.hll_oracle_sql("events", "user_id")})
+    UNION ALL
+    ({sketch.hll_oracle_sql("documents", "doc_id")})
+    """,
+)
+def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count sketch
+    (operators/sketch): md5-derived registers + exact-integer harmonic
+    sum make the sketch AND the estimate bit-identical across engines —
+    unlike approx_count_distinct, whose sketch is engine-private. One
+    narrow scan + a 256-row shuffle per column at any scale."""
+    ev = _events(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return sketch.hll_distinct(ev, "user_id").unionByName(
+        sketch.hll_distinct(docs, "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -221,6 +221,30 @@ def test_sampling_determinism_and_mix(spark):
     assert all(n == 3 for n in per.values()) and len(per) >= 3
 
 
+def test_hll_accuracy_and_mergeability(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import sketch
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    ev = load_testdata(spark, SF, "events")["events"]
+    exact = ev.select("user_id").distinct().count()
+    est = sketch.hll_distinct(ev, "user_id").first()["hll_estimate"]
+    # 256 buckets -> ~1.04/sqrt(256) = 6.5% std error; allow 3 sigma
+    assert abs(est - exact) / exact < 0.2, f"estimate {est} vs exact {exact}"
+    # defining HLL property: sketch(A ∪ B) == bucketwise max of sketches
+    a = ev.filter("user_id % 2 = 0")
+    b = ev.filter("user_id % 2 = 1")
+    merged = (
+        sketch.hll_registers(a, "user_id")
+        .unionByName(sketch.hll_registers(b, "user_id"))
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    whole = sketch.hll_registers(ev, "user_id")
+    got = {r["bucket"]: r["max_rank"] for r in merged.collect()}
+    want = {r["bucket"]: r["max_rank"] for r in whole.collect()}
+    assert got == want
+
+
 def test_multimodal_feature_plumbing(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
     blobs = multimodal.synthesize_blobs(df, "doc_id", "text")
