@@ -151,3 +151,84 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(t).alias("content_fp"),
         F.md5(F.concat_ws(" ", F.array_sort(F.split(t, " ")))).alias("bag_fp"),
     )
+
+
+def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per document (space-joined token windows),
+    computed engine-side from the normalized token array."""
+    return (
+        df.select(F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_t) - {n - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(_t, i, {n})))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str,
+    eval_text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents sharing any word
+    n-gram with any benchmark/eval document — the standard
+    membership-overlap check run before training (GPT-3-style n-gram
+    collision scan).
+
+    Shape: the (small) eval set's n-grams broadcast; the corpus pays one
+    scan + n-gram explode + broadcast join — no corpus shuffle until the
+    per-doc hit rollup, which only contaminated grams reach. Returns one
+    row per CONTAMINATED document (id, n_gram_hits, first_eval_id); the
+    caller anti-joins to drop them from the training mix."""
+    corpus_grams = word_ngrams(df, id_col, text_col, n)
+    eval_grams = word_ngrams(
+        eval_df.select(F.col(eval_id_col).alias("eval_id"), F.col(eval_text_col)),
+        "eval_id",
+        eval_text_col,
+        n,
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_gram_hits"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+    )
+
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a corpus gets before training:
+    emails and phone-shaped numbers replaced with typed placeholder
+    tokens, with per-document match counts for audit. Both regexes are
+    deliberately restricted to syntax Java regex (Spark) and RE2
+    (DuckDB) treat identically — character classes, bounded repetition,
+    no lookaround — so the oracle replays the scrub verbatim. Narrow
+    codegen map: one scan, no shuffle, no Python."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("text_scrubbed"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )

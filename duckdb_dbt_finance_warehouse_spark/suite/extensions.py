@@ -562,6 +562,87 @@ def x_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_decontaminate",
+    oracle=f"""
+    WITH cg AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(g, ' ') AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+           LATERAL (SELECT list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7) AS g
+                    FROM unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i))),
+    eg AS (
+      SELECT DISTINCT doc_id AS eval_id,
+             array_to_string(g, ' ') AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t
+            FROM documents WHERE doc_id < 20),
+           LATERAL (SELECT list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7) AS g
+                    FROM unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)))
+    SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_gram_hits,
+           min(eg.eval_id) AS first_eval_id
+    FROM cg JOIN eg USING (gram)
+    GROUP BY 1
+    """,
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/text.decontaminate): flag
+    corpus docs sharing any 8-word n-gram with a benchmark set (here:
+    doc_id < 20 standing in as the eval set) — the GPT-3-style overlap
+    scan before training. Eval n-grams broadcast; corpus pays one scan,
+    no shuffle until the (tiny) contaminated rollup."""
+    docs = _docs(spark, sf_dir)
+    return text.decontaminate(
+        docs, docs.filter(F.col("doc_id") < 20), "doc_id", "text", "doc_id", "text", n=8
+    )
+
+
+@query(
+    "x_scrub_pii",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1
+                  THEN text || ' contact user' || doc_id || '@example.com now'
+                  WHEN doc_id % 4 = 0
+                  THEN text || ' call +1 (555) 010-1234 today'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+             '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{text.PHONE_RE}', '<PHONE>', 'g') AS text_scrubbed,
+           CAST(len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text.PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM t
+    """,
+)
+def x_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.scrub_pii) over documents with
+    synthetic emails/phones injected (the driver corpus contains none —
+    the injection is replayed identically by the oracle). Emails and
+    phone-shaped numbers become typed placeholders with audit counts;
+    regex syntax restricted to the Java-regex/RE2 common subset."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" call +1 (555) 010-1234 today")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.scrub_pii(docs, "doc_id", "text")
+
+
+@query(
     "x_hll_distinct",
     oracle=f"""
     ({sketch.hll_oracle_sql("events", "user_id")})

@@ -221,6 +221,40 @@ def test_sampling_determinism_and_mix(spark):
     assert all(n == 3 for n in per.values()) and len(per) >= 3
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally unrelated words that never appear in the benchmark text"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [(100, "QUESTION: alpha beta gamma delta epsilon zeta eta theta ANSWER")],
+        ["eval_id", "text"],
+    )
+    out = text.decontaminate(corpus, evals, "doc_id", "text", "eval_id", "text", n=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 1 in rows and rows[1]["first_eval_id"] == 100  # shares an 8-gram
+    assert 2 not in rows  # clean doc not flagged
+
+
+def test_scrub_pii_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail-host.co.uk or +1 (555) 010-9999 ok"),
+            (2, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.scrub_pii(df, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["text_scrubbed"] and "<PHONE>" in out[1]["text_scrubbed"]
+    assert "jane" not in out[1]["text_scrubbed"] and "555" not in out[1]["text_scrubbed"]
+    assert out[2]["text_scrubbed"] == "no pii here"
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+
+
 def test_hll_accuracy_and_mergeability(spark):
     from duckdb_dbt_finance_warehouse_spark.operators import sketch
     from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
