@@ -1,0 +1,67 @@
+"""Table maintenance: small-file compaction and sorted layout.
+
+Incremental pipelines accrete small files (every micro-batch append
+writes its own); at 100 TB scan cost becomes dominated by file-open
+overhead and tiny row groups. ``compact_table`` rewrites a warehouse
+table to a target file count via the staged-swap path (crash-safe, the
+old layout stays durable until the new one is complete — same guarantee
+as the SCD2 snapshot write).
+
+``sort_within`` additionally clusters rows inside each output file so
+parquet row-group min/max statistics become selective — Spark's scan
+then skips row groups for predicates on the sort keys (poor-man's
+Z-order for the single-key case; for true multi-dimensional clustering
+interleave key bits driver-side and sort by that).
+"""
+
+from __future__ import annotations
+
+import os
+
+from .tables import Warehouse
+
+
+def data_files(wh: Warehouse, schema: str, table: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(wh.path(schema, table)):
+        out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    return out
+
+
+def compact_table(
+    wh: Warehouse,
+    schema: str,
+    table: str,
+    target_files: int = 1,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Rewrite ``schema.table`` with ``target_files`` files per
+    partition (partitioning layout is preserved), optionally sorting
+    rows within each output file by ``sort_within`` for row-group
+    pruning. Returns the new data-file count. Metadata-only readers are
+    unaffected: the path and schema do not change."""
+    path = wh.path(schema, table)
+    part_cols = sorted(
+        {d.split("=")[0] for d in os.listdir(path) if "=" in d and os.path.isdir(os.path.join(path, d))}
+    )
+    df = wh.read(schema, table)
+    if part_cols:
+        # one shuffle keyed by partition value (+ a deterministic row
+        # salt when >1 file per partition is wanted)
+        from pyspark.sql import functions as F
+
+        keys = [F.col(c) for c in part_cols]
+        if target_files > 1:
+            keys.append(
+                F.crc32(
+                    F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
+                )
+                % target_files
+            )
+        df = df.repartition(*keys)
+    else:
+        df = df.repartition(target_files)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    wh.write_staged(df, schema, table, partition_by=part_cols or None)
+    return len(data_files(wh, schema, table))
