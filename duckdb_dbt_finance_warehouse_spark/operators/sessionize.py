@@ -76,6 +76,60 @@ def tumbling_window(
     )
 
 
+def resample_locf(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-series resample to a regular grid with gap-fill + LOCF
+    (last observation carried forward) — the hypertable
+    ``time_bucket_gapfill + locf`` op: per entity, one row per ``unit``
+    bucket between its first and last event, carrying the latest
+    observed value across empty buckets (``is_gap`` marks them).
+
+    Two shuffles at any scale: (1) per-(entity, bucket) last value via
+    ``max_by`` — map-side combined, deterministic tiebreak on
+    (ts, tiebreak_col); (2) per-entity fold into a bucket->value map +
+    grid explode (m1's single-shuffle zero-fill pattern) — the LOCF
+    window then reuses the same hash partitioning, no third exchange.
+    Grid size is calendar-bounded per entity, safe at any row count."""
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    bv = (
+        df.withColumn("_b", bucket)
+        .groupBy(user_col, "_b")
+        .agg(
+            F.expr(
+                f"max_by({value_col}, struct({ts_col}, {tiebreak_col}))"
+            ).alias("_v")
+        )
+    )
+    per_user = bv.groupBy(user_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias("_m"),
+        F.min("_b").alias("_mn"),
+        F.max("_b").alias("_mx"),
+    )
+    grid = per_user.select(
+        user_col,
+        "_m",
+        F.explode(F.expr(f"sequence(_mn, _mx, interval 1 {unit})")).alias("bucket_ts"),
+    )
+    val = F.col("_m")[F.col("bucket_ts")]
+    wff = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        F.col(user_col),
+        "bucket_ts",
+        F.last(val, ignorenulls=True).over(wff).alias("value_locf"),
+        val.isNull().alias("is_gap"),
+    )
+
+
 def json_props(df: DataFrame, props_col: str = "props", key: str = "k") -> DataFrame:
     """Extract a JSON property as typed column (events.props is a JSON
     string; get_json_object is codegen'd, no UDF)."""

@@ -760,6 +760,39 @@ def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_resample_locf",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    bv AS (SELECT user_id, bucket, value FROM b WHERE rn = 1),
+    bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+               FROM bv GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+               AS bucket_ts
+             FROM bounds),
+    j AS (SELECT g.user_id, g.bucket_ts, bv.value
+          FROM grid g LEFT JOIN bv
+            ON bv.user_id = g.user_id AND bv.bucket = g.bucket_ts)
+    SELECT user_id, bucket_ts,
+           last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS value_locf,
+           (value IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def x_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample (operators/sessionize.resample_locf):
+    hourly grid per user between first and last event, gaps filled by
+    last-observation-carried-forward. Values pass through untouched —
+    float parity is trivial; the grid and LOCF fold are replayed by the
+    oracle."""
+    return sessionize.resample_locf(_events(spark, sf_dir), unit="hour")
+
+
+@query(
     "x_profile_stats",
     oracle="""
     SELECT 'l_quantity' AS column_name,

@@ -162,6 +162,26 @@ def test_sessionize_gap_semantics(spark):
     assert len(by_user[200]) == 1
 
 
+def test_resample_locf_gapfill_semantics(spark):
+    rows = [
+        (1, 100, datetime(2024, 1, 1, 10, 5), 1.0),
+        (2, 100, datetime(2024, 1, 1, 10, 50), 2.0),  # same bucket: latest wins
+        (3, 100, datetime(2024, 1, 1, 13, 0), 9.0),   # 2 empty buckets before
+        (4, 200, datetime(2024, 1, 1, 10, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    out = {
+        (r["user_id"], r["bucket_ts"].hour): (r["value_locf"], r["is_gap"])
+        for r in sessionize.resample_locf(df).collect()
+    }
+    assert out[(100, 10)] == (2.0, False)  # latest value in the bucket
+    assert out[(100, 11)] == (2.0, True)   # gap carries forward
+    assert out[(100, 12)] == (2.0, True)
+    assert out[(100, 13)] == (9.0, False)
+    assert out[(200, 10)] == (5.0, False)
+    assert len(out) == 5  # grid spans only each user's own range
+
+
 def test_sessionize_without_tiebreak_column(spark):
     """Frames lacking the default tiebreak column must still sessionize
     (the tiebreak is advisory, not a schema requirement)."""
