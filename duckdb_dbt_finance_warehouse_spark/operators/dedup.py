@@ -227,45 +227,39 @@ def portable_hash_params(i: int) -> tuple[int, int]:
     return a, b
 
 
-def minhash_lsh_dedup_portable(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 5,
-    n_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.6,
+def portable_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 64
 ) -> DataFrame:
-    """Engine-portable MinHash+LSH near-dup pairs.
-
-    Same algorithm as ``minhash_lsh_dedup`` but every hash is derivable
-    in plain SQL: shingle -> 28-bit md5 prefix x, h_i = (a_i*x + b_i)
-    mod (2^31-1) (products stay < 2^59 — no 64-bit overflow in engines
-    that error on it), band key = md5 of the '|'-joined signature slice.
-    Long (id, i, mh) format instead of arrays so a DuckDB oracle can
-    replay it exactly. Use the murmur3 array variant for raw speed; use
-    this one when cross-engine verifiability matters."""
+    """(id, sig) engine-portable MinHash signatures: shingle -> 28-bit
+    md5 prefix x, h_i = (a_i*x + b_i) mod (2^31-1) (products stay <
+    2^59 — no 64-bit overflow in engines that error on it). One grouped
+    pass computes all minima as expressions, packed into an array."""
     sh = shingles(df, id_col, text_col, k).withColumn(
         "x", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     )
-    # one grouped pass computes all n_hashes minima as expressions over
-    # the shingle set (same shape as the murmur3 variant — no seed
-    # explode, no long-format re-computation), packed into an array
     mins = []
     for i in range(n_hashes):
         a, b = portable_hash_params(i)
         mins.append(
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % PORTABLE_PRIME).alias(f"mh_{i}")
         )
-    sigs = (
+    return (
         sh.groupBy(id_col)
         .agg(*mins)
         .select(
             id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
         )
     )
-    sigs = _persist(sigs)
 
+
+def portable_bands(
+    sigs: DataFrame, id_col: str, bands: int = 16, n_hashes: int = 64
+) -> DataFrame:
+    """(id, band, bkey) band keys: md5 of the '|'-joined signature
+    slice — together with ``portable_signatures`` these two tables ARE
+    the persisted near-dup index (signatures ~0.1% of corpus size; band
+    rows are ids + 32-char keys). New batches append; see
+    ``minhash_lsh_dedup_incremental``."""
     rows_per_band = n_hashes // bands
     band_cols = [
         F.struct(
@@ -282,18 +276,14 @@ def minhash_lsh_dedup_portable(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bkey")
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bkey")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bkey")
-    pairs = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
 
+
+def _verify_pairs(
+    pairs: DataFrame, sigs: DataFrame, id_col: str, n_hashes: int, threshold: float
+) -> DataFrame:
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
@@ -305,6 +295,78 @@ def minhash_lsh_dedup_portable(
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def minhash_lsh_dedup_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Engine-portable MinHash+LSH near-dup pairs (full-corpus pass).
+
+    Every hash is derivable in plain SQL, so a DuckDB oracle replays the
+    pipeline exactly. Use the murmur3 array variant for raw speed; use
+    this one when cross-engine verifiability matters — and
+    ``minhash_lsh_dedup_incremental`` when an index already exists."""
+    sigs = _persist(portable_signatures(df, id_col, text_col, k, n_hashes))
+    banded = portable_bands(sigs, id_col, bands, n_hashes)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs(pairs, sigs, id_col, n_hashes, threshold)
+
+
+def minhash_lsh_dedup_incremental(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental near-dup: dedup a NEW batch against a persisted index
+    without touching the already-deduped corpus — the 100 TB operating
+    mode (re-running the full pass per batch is O(corpus) every time;
+    this is O(batch) + one index join).
+
+    Returns ``(pairs, new_sigs, new_bands)``: near-dup pairs where id_a
+    is a new document (matched against the index AND against other new
+    docs), plus the rows to APPEND to the two index tables. The band
+    join touches only index rows whose (band, bkey) collides with the
+    batch — with a bucketed/partitioned index layout that is an
+    index-lookup, not a scan."""
+    new_sigs = _persist(portable_signatures(new_docs, id_col, text_col, k, n_hashes))
+    new_bands = portable_bands(new_sigs, id_col, bands, n_hashes)
+    all_sigs = new_sigs.unionByName(index_sigs)
+    nb = new_bands.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    other = new_bands.select(
+        F.col(id_col).alias("id_b"), "band", "bkey", F.lit(True).alias("b_is_new")
+    ).unionByName(
+        index_bands.select(
+            F.col(id_col).alias("id_b"), "band", "bkey", F.lit(False).alias("b_is_new")
+        )
+    )
+    pairs = (
+        nb.join(other, ["band", "bkey"])
+        # vs the index: keep as (new, index) in either id order; vs other
+        # new docs: canonical id_a < id_b drops the mirrored duplicate
+        .filter(~F.col("b_is_new") | (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_pairs(pairs, all_sigs, id_col, n_hashes, threshold), new_sigs, new_bands
 
 
 def ngram_jaccard(

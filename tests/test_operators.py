@@ -8,6 +8,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
+from duckdb_dbt_finance_warehouse_spark.operators.dedup import release_persisted
 from duckdb_dbt_finance_warehouse_spark.operators import (
     asof,
     dedup,
@@ -50,6 +51,42 @@ def test_minhash_lsh_finds_near_dup_and_is_deterministic(spark):
     assert (1, 2) in pairs and (1, 4) in pairs  # near-dup + normalized dup
     assert all(3 not in p for p in pairs)  # unrelated doc never pairs
     assert pairs == run()  # seeded hashes -> bit-stable across runs
+
+
+def test_incremental_minhash_matches_full_recompute(spark):
+    """Batch-2 dedup against the persisted batch-1 index must find
+    exactly the pairs a full recompute finds that involve batch-2 docs —
+    the O(batch) incremental path is semantics-preserving."""
+    batch1 = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    batch2 = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog near the river bank todays"),  # near-dup of 1
+            (12, "entirely novel content with no relatives anywhere in either batch"),
+            (13, "entirely novel content with no relatives anywhere in either batch!!"),  # near-dup of 12
+        ],
+        ["doc_id", "text"],
+    )
+    idx_sigs = dedup.portable_signatures(batch1, "doc_id", "text")
+    idx_bands = dedup.portable_bands(idx_sigs, "doc_id")
+    inc_pairs, new_sigs, new_bands = dedup.minhash_lsh_dedup_incremental(
+        batch2, idx_sigs, idx_bands, "doc_id", "text", threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in inc_pairs.collect()}
+
+    full = dedup.minhash_lsh_dedup_portable(
+        batch1.unionByName(batch2), "doc_id", "text", threshold=0.5
+    )
+    new_ids = {11, 12, 13}
+    want = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a in new_ids or b in new_ids:
+            # incremental orients (new, index) pairs as (id_a=new, id_b=index)
+            want.add((a, b) if a in new_ids else (b, a))
+    assert got == want and (11, 1) in got and (12, 13) in got
+    # appended index rows cover the new batch
+    assert new_sigs.count() == 3 and new_bands.count() == 3 * 16
+    release_persisted()
 
 
 def test_simhash_distance_orders_similarity(spark):
