@@ -400,3 +400,63 @@ def ngram_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (member_id,
+    cluster_id) with cluster_id = the smallest reachable id: the step
+    that turns PAIRS into dedup decisions (keep cluster_id, drop the
+    rest). Transitive closure matters: A~B and B~C must land in ONE
+    cluster even when A~C was never a candidate pair.
+
+    Iterative min-label propagation (the standard Spark pattern for
+    connected components): every node starts as its own label; each
+    round every node takes the min label in its neighborhood; stop when
+    a round changes nothing. Rounds needed = graph diameter in
+    doubling-ish steps — near-dup graphs are unions of small cliques, so
+    2-3 rounds in practice; ``max_iterations`` bounds adversarial
+    chains. Each round is one shuffle over the EDGE list; labels are
+    localCheckpointed so lineage stays flat across iterations."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+    )

@@ -198,6 +198,39 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        {_minhash_portable_oracle(k=4, n_hashes=32, bands=8, threshold=0.5)}
+      ) q),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label AS label
+      FROM edges e JOIN reach r ON r.node = e.dst)
+    SELECT node AS member_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY 1
+    """,
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation (operators/dedup.dedup_clusters):
+    connected components over the MinHash-LSH pairs — transitive closure
+    turns pairs into keep/drop decisions (cluster_id = smallest member).
+    Spark side is the iterative min-label propagation no single SQL
+    query expresses; the oracle replays it as a DuckDB recursive CTE —
+    both converge to the same fixpoint."""
+    pairs = dedup.minhash_lsh_dedup_portable(
+        _docs(spark, sf_dir), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
+    )
+    return dedup.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

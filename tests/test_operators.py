@@ -89,6 +89,17 @@ def test_incremental_minhash_matches_full_recompute(spark):
     release_persisted()
 
 
+def test_dedup_clusters_transitive_closure(spark):
+    """A~B and B~C must land in one cluster even though (A, C) was never
+    a candidate pair; disjoint components stay separate. Chain length 4
+    exercises multi-round label propagation."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["member_id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_distance_orders_similarity(spark):
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df(spark), "doc_id", "text").collect()}
     ham = lambda a, b: bin(a ^ b).count("1")
