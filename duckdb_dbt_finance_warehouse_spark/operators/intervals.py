@@ -1,0 +1,69 @@
+"""Interval (range) joins at scale.
+
+A naive interval-overlap join is a theta join (``a.start <= b.end AND
+b.start <= a.end``) — Spark plans it as a nested-loop, O(|L| x |R|) per
+key. ``interval_overlap_join`` rewrites it as an EQUI join: every
+interval explodes into the coarse calendar buckets it touches, sides
+join on (keys, bucket) — hash-partitioned, linear-ish — then exact
+bounds verify the overlap (bucket co-presence is necessary for overlap,
+so no pairs are lost; duplicates from multi-bucket overlaps collapse in
+one distinct).
+
+Grain picks the trade-off: buckets per interval ~ interval_length /
+grain (explode factor), candidates per pair of sides ~ rows sharing a
+bucket. Long-lived intervals (months+) explode wide at day grain — use
+month; dense short intervals suit day. The SCD2 validity join (suite
+J3) is the point-in-interval special case of the same rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRAINS = {"day": "1 day", "month": "1 month", "week": "1 week"}
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    grain: str = "month",
+) -> DataFrame:
+    """Overlapping (left, right) interval pairs per key.
+
+    Both inputs need columns ``[*keys, id, start, end]`` (DATE bounds,
+    end inclusive). Returns one row per overlapping pair with the
+    overlap window: ``(*keys, id_a, id_b, overlap_start, overlap_end)``.
+    """
+    step = _GRAINS[grain]
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col("id").alias(f"id_{side}"),
+            F.col("start").alias(f"start_{side}"),
+            F.col("end").alias(f"end_{side}"),
+            F.explode(
+                F.expr(
+                    f"sequence(date_trunc('{grain}', start),"
+                    f" date_trunc('{grain}', end), interval {step})"
+                )
+            ).alias("_bucket"),
+        )
+
+    cands = (
+        bucketed(left, "a")
+        .join(bucketed(right, "b"), [*keys, "_bucket"])
+        .drop("_bucket")
+        .distinct()
+    )
+    return cands.filter(
+        (F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a"))
+    ).select(
+        *keys,
+        "id_a",
+        "id_b",
+        F.greatest("start_a", "start_b").alias("overlap_start"),
+        F.least("end_a", "end_b").alias("overlap_end"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     asof,
     dedup,
+    intervals,
     multimodal,
     sampling,
     sessionize,
@@ -823,6 +824,43 @@ def x_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     float parity is trivial; the grid and LOCF fold are replayed by the
     oracle."""
     return sessionize.resample_locf(_events(spark, sf_dir), unit="hour")
+
+
+@query(
+    "x_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS custkey, o_orderkey AS id,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS e
+      FROM orders)
+    SELECT a.custkey, a.id AS id_a, b.id AS id_b,
+           greatest(a.s, b.s) AS overlap_start,
+           least(a.e, b.e) AS overlap_end
+    FROM iv a JOIN iv b
+      ON a.custkey = b.custkey AND a.s <= b.e AND b.s <= a.e
+    WHERE a.id % 2 = 0 AND b.id % 2 = 1
+    """,
+)
+def x_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join (operators/intervals.interval_overlap_join):
+    overlapping per-customer order windows. The theta join is rewritten
+    as a bucketized EQUI join (explode to month buckets, hash join,
+    exact verify) — linear-ish at any scale where the naive form is a
+    per-key nested loop; the oracle runs the naive form, proving the
+    rewrite is lossless."""
+    o = load_testdata(spark, sf_dir, "orders")["orders"]
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").cast("date").alias("start"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE), CAST(pmod(o_orderkey, 30) AS INT))"
+        ).alias("end"),
+    )
+    return intervals.interval_overlap_join(
+        iv.filter("id % 2 = 0"), iv.filter("id % 2 = 1"), keys=["custkey"]
+    )
 
 
 @query(

@@ -323,6 +323,39 @@ def test_scrub_pii_known_answers(spark):
     assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
 
 
+def test_interval_overlap_join_lossless_vs_naive(spark):
+    """The bucketized equi-join rewrite must produce exactly the pairs
+    the naive theta join produces — including intervals that only
+    overlap across a month boundary."""
+    from datetime import date
+
+    from duckdb_dbt_finance_warehouse_spark.operators import intervals
+
+    rows = [
+        ("K", 1, date(2024, 1, 10), date(2024, 2, 5)),   # crosses month edge
+        ("K", 2, date(2024, 2, 1), date(2024, 2, 20)),   # overlaps 1 in Feb only
+        ("K", 3, date(2024, 3, 1), date(2024, 3, 10)),   # no overlap
+        ("K2", 4, date(2024, 1, 15), date(2024, 1, 20)), # other key
+    ]
+    df = spark.createDataFrame(rows, ["custkey", "id", "start", "end"])
+    left, right = df, df.select(df.columns)
+    got = {
+        (r["id_a"], r["id_b"], r["overlap_start"], r["overlap_end"])
+        for r in intervals.interval_overlap_join(left, right, ["custkey"]).collect()
+        if r["id_a"] < r["id_b"]
+    }
+    assert got == {(1, 2, date(2024, 2, 1), date(2024, 2, 5))}
+    # plan stays an equi join — no nested loop
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        intervals.interval_overlap_join(left, right, ["custkey"]).explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+    assert "CartesianProduct" not in buf.getvalue()
+
+
 def test_hll_accuracy_and_mergeability(spark):
     from duckdb_dbt_finance_warehouse_spark.operators import sketch
     from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
