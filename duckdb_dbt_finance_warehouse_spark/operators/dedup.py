@@ -425,36 +425,32 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    # round 0 folded into initialization: label = min(self, neighbors)
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.min("dst"), F.first("src")).alias("label")
+    ).localCheckpoint()
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # one action per round: the join below both materializes the
+        # (lazily checkpointed) new labels and counts changed rows
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            labels.select(F.col("node"), F.col("label").alias("old_label"))
+            .join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "label"
-                ),
+                "old_label",
+                F.least(
+                    F.col("old_label"), F.coalesce("nbr_label", F.col("old_label"))
+                ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(
