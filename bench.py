@@ -53,6 +53,12 @@ HEADLINE = [
     "x_embed_near_dup",           # LSH-bucketed embedding near-dup pairs
     "w6_range_frames",            # RANGE frame + percent_rank/cume_dist
     "x_sample_stratified",        # per-stratum quota sampling
+    "x_sample_mixture",           # weighted training-mix sampling
+    "x_hll_distinct",             # engine-portable HyperLogLog sketch
+    "x_resample_locf",            # gap-fill + LOCF time-series resample
+    "x_interval_overlap",         # range join as bucketized equi join
+    "x_decontaminate",            # eval-set n-gram overlap scan
+    "x_scrub_pii",                # regex PII redaction + audit counts
 ]
 
 
