@@ -409,50 +409,79 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     rest). Transitive closure matters: A~B and B~C must land in ONE
     cluster even when A~C was never a candidate pair.
 
-    Iterative min-label propagation (the standard Spark pattern for
-    connected components): every node starts as its own label; each
-    round every node takes the min label in its neighborhood; stop when
-    a round changes nothing. Rounds needed = graph diameter in
-    doubling-ish steps — near-dup graphs are unions of small cliques, so
-    2-3 rounds in practice; ``max_iterations`` bounds adversarial
-    chains. Each round is one shuffle over the EDGE list; labels are
-    localCheckpointed so lineage stays flat across iterations."""
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — the published
+    MapReduce CC algorithm): each round every node hooks its larger
+    neighbors (large-star) then its smaller ones (small-star) onto the
+    minimum of its neighborhood, which CONTRACTS paths instead of
+    walking them — components collapse to stars centered at their min
+    node in O(log n) rounds, where plain min-label propagation needs
+    O(diameter) rounds and silently splits any chain longer than the
+    iteration cap. Convergence is detected by an (edge-count,
+    hash-sum) signature going stable — one action per round on the
+    localCheckpointed edge set — and exhausting ``max_iterations``
+    without converging RAISES rather than returning split clusters
+    (2^20-diameter graphs converge within the default 20)."""
+
+    def canon(e: DataFrame) -> DataFrame:
+        # undirected canonical form: (small, large), no self-loops
+        return (
+            e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .distinct()
-        .localCheckpoint()
-    )
-    # round 0 folded into initialization: label = min(self, neighbors)
-    labels = edges.groupBy(F.col("src").alias("node")).agg(
-        F.least(F.min("dst"), F.first("src")).alias("label")
+
+    edges = canon(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     ).localCheckpoint()
+    sig = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # large-star: every node u connects its LARGER neighbors v to the
+        # min m of its neighborhood (incl. itself). m <= u < v, so the
+        # emitted pair (a=m, b=v) is born canonical with no self-loops;
+        # duplicates are harmless (the next min-agg absorbs them), so no
+        # intermediate distinct — one fewer shuffle per round
+        nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        # one action per round: the join below both materializes the
-        # (lazily checkpointed) new labels and counts changed rows
-        new_labels = (
-            labels.select(F.col("node"), F.col("label").alias("old_label"))
-            .join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                "old_label",
-                F.least(
-                    F.col("old_label"), F.coalesce("nbr_label", F.col("old_label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+        mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        le = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))  # a < b
         )
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
+        # small-star: direct each edge large->small; every node u connects
+        # its smaller neighbors (and itself) to their min m. Emitted pairs
+        # (m, v) / (m, u) are canonical; (m, m) self-loops dropped
+        d = le.select(F.col("b").alias("u"), F.col("a").alias("v"))  # u > v
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            d.join(smins, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(smins.select(F.col("m").alias("a"), F.col("u").alias("b")))
+        )
+        edges = small.distinct().localCheckpoint(eager=False)
+        # one action per round: materializes the checkpoint AND computes
+        # the convergence signature of the canonical edge set
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        new_sig = (row["n"], row["h"])
+        if new_sig == sig:
             break
-    return labels.select(
-        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} rounds; "
+            "the pair graph is adversarially deep — raise max_iterations"
+        )
+    # converged: every component is a star centered at its min node
+    nbrs = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    return nbrs.groupBy(F.col("u").alias("member_id")).agg(
+        F.least(F.min("v"), F.first("u")).alias("cluster_id")
     )

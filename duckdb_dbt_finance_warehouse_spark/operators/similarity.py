@@ -282,6 +282,15 @@ def ivf_ann_topk(
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
+    # centroid seeding is `id % n_centroids_mod` and probe_map keys on
+    # int(cid): this operator structurally requires an integral id column
+    # (unlike lsh_ann_topk / embed_near_dup_pairs, which are id-agnostic)
+    id_kind = corpus.schema[id_col].dataType.typeName()
+    if id_kind not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"ivf_ann_topk requires an integral {id_col!r} (centroids are "
+            f"seeded by id % {n_centroids_mod}); got {id_kind}"
+        )
     cent_rows = (
         corpus.filter((F.col(id_col) % n_centroids_mod) == 0)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
@@ -455,8 +464,10 @@ def embedding_near_dup_pairs_lsh(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
-    empty = {"id_a": np.array([], dtype=np.int64),
-             "id_b": np.array([], dtype=np.int64),
+    # object dtype: ids keep their native Python values (int, str, ...)
+    # and Arrow casts them to the declared id_type — no int64 assumption
+    empty = {"id_a": np.array([], dtype=object),
+             "id_b": np.array([], dtype=object),
              "cosine": np.array([], dtype=np.float64)}
 
     def bucket_pairs(pdf):
@@ -519,7 +530,9 @@ def lsh_ann_topk(
     q_rows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).collect()
-    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    # object dtype keeps ids native (int, str, ...); the output schema
+    # advertises the input id column's type, so no int64 coercion here
+    qids = np.array([r["query_id"] for r in q_rows], dtype=object)
     Qq = _np_quant(np.array([r["q_vec"] for r in q_rows], dtype=np.float64)) if q_rows else np.zeros((0, dim))
     qnorms = np.sqrt((Qq * Qq).sum(axis=1))
     qbuckets = _np_bucket_ids(

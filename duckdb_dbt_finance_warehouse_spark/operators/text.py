@@ -207,7 +207,9 @@ def decontaminate(
     )
 
 
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# (?i) is honored identically by Java regex (Spark) and RE2 (DuckDB), so
+# mixed-case addresses ("Jane.Doe@Example.COM") are redacted by both engines
+EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
 
 

@@ -65,7 +65,19 @@ class Warehouse:
     def path(self, schema: str, table: str) -> str:
         return os.path.join(self.root, schema, table)
 
+    def _recover(self, schema: str, table: str) -> None:
+        """Heal the one crash window ``write_staged`` has: if a run died
+        between ``rename(target, trash)`` and ``rename(staging, target)``,
+        the only durable copy of the table is the trash sibling. Restore
+        it whenever the canonical path is missing; the trash dir is only
+        deleted after a completed swap, never on entry."""
+        target = self.path(schema, table)
+        trash = self.path(schema, f"_trash_{table}")
+        if not os.path.isdir(target) and os.path.isdir(trash):
+            os.rename(trash, target)
+
     def exists(self, schema: str, table: str) -> bool:
+        self._recover(schema, table)
         p = self.path(schema, table)
         if not os.path.isdir(p):
             return False
@@ -76,6 +88,7 @@ class Warehouse:
         )
 
     def read(self, schema: str, table: str) -> DataFrame:
+        self._recover(schema, table)
         return self.spark.read.parquet(self.path(schema, table))
 
     def write(
@@ -105,9 +118,14 @@ class Warehouse:
         crash or executor loss mid-write leaves the old table intact,
         unlike cache()+overwrite where a recomputed partition would read
         files the overwrite already deleted. On a cluster the same
-        pattern is a FileSystem.rename of cloud-store prefixes."""
+        pattern is a FileSystem.rename of cloud-store prefixes.
+
+        Crash recovery: a previous run may have died mid-swap, leaving the
+        old state only under ``_trash_<table>`` — restore it first (see
+        ``_recover``) so a rerun never deletes the sole surviving copy."""
         import shutil
 
+        self._recover(schema, table)
         target = self.path(schema, table)
         staging = self.path(schema, f"_staging_{table}")
         trash = self.path(schema, f"_trash_{table}")

@@ -223,9 +223,9 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation (operators/dedup.dedup_clusters):
     connected components over the MinHash-LSH pairs — transitive closure
     turns pairs into keep/drop decisions (cluster_id = smallest member).
-    Spark side is the iterative min-label propagation no single SQL
-    query expresses; the oracle replays it as a DuckDB recursive CTE —
-    both converge to the same fixpoint."""
+    Spark side is iterative large-star/small-star contraction (log-round
+    convergence) that no single SQL query expresses; the oracle replays
+    it as a DuckDB recursive CTE — both converge to the same fixpoint."""
     pairs = dedup.minhash_lsh_dedup_portable(
         _docs(spark, sf_dir), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
     )

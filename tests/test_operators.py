@@ -100,6 +100,27 @@ def test_dedup_clusters_transitive_closure(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_long_chain_log_rounds(spark):
+    """A 256-node path graph: min-label propagation would need ~256
+    rounds; large-star/small-star contraction halves path distances each
+    round and must close it inside 12 rounds (log-round convergence, incl.
+    the signature-stability round), not return split clusters."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(255)], ["id_a", "id_b"])
+    out = dedup.dedup_clusters(pairs, max_iterations=12)
+    labels = {r["cluster_id"] for r in out.collect()}
+    assert labels == {0}
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    """Exhausting the round budget must RAISE, never silently return
+    split clusters that diverge from the recursive-CTE oracle."""
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(pairs, max_iterations=1)
+
+
 def test_simhash_distance_orders_similarity(spark):
     fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_df(spark), "doc_id", "text").collect()}
     ham = lambda a, b: bin(a ^ b).count("1")
@@ -146,6 +167,47 @@ def test_lsh_ann_matches_exact_cosines_and_has_recall(spark):
     )
     recall = hits / (5 * len(exact_sets))
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+
+
+def test_lsh_ann_and_near_dup_accept_string_ids(spark):
+    """The generic id_col API must hold for non-integer ids: same
+    vectors keyed by string ids must produce the same neighbor structure
+    (no int64 coercion crash at Arrow conversion)."""
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"].limit(200)
+    s_emb = emb.select(
+        F.format_string("doc-%05d", F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    queries = s_emb.filter(F.col("vec_id") < "doc-00005")
+    out = similarity.lsh_ann_topk(
+        s_emb, queries, k=3, n_tables=8, n_planes=4, dim=64
+    ).collect()
+    assert out and all(isinstance(r["query_id"], str) for r in out)
+
+    int_out = similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_tables=8, n_planes=4, dim=64
+    ).collect()
+    to_s = lambda i: f"doc-{i:05d}"
+    assert {(r["query_id"], r["cand_id"]) for r in out} == {
+        (to_s(r["query_id"]), to_s(r["cand_id"])) for r in int_out
+    }
+
+    pairs = similarity.embedding_near_dup_pairs_lsh(
+        s_emb, "vec_id", "embedding", threshold=0.95, n_tables=8, n_planes=4, dim=64
+    ).collect()
+    assert all(isinstance(r["id_a"], str) and r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_ivf_rejects_non_integral_ids(spark):
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"].limit(50)
+    s_emb = emb.select(F.col("vec_id").cast("string").alias("vec_id"), "embedding")
+    with pytest.raises(TypeError, match="integral"):
+        similarity.ivf_ann_topk(s_emb, s_emb.limit(1))
 
 
 def test_embed_near_dup_lsh_subset_of_exact_with_recall(spark):
@@ -321,6 +383,16 @@ def test_scrub_pii_known_answers(spark):
     assert "jane" not in out[1]["text_scrubbed"] and "555" not in out[1]["text_scrubbed"]
     assert out[2]["text_scrubbed"] == "no pii here"
     assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+
+
+def test_scrub_pii_mixed_case_email(spark):
+    """Redaction must be case-insensitive — 'Jane.Doe@Example.COM' is as
+    much PII as its lowercase twin ((?i) honored by Java regex and RE2
+    alike, so the oracle replays it)."""
+    df = spark.createDataFrame([(1, "mail Jane.Doe@Example.COM today")], ["doc_id", "text"])
+    row = text.scrub_pii(df, "doc_id", "text").collect()[0]
+    assert row["n_emails"] == 1
+    assert row["text_scrubbed"] == "mail <EMAIL> today"
 
 
 def test_interval_overlap_join_lossless_vs_naive(spark):

@@ -140,3 +140,32 @@ def test_staged_write_survives_failure_midway(spark, tmp_path):
     v2 = df_of(spark, [("K1", "a", "h1", T1), ("K2", "b", "h2", T1)])
     wh.write_staged(v2, "snapshots", "snap")
     assert wh.read("snapshots", "snap").count() == 2
+
+
+def test_staged_write_recovers_trash_after_swap_crash(spark, tmp_path):
+    """Crash window between rename(target, trash) and rename(staging,
+    target): the only durable copy of the table is the trash sibling. A
+    rerun (or any read/exists) must RESTORE it, never delete it — SCD2
+    history would otherwise vanish silently."""
+    import os
+
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    v1 = df_of(spark, [("K1", "a", "h1", T1)])
+    wh.write(v1, "snapshots", "snap")
+
+    # simulate the crash: old state moved to trash, new state never landed
+    os.rename(wh.path("snapshots", "snap"), wh.path("snapshots", "_trash_snap"))
+    assert not os.path.isdir(wh.path("snapshots", "snap"))
+
+    assert wh.exists("snapshots", "snap")  # exists() heals on entry
+    survivors = wh.read("snapshots", "snap").collect()
+    assert [r["key"] for r in survivors] == ["K1"]
+    assert not os.path.isdir(wh.path("snapshots", "_trash_snap"))
+
+    # same crash, healed by the rerun of write_staged itself
+    os.rename(wh.path("snapshots", "snap"), wh.path("snapshots", "_trash_snap"))
+    v2 = df_of(spark, [("K1", "a", "h1", T1), ("K2", "b", "h2", T1)])
+    wh.write_staged(v2, "snapshots", "snap")
+    assert wh.read("snapshots", "snap").count() == 2
