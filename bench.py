@@ -59,6 +59,9 @@ HEADLINE = [
     "x_interval_overlap",         # range join as bucketized equi join
     "x_decontaminate",            # eval-set n-gram overlap scan
     "x_scrub_pii",                # regex PII redaction + audit counts
+    "x_heavy_hitters",            # count-min sketch heavy hitters
+    "x_text_repetition",          # intra-doc repetition (Gopher-style)
+    "x_bloom_semi_join",          # bloom runtime-filter semi-join
 ]
 
 

@@ -117,3 +117,93 @@ def hll_oracle_sql(src: str, col: str) -> str:
            n_present AS buckets_used
     FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 4096  # buckets per row
+
+
+def _cms_bucket(item: F.Column, row: int) -> F.Column:
+    """Row-salted portable bucket: md5("<row>:<item>") -> 60-bit int
+    -> mod W. Same string math replays verbatim in any engine."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), item.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_W))
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """Count-min sketch of ``col``'s frequency distribution ->
+    (row, bucket, cnt) cells.
+
+    The sketch is CMS_D x CMS_W cells REGARDLESS of item cardinality —
+    map-side combine collapses every partition to at most d*w rows
+    before the exchange, so sketching a 100 TB column costs one narrow
+    scan plus a ~16k-row shuffle (the same scale shape as the HLL
+    above). Sketches of disjoint partitions merge by cell-wise SUM,
+    which is what makes the sketch streamable / incrementally
+    refreshable. Estimates are upper bounds: est >= true count, with
+    overestimates bounded by sum(cnt)/W per row and d rows to take the
+    min over."""
+    items = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("_item"))
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_bucket(F.col("_item"), r).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Point-estimate the count of every probe item: min over the d
+    cells the item hashes to. The sketch (<= d*w rows) is broadcast —
+    estimating any number of probe items is shuffle-free."""
+    p = probes.select(F.col(col)).withColumn(
+        "_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_bucket(F.col(col), r).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ),
+    )
+    return (
+        p.select(col, F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_oracle_cells_sql(items_cte: str) -> str:
+    """DuckDB CTE body producing the identical (row, bucket, cnt) cells
+    from ``items_cte`` (a CTE/subquery exposing column ``item``)."""
+    return f"""
+      SELECT r.row,
+             ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 15))::BIGINT
+               % {CMS_W} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ({items_cte}) items
+      CROSS JOIN (SELECT unnest(range({CMS_D})) AS row) r
+      WHERE item IS NOT NULL
+      GROUP BY 1, 2
+    """

@@ -234,3 +234,39 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("bigint")
         .alias("n_phones"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Intra-document repetition signals (Gopher-style quality filters:
+    'fraction of duplicate n-grams' and 'fraction taken by the most
+    frequent n-gram') — catches boilerplate and degenerate generated
+    text that inter-document dedup can't see.
+
+    Per document over ALL word n-grams (not distinct):
+      n_grams / n_distinct, dup_frac = 1 - distinct/total,
+      top_gram_frac = max gram count / total.
+
+    One explode + two aggregations keyed by doc id: gram counting
+    combines map-side within each doc's partition, so the shuffle
+    carries per-(doc, gram) partials, never raw grams; everything
+    stays JVM-side."""
+    grams = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t")
+    ).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_t) - {n - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(_t, i, {n})))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.count("*") / F.sum("c").cast("double"), 6
+        ).alias("dup_frac"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_gram_frac"),
+    )

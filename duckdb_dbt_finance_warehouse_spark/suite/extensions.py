@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators import (
     asof,
+    bloom,
     dedup,
     intervals,
     multimodal,
@@ -977,4 +978,128 @@ def x_multimodal_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.mime").alias("mime"),
         F.length("payload").cast("int").alias("n_bytes"),
         F.md5("payload").alias("payload_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketches & join filters (count-min heavy hitters, bloom semi-join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS item FROM documents),
+    cells AS ({sketch.cms_oracle_cells_sql("SELECT item FROM toks")}),
+    exact AS (
+      SELECT item AS tok, CAST(count(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY 1
+      ORDER BY exact_n DESC, tok ASC LIMIT 20),
+    probes AS (
+      SELECT tok, exact_n, r.row,
+             ('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+               % {sketch.CMS_W} AS bucket
+      FROM exact CROSS JOIN (SELECT unnest(range({sketch.CMS_D})) AS row) r)
+    SELECT p.tok, p.exact_n, CAST(min(c.cnt) AS BIGINT) AS cms_est
+    FROM probes p JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via an engine-portable count-min sketch
+    (operators/sketch.cms_sketch): the sketch is d x w cells regardless
+    of term cardinality (map-side combine collapses each partition to
+    <= 16k rows before the exchange), estimates are min-over-rows upper
+    bounds. The exact top-20 terms are estimated through the sketch and
+    returned alongside their true counts — the oracle replays the
+    md5-salted cells AND the estimates bit-for-bit."""
+    toks = text.tokens(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("tok").alias("item")
+    )
+    cms = sketch.cms_sketch(toks, "item")
+    top = (
+        toks.groupBy(F.col("item").alias("tok"))
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(20)
+    )
+    est = sketch.cms_estimate(cms, top.select(F.col("tok").alias("item")), "item")
+    return top.join(
+        est.select(F.col("item").alias("tok"), F.col("cms_est")), "tok"
+    ).select("tok", "exact_n", F.col("cms_est").cast("long").alias("cms_est"))
+
+
+@query(
+    "x_text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(w[CAST(i AS INT) : CAST(i AS INT) + 1], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)),
+    per_gram AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_gram_frac
+    FROM per_gram GROUP BY 1
+    """,
+)
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (operators/text.repetition_stats)
+    — Gopher-style duplicate-2-gram fraction and most-frequent-2-gram
+    fraction, the quality filters that catch boilerplate/degenerate text
+    inter-document dedup can't see. One explode + two doc-keyed
+    aggregations, map-side combined."""
+    return text.repetition_stats(_docs(spark, sf_dir), "doc_id", "text", n=2)
+
+
+_BLOOM_KEYS = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+@query(
+    "x_bloom_semi_join",
+    oracle=f"""
+    WITH bits AS ({bloom.bloom_oracle_bits_sql(_BLOOM_KEYS, "c_custkey")}),
+    passed AS (
+      SELECT o_orderkey, o_custkey, date_trunc('month', o_orderdate)::DATE AS order_month
+      FROM orders
+      WHERE {bloom.bloom_oracle_member_pred("o_custkey", "bits")}),
+    truth AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
+             CAST(count(*) AS BIGINT) AS n_true
+      FROM orders
+      WHERE o_custkey IN ({_BLOOM_KEYS})
+      GROUP BY 1)
+    SELECT p.order_month,
+           CAST(count(*) AS BIGINT) AS n_bloom_pass,
+           any_value(t.n_true) AS n_true
+    FROM passed p JOIN truth t USING (order_month)
+    GROUP BY 1
+    """,
+)
+def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern made explicit (operators/bloom): a
+    portable Bloom bit-set over the build-side keys broadcast to the
+    probe side, which is filtered BEFORE any shuffle — K broadcast
+    left-semi joins, deterministic false positives the oracle replays
+    exactly. Returns per-month bloom-passing counts next to the true
+    semi-join counts (the gap = false positives)."""
+    t = load_testdata(spark, sf_dir, "customer", "orders")
+    cust, orders = t["customer"], t["orders"]
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    passed = bloom.bloom_semi_join(orders, keys, "o_custkey", "c_custkey")
+    month = F.trunc("o_orderdate", "month").alias("order_month")
+    n_bloom = passed.groupBy(month).agg(F.count("*").alias("n_bloom_pass"))
+    n_true = (
+        orders.join(F.broadcast(keys), orders["o_custkey"] == keys["c_custkey"], "left_semi")
+        .groupBy(month)
+        .agg(F.count("*").alias("n_true"))
+    )
+    return n_bloom.join(n_true, "order_month").select(
+        "order_month", "n_bloom_pass", "n_true"
     )

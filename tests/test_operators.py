@@ -460,3 +460,51 @@ def test_multimodal_feature_plumbing(spark):
     assert feats[1]["byte_mean"] == (97 + 98 + 99) / 3
     assert feats[1]["distinct_bytes"] == 3
     assert feats[2]["n_bytes"] == 0 and feats[2]["byte_mean"] == 0.0
+
+
+def test_cms_sketch_bounds_and_estimates(spark):
+    """Count-min guarantees: est >= true count for every item, and the
+    sketch never exceeds d*w cells no matter the cardinality."""
+    from duckdb_dbt_finance_warehouse_spark.operators import sketch
+
+    rows = [(f"t{i % 7}",) for i in range(700)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["item"])
+    cms = sketch.cms_sketch(df, "item")
+    assert cms.count() <= sketch.CMS_D * sketch.CMS_W
+    probes = df.distinct()
+    est = {r["item"]: r["cms_est"] for r in sketch.cms_estimate(cms, probes, "item").collect()}
+    truth = {r["item"]: r["count"] for r in df.groupBy("item").count().collect()}
+    assert set(est) == set(truth)
+    assert all(est[t] >= truth[t] for t in truth)
+    # with 8 distinct items in 4x4096 cells, collisions are ~impossible:
+    # estimates are exact
+    assert est == truth
+
+
+def test_repetition_stats_known_answers(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(df, "doc_id", "text", n=2).collect()}
+    # doc 1 grams: "a a", "a a", "a b" -> 3 total, 2 distinct
+    assert out[1]["n_grams"] == 3 and out[1]["n_distinct"] == 2
+    assert abs(out[1]["dup_frac"] - (1 - 2 / 3)) < 1e-6
+    assert abs(out[1]["top_gram_frac"] - 2 / 3) < 1e-6
+    # doc 2: all distinct
+    assert out[2]["dup_frac"] == 0.0 and abs(out[2]["top_gram_frac"] - 1 / 3) < 1e-6
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    """Every true member must pass (Bloom has no false negatives); the
+    output is a deterministic superset of the exact semi-join."""
+    from duckdb_dbt_finance_warehouse_spark.operators import bloom
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 100, 3)], ["k"])
+    probe = spark.createDataFrame([(i,) for i in range(100)], ["p"])
+    passed = {r["p"] for r in bloom.bloom_semi_join(probe, keys, "p", "k").collect()}
+    members = {i for i in range(0, 100, 3)}
+    assert members <= passed  # no false negatives
+    passed2 = {r["p"] for r in bloom.bloom_semi_join(probe, keys, "p", "k").collect()}
+    assert passed == passed2  # deterministic decisions
