@@ -12,12 +12,13 @@ accept/reject decisions — including its deterministic false positives —
 replay bit-for-bit in the DuckDB oracle, which an engine-private filter
 never could.
 
-Shape: the bit-set is a DataFrame of DISTINCT set bit positions
-(<= M_BITS rows, i.e. a few KB) broadcast to the probe side; membership
-is K broadcast left-semi joins (one per hash), all against the same
-broadcast table — no shuffle of the probe side, no Python. A probe row
-survives iff all K of its bit positions are set: exactly Bloom
-semantics, false-positive rate ~(1 - e^(-K*n/M))^K.
+Shape: the bit-set (DISTINCT set bit positions, <= M_BITS ints) is
+computed in one small job, collected to the driver, and applied as a
+native InSet predicate inside the probe scan's codegen stage — no
+shuffle of the probe side, no joins, no Python; a row failing hash 0
+short-circuits past the remaining hashes. A probe row survives iff all
+K of its bit positions are set: exactly Bloom semantics,
+false-positive rate ~(1 - e^(-K*n/M))^K.
 """
 
 from __future__ import annotations
@@ -50,21 +51,78 @@ def bloom_bits(keys: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _bit_sql(probe_col: str, j: int) -> str:
+    """SQL text twin of ``_bit`` (same expression, parsed not built —
+    see ``bloom_member_pred``)."""
+    return (
+        f"pmod(cast(conv(substring(md5(concat('{j}:', cast(`{probe_col}` as string)))"
+        f", 1, 15), 16, 10) as bigint), {BLOOM_M})"
+    )
+
+
+def bloom_words(bits: list[int]) -> list[int]:
+    """Pack set bit positions into the classic bitmap form: M/64 signed
+    64-bit words (what a Bloom filter actually is on the wire)."""
+    words = [0] * (BLOOM_M >> 6)
+    for b in bits:
+        words[b >> 6] |= 1 << (b & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member_pred(probe_col: str, bits: list[int]) -> F.Column:
+    """Membership predicate against a driver-held bit set, embedded in
+    the plan as the filter's natural form: a constant array of M/64
+    words probed with element_at + a bitwise AND — K O(1) word tests,
+    fully codegen'd, short-circuiting across hashes. A constant-array
+    plan node stays ~1k literals; encoding the same set as IN-lists
+    (10k+ literal nodes) measurably stalls Catalyst's optimizer passes,
+    and `Column.isin(10k values)` additionally pays a py4j round-trip
+    per literal."""
+    arr = "array(" + ",".join(f"{w}L" for w in bloom_words(bits)) + ")"
+    tests = []
+    for j in range(BLOOM_K):
+        h = _bit_sql(probe_col, j)  # value in [0, BLOOM_M)
+        tests.append(
+            f"(element_at({arr}, cast(({h}) div 64 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(({h}) % 64 as int))) != 0"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+def collect_bloom_bits(keys: DataFrame, key_col: str) -> list[int]:
+    """Materialize the filter driver-side — a Bloom filter IS a tiny
+    runtime artifact (<= M_BITS ints, a few hundred KB worst-case); this
+    is the documented driver-side-model boundary (same pattern as the
+    IVF centroid table and LSH hyperplanes), matching how engines ship
+    runtime filters to scan tasks."""
+    return [r["bit"] for r in bloom_bits(keys, key_col).collect()]
+
+
 def bloom_semi_join(
     probe: DataFrame, keys: DataFrame, probe_col: str, key_col: str
 ) -> DataFrame:
     """Rows of ``probe`` whose ``probe_col`` passes the Bloom filter
     built over ``keys.key_col`` — a superset of the true semi-join with
-    deterministic false positives. K chained broadcast left-semi joins
-    against the same broadcast bit table; the probe side is never
-    shuffled."""
-    bits = F.broadcast(bloom_bits(keys, key_col))
-    out = probe
-    for j in range(BLOOM_K):
-        out = out.join(
-            bits, _bit(F.col(probe_col), j) == F.col("bit"), "left_semi"
-        )
-    return out
+    deterministic false positives. The filter is collected driver-side
+    (one small job) and applied as a native InSet predicate in the probe
+    scan's stage: the probe side is never shuffled, never joined, and
+    pays zero broadcast-build jobs."""
+    return probe.filter(
+        bloom_member_pred(probe_col, collect_bloom_bits(keys, key_col))
+    )
+
+
+def bloom_contains(
+    probe: DataFrame, keys: DataFrame, probe_col: str, key_col: str,
+    flag: str = "in_bloom",
+) -> DataFrame:
+    """``probe`` plus a boolean ``flag`` column: does ``probe_col`` pass
+    the Bloom filter built over ``keys.key_col``? Flag form instead of
+    filtering, for plans that need pass/fail counts side by side in ONE
+    probe scan."""
+    return probe.withColumn(
+        flag, bloom_member_pred(probe_col, collect_bloom_bits(keys, key_col))
+    )
 
 
 def bloom_oracle_bits_sql(keys_sql: str, key_col: str) -> str:

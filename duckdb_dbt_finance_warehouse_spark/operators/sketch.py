@@ -207,3 +207,29 @@ def cms_oracle_cells_sql(items_cte: str) -> str:
       WHERE item IS NOT NULL
       GROUP BY 1, 2
     """
+
+
+def cms_sketch_from_counts(counts: DataFrame, col: str, cnt_col: str) -> DataFrame:
+    """Build the same (row, bucket, cnt) cells from a pre-aggregated
+    (item, count) table — when a frequency table already exists (or the
+    raw items were already grouped once), weighting cells by the counts
+    avoids re-exploding the raw stream d times. Identical cells to
+    ``cms_sketch`` over the raw items."""
+    items = counts.filter(F.col(col).isNotNull()).select(
+        F.col(col).alias("_item"), F.col(cnt_col).alias("_n")
+    )
+    cells = items.select(
+        F.col("_n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_bucket(F.col("_item"), r).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("c.row", "c.bucket", "_n")
+    return cells.groupBy("row", "bucket").agg(F.sum("_n").cast("long").alias("cnt"))

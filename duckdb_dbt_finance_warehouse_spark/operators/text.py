@@ -29,22 +29,34 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-vote language ID: tokens join a broadcast stopword table,
-    argmax votes per doc (deterministic tiebreak on language code);
-    docs with no stopword hits -> 'und' (undetermined)."""
-    spark = df.sparkSession
-    sw = spark.createDataFrame(
-        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], ["pred_lang", "tok"]
+    """Stopword-vote language ID: per-language token-occurrence counts
+    as conditional sums in ONE doc-keyed aggregation (the stopword
+    inventories are tiny compile-time constants, so they inline as
+    IN-lists — no join, no argmax window), then a deterministic argmax
+    across the language columns (ties break to the smallest language
+    code); docs with no stopword hits -> 'und' (undetermined).
+
+    One explode + one shuffle carrying |langs| small longs per doc —
+    map-side combine collapses each doc before the exchange."""
+    langs = sorted(STOPWORDS)
+    toks = tokens(df, id_col, text_col)
+    counts = toks.groupBy(id_col).agg(
+        *[
+            F.count_if(F.col("tok").isin(STOPWORDS[lang])).alias(f"_v_{lang}")
+            for lang in langs
+        ]
     )
-    votes = (
-        tokens(df, id_col, text_col)
-        .join(F.broadcast(sw), "tok")
-        .groupBy(id_col, "pred_lang")
-        .agg(F.count("*").alias("votes"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("votes"), F.asc("pred_lang"))
-    best = votes.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
-        id_col, "pred_lang", "votes"
+    mx = F.greatest(*[F.col(f"_v_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reversed so the FIRST (smallest) language code wins exact ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (mx > 0) & (F.col(f"_v_{lang}") == mx), F.lit(lang)
+        ).otherwise(pred)
+    best = counts.select(
+        id_col,
+        pred.alias("pred_lang"),
+        F.when(mx > 0, mx).otherwise(F.lit(0)).alias("votes"),
     )
     return df.select(id_col).join(best, id_col, "left").select(
         id_col,
@@ -153,22 +165,26 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def word_ngrams_all(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """ALL word n-grams per document (space-joined token windows,
+    duplicates kept) — no shuffle, just the explode."""
+    return df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t")
+    ).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(_t) - {n - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(_t, i, {n})))"
+            )
+        ).alias("gram"),
+    )
+
+
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-grams per document (space-joined token windows),
     computed engine-side from the normalized token array."""
-    return (
-        df.select(F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t"))
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(_t) - {n - 1}, 1)),"
-                    f" i -> concat_ws(' ', slice(_t, i, {n})))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-    )
+    return word_ngrams_all(df, id_col, text_col, n).distinct()
 
 
 def decontaminate(
@@ -185,24 +201,35 @@ def decontaminate(
     membership-overlap check run before training (GPT-3-style n-gram
     collision scan).
 
-    Shape: the (small) eval set's n-grams broadcast; the corpus pays one
-    scan + n-gram explode + broadcast join — no corpus shuffle until the
-    per-doc hit rollup, which only contaminated grams reach. Returns one
-    row per CONTAMINATED document (id, n_gram_hits, first_eval_id); the
-    caller anti-joins to drop them from the training mix."""
-    corpus_grams = word_ngrams(df, id_col, text_col, n)
+    Shape: the (small) eval set's n-grams are pre-aggregated to
+    (gram, n_eval_docs, min_eval_id) and broadcast; the corpus pays one
+    scan + n-gram explode + broadcast join and is NEVER shuffled at full
+    gram volume — the per-doc distinct and the hit rollup run only on
+    grams that already matched the eval set (tiny by construction: if
+    much of the corpus matched, you have bigger problems than shuffle
+    cost). A hit scored against m eval docs counts m times, identical to
+    joining the per-eval-doc gram list. Returns one row per CONTAMINATED
+    document (id, n_gram_hits, first_eval_id); the caller anti-joins to
+    drop them from the training mix."""
     eval_grams = word_ngrams(
         eval_df.select(F.col(eval_id_col).alias("eval_id"), F.col(eval_text_col)),
         "eval_id",
         eval_text_col,
         n,
     )
+    eval_agg = eval_grams.groupBy("gram").agg(
+        F.count("*").alias("_m"), F.min("eval_id").alias("_e")
+    )
+    matched = word_ngrams_all(df, id_col, text_col, n).join(
+        F.broadcast(eval_agg), "gram"
+    )
     return (
-        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        matched.select(id_col, "gram", "_m", "_e")
+        .distinct()  # per-doc dedup of matched grams only
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_gram_hits"),
-            F.min("eval_id").alias("first_eval_id"),
+            F.sum("_m").cast("long").alias("n_gram_hits"),
+            F.min("_e").alias("first_eval_id"),
         )
     )
 
@@ -246,11 +273,15 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> D
       n_grams / n_distinct, dup_frac = 1 - distinct/total,
       top_gram_frac = max gram count / total.
 
-    One explode + two aggregations keyed by doc id: gram counting
-    combines map-side within each doc's partition, so the shuffle
-    carries per-(doc, gram) partials, never raw grams; everything
-    stays JVM-side."""
-    grams = df.select(
+    ONE shuffle of the raw documents (pre-explode, so the exchange
+    carries doc bytes, not the ~2x-larger gram strings): hash
+    partitioning on the doc id satisfies the clustering requirement of
+    BOTH downstream aggregations ((doc, gram) and (doc)), so gram
+    counting and the per-doc rollup run exchange-free after it.
+    Everything stays JVM-side. Per-doc stats inherently co-locate each
+    doc; a single pathological multi-GB document would skew its
+    partition — cap document size upstream."""
+    grams = df.repartition(id_col).select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t")
     ).select(
         id_col,

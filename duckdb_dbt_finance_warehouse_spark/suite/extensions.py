@@ -1017,10 +1017,15 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = text.tokens(_docs(spark, sf_dir), "doc_id", "text").select(
         F.col("tok").alias("item")
     )
-    cms = sketch.cms_sketch(toks, "item")
+    # one token pass: the frequency table feeds BOTH the sketch (cells
+    # weighted by count — identical to sketching the raw stream) and the
+    # exact top-20; localCheckpoint shares it across the two branches
+    per_term = (
+        toks.groupBy("item").agg(F.count("*").alias("exact_n")).localCheckpoint(eager=False)
+    )
+    cms = sketch.cms_sketch_from_counts(per_term, "item", "exact_n")
     top = (
-        toks.groupBy(F.col("item").alias("tok"))
-        .agg(F.count("*").alias("exact_n"))
+        per_term.select(F.col("item").alias("tok"), "exact_n")
         .orderBy(F.desc("exact_n"), F.asc("tok"))
         .limit(20)
     )
@@ -1065,41 +1070,43 @@ _BLOOM_KEYS = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
     "x_bloom_semi_join",
     oracle=f"""
     WITH bits AS ({bloom.bloom_oracle_bits_sql(_BLOOM_KEYS, "c_custkey")}),
-    passed AS (
-      SELECT o_orderkey, o_custkey, date_trunc('month', o_orderdate)::DATE AS order_month
-      FROM orders
-      WHERE {bloom.bloom_oracle_member_pred("o_custkey", "bits")}),
-    truth AS (
+    flags AS (
       SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
-             CAST(count(*) AS BIGINT) AS n_true
-      FROM orders
-      WHERE o_custkey IN ({_BLOOM_KEYS})
-      GROUP BY 1)
-    SELECT p.order_month,
-           CAST(count(*) AS BIGINT) AS n_bloom_pass,
-           any_value(t.n_true) AS n_true
-    FROM passed p JOIN truth t USING (order_month)
-    GROUP BY 1
+             ({bloom.bloom_oracle_member_pred("o_custkey", "bits")}) AS in_bloom,
+             o_custkey IN ({_BLOOM_KEYS}) AS is_true
+      FROM orders)
+    SELECT order_month,
+           CAST(count(*) FILTER (WHERE in_bloom) AS BIGINT) AS n_bloom_pass,
+           CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true
+    FROM flags GROUP BY 1
+    HAVING count(*) FILTER (WHERE in_bloom) > 0
+       AND count(*) FILTER (WHERE is_true) > 0
     """,
 )
 def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-filter pattern made explicit (operators/bloom): a
-    portable Bloom bit-set over the build-side keys broadcast to the
-    probe side, which is filtered BEFORE any shuffle — K broadcast
-    left-semi joins, deterministic false positives the oracle replays
-    exactly. Returns per-month bloom-passing counts next to the true
-    semi-join counts (the gap = false positives)."""
+    portable Bloom bit-set over the build-side keys, shipped to the
+    probe scan as a native InSet predicate (short-circuit across the K
+    hashes), deterministic false positives the oracle replays exactly.
+    ONE probe scan + ONE grouped aggregation emits per-month
+    bloom-passing counts next to the true semi-join counts (the gap =
+    false positives)."""
     t = load_testdata(spark, sf_dir, "customer", "orders")
     cust, orders = t["customer"], t["orders"]
     keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    passed = bloom.bloom_semi_join(orders, keys, "o_custkey", "c_custkey")
-    month = F.trunc("o_orderdate", "month").alias("order_month")
-    n_bloom = passed.groupBy(month).agg(F.count("*").alias("n_bloom_pass"))
-    n_true = (
-        orders.join(F.broadcast(keys), orders["o_custkey"] == keys["c_custkey"], "left_semi")
-        .groupBy(month)
-        .agg(F.count("*").alias("n_true"))
+    flagged = bloom.bloom_contains(orders, keys, "o_custkey", "c_custkey")
+    is_true = F.col("_true_k").isNotNull()
+    flagged = flagged.join(
+        F.broadcast(keys.select(F.col("c_custkey").alias("_true_k"))),
+        flagged["o_custkey"] == F.col("_true_k"),
+        "left",
     )
-    return n_bloom.join(n_true, "order_month").select(
-        "order_month", "n_bloom_pass", "n_true"
+    month = F.trunc("o_orderdate", "month").alias("order_month")
+    return (
+        flagged.groupBy(month)
+        .agg(
+            F.count_if(F.col("in_bloom")).alias("n_bloom_pass"),
+            F.count_if(is_true).alias("n_true"),
+        )
+        .filter((F.col("n_bloom_pass") > 0) & (F.col("n_true") > 0))
     )
