@@ -62,6 +62,7 @@ HEADLINE = [
     "x_heavy_hitters",            # count-min sketch heavy hitters
     "x_text_repetition",          # intra-doc repetition (Gopher-style)
     "x_bloom_semi_join",          # bloom runtime-filter semi-join
+    "x_quantile_sketch",          # mergeable fixed-grid quantiles
 ]
 
 

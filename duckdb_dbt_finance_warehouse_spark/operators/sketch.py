@@ -25,7 +25,7 @@ shuffle. Sketches of disjoint partitions merge by bucket-wise max
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 B_BITS = 8
@@ -233,3 +233,60 @@ def cms_sketch_from_counts(counts: DataFrame, col: str, cnt_col: str) -> DataFra
         ).alias("c"),
     ).select("c.row", "c.bucket", "_n")
     return cells.groupBy("row", "bucket").agg(F.sum("_n").cast("long").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(df: DataFrame, col: str, width: float) -> DataFrame:
+    """Mergeable quantile sketch: (bin, cnt) cells on a FIXED value grid
+    (bin = floor(value / width)) — no data-dependent range, so sketches
+    of disjoint partitions/streams merge by cell-wise sum and the cell
+    count is bounded by value_range/width regardless of row count.
+    The 100 TB shape: one narrow scan + a <=few-hundred-row shuffle.
+    (percentile_approx's t-digest is the engine-private alternative;
+    this grid is engine-portable — DuckDB replays cells AND estimates.)"""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.floor(F.col(col).cast("double") / F.lit(width)).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame, width: float, qs: list[float]
+) -> DataFrame:
+    """Quantile estimates from the sketch: cumulative counts over the
+    bin order (a single-partition window — the sketch is a few hundred
+    rows by construction), then for each q the first bin whose
+    cumulative count reaches q*n, linearly interpolated within the bin.
+    Returns (q, est_value, n). The 1-row total rides a scalar broadcast
+    (j6 pattern); every arithmetic step is written identically in the
+    DuckDB oracle, so estimates match bit-for-bit."""
+    spark = sketch.sparkSession
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = sketch.withColumn("cum", F.sum("cnt").over(w))
+    t = sketch.agg(F.sum("cnt").cast("long").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    sel = (
+        qdf.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(c))
+        .groupBy("q", "n")
+        .agg(F.min(F.when(F.col("cum") >= F.col("q") * F.col("n"), F.col("bin"))).alias("bin"))
+    )
+    return sel.join(F.broadcast(c), "bin").select(
+        "q",
+        F.round(
+            F.col("bin") * F.lit(width)
+            + F.lit(width)
+            * (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+            / F.col("cnt"),
+            6,
+        ).alias("est_value"),
+        "n",
+    )

@@ -77,6 +77,58 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_attribution_join(
+    events: DataFrame,
+    within_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase attributed to the
+    user's clicks in the preceding ``within_minutes`` — the classic
+    click->conversion attribution join, run continuously.
+
+    Both sides are watermarked and the join condition bounds event time
+    on BOTH sides, so the state store can evict: click state is held
+    only ``watermark + within_minutes`` past the stream's max event
+    time (unbounded state otherwise — Spark rejects stream-stream
+    inner joins without a time bound). State shards by user_id, the
+    equi-key. The batch twin is the x_interval_overlap bucketized
+    range join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+             AND purchase_ts >= click_ts
+             AND purchase_ts <= click_ts + interval {within_minutes} minutes"""
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "value",
+    )
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

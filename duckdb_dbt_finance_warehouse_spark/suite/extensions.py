@@ -1110,3 +1110,39 @@ def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_bloom_pass") > 0) & (F.col("n_true") > 0))
     )
+
+
+@query(
+    "x_quantile_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 1000.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    c AS (SELECT bin, cnt,
+                 SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) v(q)),
+    sel AS (
+      SELECT qs.q, t.n,
+             min(CASE WHEN c.cum >= qs.q * t.n THEN c.bin END) AS bin
+      FROM qs, c, t GROUP BY 1, 2)
+    SELECT s.q,
+           round(s.bin * 1000.0
+                 + 1000.0 * (s.q * s.n - (c.cum - c.cnt)) / c.cnt, 6) AS est_value,
+           s.n
+    FROM sel s JOIN c USING (bin)
+    """,
+)
+def x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch
+    (operators/sketch.histogram_sketch/histogram_quantiles): bounded
+    (bin, cnt) cells on a fixed value grid — cell-wise summable across
+    partitions/streams, unlike engine-private t-digests — with
+    interpolated quantile estimates the oracle replays bit-for-bit.
+    One narrow scan + a few-hundred-row shuffle at any data size."""
+    orders = load_testdata(spark, sf_dir, "orders")["orders"]
+    sk = sketch.histogram_sketch(orders, "o_totalprice", width=1000.0)
+    return sketch.histogram_quantiles(sk, 1000.0, [0.25, 0.5, 0.75, 0.9, 0.99])

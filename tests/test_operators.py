@@ -508,3 +508,62 @@ def test_bloom_semi_join_no_false_negatives(spark):
     assert members <= passed  # no false negatives
     passed2 = {r["p"] for r in bloom.bloom_semi_join(probe, keys, "p", "k").collect()}
     assert passed == passed2  # deterministic decisions
+
+
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    """Seeded random graphs (varying density, incl. chains + isolated
+    pairs): large-star/small-star must agree exactly with a driver-side
+    union-find on every node's min-reachable label."""
+    import random
+
+    for seed, n_nodes, n_edges in [(7, 40, 20), (11, 60, 80), (13, 50, 49)]:
+        rng = random.Random(seed)
+        edges = {
+            tuple(sorted((rng.randrange(n_nodes), rng.randrange(n_nodes))))
+            for _ in range(n_edges)
+        }
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes_in_edges = {x for e in edges for x in e}
+        want = {x: find(x) for x in nodes_in_edges}
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["member_id"]: r["cluster_id"]
+            for r in dedup.dedup_clusters(pairs).collect()
+        }
+        assert got == want, f"seed {seed}: mismatch"
+
+
+def test_histogram_sketch_merge_and_accuracy(spark):
+    """Fixed-grid sketches must merge by cell-wise sum (the defining
+    property), and interpolated estimates must land within one bin width
+    of the exact percentile."""
+    from duckdb_dbt_finance_warehouse_spark.operators import sketch
+
+    vals = [(float(v),) for v in range(1, 2001)]
+    df = spark.createDataFrame(vals, ["v"])
+    a, b = df.filter("v <= 700"), df.filter("v > 700")
+    merged = (
+        sketch.histogram_sketch(a, "v", 100.0)
+        .unionByName(sketch.histogram_sketch(b, "v", 100.0))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketch.histogram_sketch(df, "v", 100.0)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est = {
+        r["q"]: r["est_value"]
+        for r in sketch.histogram_quantiles(whole, 100.0, [0.5, 0.9]).collect()
+    }
+    assert abs(est[0.5] - 1000.5) <= 100 and abs(est[0.9] - 1800.5) <= 100

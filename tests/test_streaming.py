@@ -129,3 +129,38 @@ def test_session_windows_emit(spark, events_dir):
     assert out.count() > 0
     r = out.first()
     assert r["session_end"] >= r["session_start"] and r["n_events"] >= 1
+
+
+def test_stream_attribution_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join (clicks x purchases within 30 min per
+    user) must emit exactly the pairs the batch interval join produces —
+    availableNow drains the source, and the time-bounded condition keeps
+    click state evictable."""
+    from pyspark.sql import functions as F
+
+    src = streaming.pipeline.read_event_stream(spark, events_dir)
+    out = _mem(
+        spark, streaming.pipeline.stream_attribution_join(src, within_minutes=30), "attr"
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+
+    ev = load_testdata(spark, SF, "events")["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND purchase_ts >= click_ts"
+                " AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got and got == want
