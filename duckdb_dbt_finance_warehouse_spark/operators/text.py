@@ -120,19 +120,21 @@ def tf_idf_top_terms(
     """Top-k terms per document by tf-idf.
 
     tf = term count in doc; idf = ln(N / df_t) (natural log, no
-    smoothing — identical IEEE ops in any engine). Three aggregations +
-    one broadcast join + one window top-k; at 100 TB the term-frequency
-    tables are the only shuffles and they key on the term, which is
+    smoothing — identical IEEE ops in any engine). The corpus is
+    tokenized ONCE: the (doc, term) frequency table is localCheckpointed
+    and doc-frequency derives from it by a second, far smaller
+    aggregation (tf rows ARE the distinct (doc, term) pairs — no second
+    explode, no distinct). At 100 TB the term-keyed shuffles are the
+    only large exchanges and they key on the term, which is
     high-cardinality and evenly distributed."""
     toks = tokens(df, id_col, text_col)
-    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    n_docs = df.select(F.count("*").alias("n_docs"))
-    df_t = (
-        toks.select(id_col, "tok")
-        .distinct()
-        .groupBy("tok")
-        .agg(F.count("*").alias("df_t"))
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
     scored = (
         tf.join(df_t, "tok")
         .crossJoin(F.broadcast(n_docs))
