@@ -63,6 +63,7 @@ HEADLINE = [
     "x_text_repetition",          # intra-doc repetition (Gopher-style)
     "x_bloom_semi_join",          # bloom runtime-filter semi-join
     "x_quantile_sketch",          # mergeable fixed-grid quantiles
+    "x_salted_join",              # skew-proof salted equi-join
 ]
 
 

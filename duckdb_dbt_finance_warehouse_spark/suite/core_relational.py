@@ -1396,3 +1396,37 @@ def f_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("zero")
         .alias("discount_band"),
     )
+
+
+@query(
+    "x_salted_join",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS revenue
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1
+    """,
+)
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted equi-join (operators/skew.salted_join): the big
+    side salts its join key across 8 reducers, the small side replicates
+    per salt — a hot supplier key no longer lands on one task. Results
+    must equal the plain join (the oracle IS the plain join + rollup);
+    money stays a scaled LONG through the merge."""
+    from ..operators.skew import salted_join
+
+    t = T(spark, sf_dir, "lineitem", "supplier")
+    li = t["lineitem"].select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    su = t["supplier"].select(F.col("s_suppkey").alias("suppkey"), "s_nationkey")
+    j = salted_join(li, su, ["suppkey"], n_salts=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)))
+            / F.lit(10000.0)
+        ).alias("revenue"),
+    )

@@ -567,3 +567,17 @@ def test_histogram_sketch_merge_and_accuracy(spark):
         for r in sketch.histogram_quantiles(whole, 100.0, [0.5, 0.9]).collect()
     }
     assert abs(est[0.5] - 1000.5) <= 100 and abs(est[0.9] - 1800.5) <= 100
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join results — including on a skewed key
+    (90% of rows share one key) and with keys missing from either side."""
+    from duckdb_dbt_finance_warehouse_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)] + [(99, -1)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "tag"])
+    got = sorted(map(tuple, salted_join(big, small, ["k"], n_salts=4).collect()))
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want
