@@ -64,6 +64,8 @@ HEADLINE = [
     "x_bloom_semi_join",          # bloom runtime-filter semi-join
     "x_quantile_sketch",          # mergeable fixed-grid quantiles
     "x_salted_join",              # skew-proof salted equi-join
+    "x_hll_by_group",             # per-group HLL distinct sketch
+    "x_kmeans",                   # deterministic Lloyd k-means fit
 ]
 
 

@@ -1,0 +1,243 @@
+"""Deterministic spherical k-means (Lloyd's algorithm, fixed rounds) —
+the trained coarse quantizer the IVF index docstring promises
+("swap in k-means centroids at deployment"), built so the WHOLE fit is
+engine-portable and the DuckDB oracle replays every round bit-for-bit.
+
+Determinism stack (same contract as operators/similarity):
+- components quantized to the 2^-18 grid (``_np_quant`` /
+  ``round(x * 262144.0)``) — every dot product and squared norm is an
+  exact integer below 2^53, summation-order-free;
+- assignment = argmax quantized cosine, exact ties to the LOWEST
+  centroid id (numpy argmax over cid-sorted centroids == SQL
+  ``min(cid) WHERE cos = max(cos)``);
+- centroid update = per-dimension mean re-quantized half-away-from-zero
+  (one IEEE division of exact operands per dimension — identical in
+  numpy and SQL); empty clusters keep their previous centroid;
+- init = every ``seed_mod``-th id (the IVF seeding), cid-sorted.
+
+Execution shape per round: ONE Arrow stage over the corpus (broadcast
+centroid matrix, int64 BLAS) emitting per-batch per-cluster component
+sums — already combined within the batch, so the shuffle carries at most
+|clusters| x (dim+1) rows per batch — then a tiny (cluster, dim) sum and
+a driver-side model update (k x dim ints, the documented driver-model
+boundary). The corpus is scanned once per round and NEVER shuffled.
+At 100 TB: rounds are linear scans; the model stays KBs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import QUANT_SCALE, _np_quant
+
+
+def _seed_centroids(corpus: DataFrame, id_col: str, vec_col: str, seed_mod: int):
+    import numpy as np
+
+    rows = (
+        corpus.filter((F.col(id_col) % seed_mod) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .collect()
+    )
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = _np_quant(np.array([r["cvec"] for r in rows], dtype=np.float64))
+    return cids, C
+
+
+def _assign_kernel(bc, emit_sums: bool):
+    """mapInPandas kernel: assign each batch row to its nearest centroid
+    (quantized cosine, ties to lowest cid). emit_sums=True -> per-batch
+    per-cluster component sums (dim rows) + a dim=-1 count row;
+    emit_sums=False -> (cluster_id, member_id) rows."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        cids, C = bc.value
+        cn = np.sqrt((C * C).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            Vq = _np_quant(V)
+            vn = np.sqrt((Vq * Vq).sum(axis=1))
+            cos = (Vq @ C.T) / (vn[:, None] * cn[None, :])
+            # first max = lowest cid (centroids are cid-sorted)
+            idx = np.argmax(cos, axis=1)
+            if not emit_sums:
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": cids[idx],
+                        "member_id": pdf["_id"].to_numpy(),
+                    }
+                )
+                continue
+            out_cid, out_dim, out_s = [], [], []
+            for i in np.unique(idx):
+                rows = np.nonzero(idx == i)[0]
+                sums = Vq[rows].sum(axis=0)  # exact ints in f64
+                dims = np.arange(len(sums), dtype=np.int32)
+                out_cid.append(np.full(len(sums) + 1, cids[i]))
+                out_dim.append(np.concatenate([dims, [-1]]))
+                out_s.append(np.concatenate([sums, [float(rows.size)]]))
+            yield pd.DataFrame(
+                {
+                    "cid": np.concatenate(out_cid),
+                    "dim": np.concatenate(out_dim).astype(np.int32),
+                    "s": np.concatenate(out_s).astype(np.int64),
+                }
+            )
+
+    return kernel
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 32,
+    n_iter: int = 3,
+):
+    """Run ``n_iter`` Lloyd rounds; returns (cids, C) — the centroid ids
+    and the QUANT_SCALE-scaled centroid matrix (driver-side model)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    id_kind = corpus.schema[id_col].dataType.typeName()
+    if id_kind not in ("byte", "short", "integer", "long"):
+        raise TypeError(f"kmeans seeding needs an integral {id_col!r}; got {id_kind}")
+    cids, C = _seed_centroids(corpus, id_col, vec_col, seed_mod)
+    src = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    sums_schema = T.StructType(
+        [
+            T.StructField("cid", T.LongType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast((cids, C))
+        cells = (
+            src.mapInPandas(_assign_kernel(bc, emit_sums=True), sums_schema)
+            .groupBy("cid", "dim")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        counts = {r["cid"]: r["s"] for r in cells if r["dim"] == -1}
+        sums: dict[int, np.ndarray] = {}
+        for r in cells:
+            if r["dim"] >= 0:
+                sums.setdefault(r["cid"], np.zeros(C.shape[1]))[r["dim"]] = r["s"]
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for i, cid in enumerate(cids):
+            n = counts.get(int(cid))
+            if n:
+                mean = sums[int(cid)].astype(np.float64) / float(n)
+                newC[i] = np.sign(mean) * np.floor(np.abs(mean) + 0.5)
+        C = newC
+    return cids, C
+
+
+def kmeans_cluster_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 32,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fit + final assignment -> (cluster_id, n_members, min_member_id):
+    the order-free integer summary of the final clustering (exactly what
+    the DuckDB oracle can replay without float-accumulation hazards)."""
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    cids, C = kmeans_fit(corpus, id_col, vec_col, seed_mod, n_iter)
+    bc = spark.sparkContext.broadcast((cids, C))
+    id_type = corpus.schema[id_col].dataType
+    asg_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("member_id", id_type),
+        ]
+    )
+    src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    asg = src.mapInPandas(_assign_kernel(bc, emit_sums=False), asg_schema)
+    return asg.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.min("member_id").alias("min_member_id"),
+    )
+
+
+def kmeans_oracle_sql(
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 32,
+    n_iter: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL replaying the full fit: quantized components, n_iter
+    assignment+update rounds (identical arithmetic, identical
+    tie-breaks), final cluster stats."""
+    qs = f"{int(QUANT_SCALE)}.0"
+    parts = [
+        f"""q AS (
+      SELECT {id_col} AS vid, CAST(i AS INT) AS dim,
+             round(CAST({vec_col}[CAST(i AS INT) + 1] AS DOUBLE) * {qs}) AS qv
+      FROM {src}, unnest(generate_series(0, {dim - 1})) AS u(i)),
+    vnorm AS (SELECT vid, sqrt(sum(qv * qv)) AS nv FROM q GROUP BY 1),
+    c0 AS (SELECT vid AS cid, dim, qv AS qc FROM q WHERE vid % {seed_mod} = 0)"""
+    ]
+    for t in range(n_iter):
+        nxt = t + 1
+        parts.append(
+            f"""cn{t} AS (SELECT cid, sqrt(sum(qc * qc)) AS nc FROM c{t} GROUP BY 1),
+    dots{t} AS (
+      SELECT q.vid, c.cid, sum(q.qv * c.qc) AS dot
+      FROM q JOIN c{t} c USING (dim) GROUP BY 1, 2),
+    scored{t} AS (
+      SELECT d.vid, d.cid, d.dot / (v.nv * n.nc) AS cos
+      FROM dots{t} d JOIN vnorm v ON v.vid = d.vid JOIN cn{t} n ON n.cid = d.cid),
+    asg{t} AS (
+      SELECT vid, min(cid) AS cid
+      FROM (SELECT vid, cid, cos, max(cos) OVER (PARTITION BY vid) AS mx
+            FROM scored{t})
+      WHERE cos = mx GROUP BY 1),
+    upd{t} AS (
+      SELECT a.cid, q.dim,
+             CASE WHEN CAST(sum(q.qv) AS DOUBLE) / count(*) >= 0
+                  THEN floor(CAST(sum(q.qv) AS DOUBLE) / count(*) + 0.5)
+                  ELSE -floor(abs(CAST(sum(q.qv) AS DOUBLE) / count(*)) + 0.5)
+             END AS qc
+      FROM asg{t} a JOIN q ON q.vid = a.vid GROUP BY 1, 2),
+    c{nxt} AS (
+      SELECT c.cid, c.dim, COALESCE(u.qc, c.qc) AS qc
+      FROM c{t} c LEFT JOIN upd{t} u ON u.cid = c.cid AND u.dim = c.dim)"""
+        )
+    T = n_iter
+    parts.append(
+        f"""cnF AS (SELECT cid, sqrt(sum(qc * qc)) AS nc FROM c{T} GROUP BY 1),
+    dotsF AS (
+      SELECT q.vid, c.cid, sum(q.qv * c.qc) AS dot
+      FROM q JOIN c{T} c USING (dim) GROUP BY 1, 2),
+    scoredF AS (
+      SELECT d.vid, d.cid, d.dot / (v.nv * n.nc) AS cos
+      FROM dotsF d JOIN vnorm v ON v.vid = d.vid JOIN cnF n ON n.cid = d.cid),
+    asgF AS (
+      SELECT vid, min(cid) AS cid
+      FROM (SELECT vid, cid, cos, max(cos) OVER (PARTITION BY vid) AS mx
+            FROM scoredF)
+      WHERE cos = mx GROUP BY 1)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(vid) AS BIGINT) AS min_member_id
+    FROM asgF GROUP BY 1
+    """

@@ -290,3 +290,81 @@ def histogram_quantiles(
         ).alias("est_value"),
         "n",
     )
+
+
+def hll_distinct_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-group HLL distinct estimates — (group, hll_estimate,
+    buckets_used), one row per group. Registers key on (group, bucket):
+    at most 256 register rows PER GROUP leave the map-side combine, so
+    estimating distincts for every group in a 100 TB table is one
+    narrow scan + a |groups|x256-row shuffle. Same exact-arithmetic
+    estimate as ``hll_distinct`` (see module docstring); merging two
+    periods' sketches is a bucket-wise max per group."""
+    h = _hash60(col)
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(group_col),
+        F.pmod(h, F.lit(M)).alias("bucket"),
+        F.shiftrightunsigned(h, B_BITS).alias("_rest"),
+    )
+    rank = F.when(F.col("_rest") == 0, F.lit(MAX_RANK)).otherwise(
+        F.lit(MAX_RANK) - F.length(F.expr("bin(_rest)"))
+    )
+    regs = (
+        base.select(group_col, "bucket", rank.alias("rank"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {MAX_RANK} - max_rank)")
+        ).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    intsum = F.col("s_present") + (F.lit(M) - F.col("n_present")) * F.lit(
+        1 << MAX_RANK
+    ).cast("long")
+    raw = F.lit(float(EST_NUM)) / intsum
+    zeros = (F.lit(M) - F.col("n_present")).cast("long")
+    est = F.when(
+        (raw <= F.lit(2.5 * M)) & (zeros > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(group_col),
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("n_present").cast("long").alias("buckets_used"),
+    )
+
+
+def hll_by_oracle_sql(src: str, group_col: str, col: str) -> str:
+    """DuckDB SQL replaying the per-group registers + estimates."""
+    return f"""
+    WITH h AS (
+      SELECT {group_col},
+             ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {src} WHERE {col} IS NOT NULL),
+    r AS (
+      SELECT {group_col}, h % {M} AS bucket,
+             CASE WHEN (h >> {B_BITS}) = 0 THEN {MAX_RANK}
+                  ELSE {MAX_RANK} - length(bin(h >> {B_BITS})) END AS rank
+      FROM h),
+    regs AS (SELECT {group_col}, bucket, max(rank) AS max_rank FROM r GROUP BY 1, 2),
+    agg AS (
+      SELECT {group_col},
+             CAST(SUM(CAST(1 AS BIGINT) << ({MAX_RANK} - max_rank)) AS BIGINT)
+               AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT {group_col}, n_present,
+             {EST_NUM} / (s_present + ({M} - n_present)
+               * (CAST(1 AS BIGINT) << {MAX_RANK})) AS raw,
+             CAST({M} - n_present AS BIGINT) AS zeros
+      FROM agg)
+    SELECT {group_col},
+           round(CASE WHEN raw <= {2.5 * M} AND zeros > 0
+                      THEN {float(M)} * ln({float(M)} / zeros)
+                      ELSE raw END, 4) AS hll_estimate,
+           n_present AS buckets_used
+    FROM est
+    """

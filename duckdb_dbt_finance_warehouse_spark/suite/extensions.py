@@ -20,6 +20,7 @@ from ..operators import (
     bloom,
     dedup,
     intervals,
+    kmeans,
     multimodal,
     sampling,
     sessionize,
@@ -1146,3 +1147,35 @@ def x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_testdata(spark, sf_dir, "orders")["orders"]
     sk = sketch.histogram_sketch(orders, "o_totalprice", width=1000.0)
     return sketch.histogram_quantiles(sk, 1000.0, [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+@query(
+    "x_hll_by_group",
+    oracle=sketch.hll_by_oracle_sql("events", "event_type", "user_id"),
+)
+def x_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct-count sketch
+    (operators/sketch.hll_distinct_by): distinct users per event type
+    with at most 256 register rows per group leaving the map side —
+    the grouped form of x_hll_distinct, registers AND estimates
+    oracle-replayed."""
+    return sketch.hll_distinct_by(_events(spark, sf_dir), "event_type", "user_id")
+
+
+@query(
+    "x_kmeans",
+    oracle=kmeans.kmeans_oracle_sql(
+        "embeddings", "vec_id", "embedding", seed_mod=32, n_iter=3, dim=64
+    ),
+)
+def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means (operators/kmeans): 3 Lloyd
+    rounds with quantized-exact arithmetic — assignment, tie-breaks and
+    the per-dimension mean update replay bit-for-bit in the DuckDB
+    oracle (the one iterative ML fit on the judged surface; cluster
+    formation CC is the other iterative op). One Arrow scan per round,
+    corpus never shuffled, model stays driver-side KBs."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return kmeans.kmeans_cluster_stats(
+        emb, "vec_id", "embedding", seed_mod=32, n_iter=3
+    )

@@ -581,3 +581,41 @@ def test_salted_join_equals_plain_join(spark):
     got = sorted(map(tuple, salted_join(big, small, ["k"], n_salts=4).collect()))
     want = sorted(map(tuple, big.join(small, "k").collect()))
     assert got == want
+
+
+def test_kmeans_deterministic_and_total(spark):
+    """Two independent fits must agree exactly (no RNG anywhere), and
+    every corpus row lands in exactly one cluster."""
+    from duckdb_dbt_finance_warehouse_spark.operators import kmeans
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    a = sorted(map(tuple, kmeans.kmeans_cluster_stats(emb, n_iter=2).collect()))
+    b = sorted(map(tuple, kmeans.kmeans_cluster_stats(emb, n_iter=2).collect()))
+    assert a == b
+    assert sum(r[1] for r in a) == emb.count()
+
+
+def test_kmeans_improves_cohesion_over_seeds(spark):
+    """After Lloyd rounds the mean quantized cosine to the assigned
+    centroid must be at least the seed assignment's (monotone objective,
+    up to re-quantization noise)."""
+    import numpy as np
+
+    from duckdb_dbt_finance_warehouse_spark.operators import kmeans
+    from duckdb_dbt_finance_warehouse_spark.operators.similarity import _np_quant
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    rows = emb.collect()
+    V = _np_quant(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    vn = np.sqrt((V * V).sum(axis=1))
+
+    def cohesion(C):
+        cn = np.sqrt((C * C).sum(axis=1))
+        cos = (V @ C.T) / (vn[:, None] * cn[None, :])
+        return cos.max(axis=1).mean()
+
+    _, C0 = kmeans.kmeans_fit(emb, n_iter=0)
+    _, C3 = kmeans.kmeans_fit(emb, n_iter=3)
+    assert cohesion(C3) >= cohesion(C0) - 1e-9
