@@ -173,7 +173,7 @@ def kmeans_cluster_stats(
     )
 
 
-def kmeans_oracle_sql(
+def kmeans_oracle_ctes(
     src: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -181,9 +181,8 @@ def kmeans_oracle_sql(
     n_iter: int = 3,
     dim: int = 64,
 ) -> str:
-    """DuckDB SQL replaying the full fit: quantized components, n_iter
-    assignment+update rounds (identical arithmetic, identical
-    tie-breaks), final cluster stats."""
+    """CTE chain (q, vnorm, c0 .. c{n_iter}) replaying the fit — embed
+    in a larger WITH to consume the trained centroids (c{n_iter})."""
     qs = f"{int(QUANT_SCALE)}.0"
     parts = [
         f"""q AS (
@@ -234,7 +233,21 @@ def kmeans_oracle_sql(
             FROM scoredF)
       WHERE cos = mx GROUP BY 1)"""
     )
-    body = ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def kmeans_oracle_sql(
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 32,
+    n_iter: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL replaying the full fit: quantized components, n_iter
+    assignment+update rounds (identical arithmetic, identical
+    tie-breaks), final cluster stats."""
+    body = kmeans_oracle_ctes(src, id_col, vec_col, seed_mod, n_iter, dim)
     return f"""
     WITH {body}
     SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,

@@ -244,8 +244,15 @@ def ivf_ann_topk(
     k: int = 5,
     n_centroids_mod: int = 32,
     n_probes: int = 2,
+    model=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
+
+    ``model``: optional trained quantizer ``(cids, C_scaled)`` as
+    returned by ``operators.kmeans.kmeans_fit`` — centroid ids plus the
+    QUANT_SCALE-scaled centroid matrix. When given, it replaces the
+    deterministic id-sample seeding below; the probing plan is
+    unchanged.
 
     Coarse quantizer: a deterministic sample of corpus vectors acts as
     centroids (every ``n_centroids_mod``-th id — reproducible without a
@@ -291,14 +298,17 @@ def ivf_ann_topk(
             f"ivf_ann_topk requires an integral {id_col!r} (centroids are "
             f"seeded by id % {n_centroids_mod}); got {id_kind}"
         )
-    cent_rows = (
-        corpus.filter((F.col(id_col) % n_centroids_mod) == 0)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy("cid")
-        .collect()
-    )
-    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-    Cq = _np_quant(np.array([r["cvec"] for r in cent_rows], dtype=np.float64))
+    if model is not None:
+        cids, Cq = np.asarray(model[0], dtype=np.int64), np.asarray(model[1], dtype=np.float64)
+    else:
+        cent_rows = (
+            corpus.filter((F.col(id_col) % n_centroids_mod) == 0)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy("cid")
+            .collect()
+        )
+        cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+        Cq = _np_quant(np.array([r["cvec"] for r in cent_rows], dtype=np.float64))
     cnorms = np.sqrt((Cq * Cq).sum(axis=1))
     n_probes_eff = min(n_probes, len(cids))
 

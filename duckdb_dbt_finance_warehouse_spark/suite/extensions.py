@@ -1179,3 +1179,55 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_cluster_stats(
         emb, "vec_id", "embedding", seed_mod=32, n_iter=3
     )
+
+
+_IVF_TRAINED_CENTS = f"""
+      SELECT cid AS centroid_id, list(qc / {_QS} ORDER BY dim) AS cent_vec
+      FROM c3 GROUP BY cid"""
+
+
+@query(
+    "x_ann_ivf_trained",
+    oracle=f"""
+    WITH {kmeans.kmeans_oracle_ctes("embeddings", "vec_id", "embedding", seed_mod=32, n_iter=3, dim=64)},
+    cents AS ({_IVF_TRAINED_CENTS}),
+    assign AS (
+      SELECT v.vec_id AS cand_id, v.embedding AS c_vec, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {_CENT_COS.format(a='v')} DESC, c.centroid_id) AS crank
+      FROM embeddings v CROSS JOIN cents c),
+    lists AS (SELECT cand_id, c_vec, centroid_id FROM assign WHERE crank = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_CENT_COS.format(a='q')} DESC, c.centroid_id) AS crank
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5),
+    scored AS (
+      SELECT p.query_id, l.cand_id,
+             round(
+               list_sum(list_transform(list_zip(p.q_vec, l.c_vec),
+                        z -> round(CAST(z[1] AS DOUBLE) * {_QS}) * round(CAST(z[2] AS DOUBLE) * {_QS})))
+               / (sqrt(list_sum(list_transform(p.q_vec, x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))
+                * sqrt(list_sum(list_transform(l.c_vec, x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))),
+               6) AS cosine
+      FROM (SELECT * FROM probes WHERE crank <= 2) p
+      JOIN lists l ON l.centroid_id = p.centroid_id AND l.cand_id != p.query_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN story end-to-end: TRAIN the coarse quantizer
+    (operators/kmeans, 3 deterministic Lloyd rounds) then serve IVF
+    top-k against it (operators/similarity.ivf_ann_topk with
+    model=...) — train, build inverted lists, probe, all
+    oracle-replayed bit-for-bit. Centroids after training are better
+    balanced than the id-sample seeds, so probes see fuller lists."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    model = kmeans.kmeans_fit(emb, "vec_id", "embedding", seed_mod=32, n_iter=3)
+    return similarity.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_probes=2, model=model
+    )
