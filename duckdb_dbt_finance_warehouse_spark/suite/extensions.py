@@ -1231,3 +1231,92 @@ def x_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_probes=2, model=model
     )
+
+
+_SW_LIST = ", ".join("'" + w + "'" for ws in text.STOPWORDS.values() for w in ws)
+
+
+@query(
+    "x_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE mh AS (
+      SELECT id_a, id_b FROM ({_minhash_portable_oracle(k=4, n_hashes=32, bands=8, threshold=0.5)}) p),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh),
+    reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label AS label
+      FROM edges e JOIN reach r ON r.node = e.dst),
+    labels AS (
+      SELECT node AS member_id, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY 1),
+    membership AS (
+      SELECT d.doc_id AS member_id,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON l.member_id = d.doc_id),
+    q AS (
+      SELECT doc_id, CAST(length(t) AS INT) AS n_chars_norm,
+             CAST(round(
+               (CASE WHEN length(t) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g'))
+                        / greatest(length(t), 1) < 0.1 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN len(list_intersect(string_split(t, ' '), [{_SW_LIST}])) > 0
+                  THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
+      FROM (SELECT doc_id, {_NORM} AS t FROM documents)),
+    ranked AS (
+      SELECT m.cluster_id, m.member_id, q.quality_score, q.n_chars_norm,
+             row_number() OVER (PARTITION BY m.cluster_id
+               ORDER BY q.quality_score DESC, q.n_chars_norm DESC, m.member_id)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS n_members
+      FROM membership m JOIN q ON q.doc_id = m.member_id)
+    SELECT cluster_id, member_id AS keep_id, n_members,
+           quality_score AS keep_quality, n_chars_norm AS keep_n_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION a curation pipeline actually ships:
+    MinHash-LSH candidate pairs -> connected components (transitive
+    closure) -> pick each cluster's canonical survivor by quality score
+    (tiebreak: longer normalized text, then lowest id); unpaired docs
+    are their own singleton clusters. Composes operators/dedup
+    (minhash_lsh_dedup_portable + dedup_clusters) with
+    operators/text.quality_score; one window over cluster membership on
+    top of the LSH pipeline's shuffles."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_portable(
+        docs, "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
+    )
+    clusters = dedup.dedup_clusters(pairs)
+    membership = docs.select("doc_id").join(
+        clusters, docs["doc_id"] == clusters["member_id"], "left"
+    ).select(
+        F.col("doc_id").alias("member_id"),
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    q = text.quality_score(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("member_id"), "quality_score", "n_chars_norm"
+    )
+    j = membership.join(q, "member_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.desc("n_chars_norm"), F.asc("member_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("member_id").alias("keep_id"),
+            "n_members",
+            F.col("quality_score").alias("keep_quality"),
+            F.col("n_chars_norm").alias("keep_n_chars"),
+        )
+    )
