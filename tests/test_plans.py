@@ -103,3 +103,34 @@ def test_partial_aggregation_before_shuffle(spark):
         df.explain()
     p = buf.getvalue()
     assert "partial_sum" in p  # map-side combine
+
+
+def test_quantile_sketch_prunes_to_one_column(spark):
+    """The sketch scan must read ONLY the sketched column."""
+    p = plan_of(spark, "x_quantile_sketch")
+    assert "ReadSchema: struct<o_totalprice:double>" in p
+
+
+def test_bloom_filter_stays_in_scan_stage(spark):
+    """The Bloom membership test is a filter over the probe scan — no
+    joins or exchanges may appear on the probe side before the grouped
+    aggregation, and the scan reads only the probed + grouped columns."""
+    p = plan_of(spark, "x_bloom_semi_join")
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>" in p
+
+
+def test_langid_single_aggregation_no_join_no_window(spark):
+    """language_id is one doc-keyed aggregation + a rejoin to docs — the
+    stopword table must be inlined (no broadcast join for votes, no
+    ranking window)."""
+    p = plan_of(spark, "x_text_langid")
+    assert "Window" not in p
+
+
+def test_repetition_single_exchange(spark):
+    """repetition_stats: one pre-explode repartition serves both
+    aggregations — exactly one shuffle exchange in the plan."""
+    p = plan_of(spark, "x_text_repetition")
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1
