@@ -66,6 +66,7 @@ HEADLINE = [
     "x_salted_join",              # skew-proof salted equi-join
     "x_hll_by_group",             # per-group HLL distinct sketch
     "x_kmeans",                   # deterministic Lloyd k-means fit
+    "x_curation_pipeline",        # five-operator curation pass, one plan
 ]
 
 

@@ -1320,3 +1320,114 @@ def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars_norm").alias("keep_n_chars"),
         )
     )
+
+
+@query(
+    "x_curation_pipeline",
+    oracle=f"""
+    WITH sw(pred_lang, tok) AS (VALUES {_STOPWORD_VALUES}),
+    toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    votes AS (SELECT doc_id, pred_lang, CAST(count(*) AS BIGINT) AS votes
+              FROM toks JOIN sw USING (tok) GROUP BY 1, 2),
+    best AS (SELECT doc_id, pred_lang, votes,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY votes DESC, pred_lang) AS rn
+             FROM votes),
+    lang AS (
+      SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang
+      FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+    q AS (
+      SELECT doc_id,
+             CAST(round(
+               (CASE WHEN length(t) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g'))
+                        / greatest(length(t), 1) < 0.1 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN len(list_intersect(string_split(t, ' '), [{_SW_LIST}])) > 0
+                  THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
+      FROM (SELECT doc_id, {_NORM} AS t FROM documents)),
+    h AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
+    w AS (SELECT content_hash, min(doc_id) AS keep_id FROM h GROUP BY 1),
+    dup AS (SELECT h.doc_id, (h.doc_id != w.keep_id) AS is_duplicate
+            FROM h JOIN w USING (content_hash)),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(g, ' ') AS gram
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+           LATERAL (SELECT list_slice(t, CAST(i AS INT), CAST(i AS INT) + 7) AS g
+                    FROM unnest(generate_series(1, greatest(len(t) - 7, 1))) AS u(i))),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM cg c JOIN (SELECT gram FROM cg WHERE doc_id < 20) e USING (gram)),
+    flags AS (
+      SELECT d.doc_id, l.pred_lang, q.quality_score,
+             (c.doc_id IS NOT NULL) AS is_contaminated,
+             dup.is_duplicate,
+             {_U} < (CASE WHEN l.pred_lang = 'en' THEN 0.9 ELSE 0.5 END) AS sampled
+      FROM documents d
+      JOIN lang l USING (doc_id)
+      JOIN q USING (doc_id)
+      JOIN dup USING (doc_id)
+      LEFT JOIN contaminated c USING (doc_id))
+    SELECT doc_id, pred_lang, quality_score,
+           CASE WHEN is_contaminated THEN 'decontaminated'
+                WHEN is_duplicate THEN 'duplicate'
+                WHEN quality_score < 0.7 THEN 'low_quality'
+                WHEN NOT sampled THEN 'sampled_out'
+                ELSE 'keep' END AS reason,
+           (NOT is_contaminated AND NOT is_duplicate
+            AND quality_score >= 0.7 AND sampled) AS kept
+    FROM flags
+    """,
+)
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pass in one declarative plan — what a training
+    team actually runs nightly: language ID, quality scoring, exact
+    dedup, eval-set decontamination, and deterministic mixture sampling
+    composed into a per-document keep/drop decision with the FIRST
+    failing filter as the audit reason. Every stage is an operator
+    already judged standalone; Catalyst fuses the five into shared
+    scans + broadcast joins, and the hash-derived sampling keeps the
+    decision reproducible across engines and reruns."""
+    docs = _docs(spark, sf_dir)
+    lang = text.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    qual = text.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    dup = dedup.exact_dedup(docs, "doc_id", "text").select("doc_id", "is_duplicate")
+    cont = text.decontaminate(
+        docs, docs.filter(F.col("doc_id") < 20), "doc_id", "text", "doc_id", "text", n=8
+    ).select("doc_id", F.lit(True).alias("_cont"))
+    u = sampling.hash_uniform("doc_id")
+    flags = (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(dup, "doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "quality_score",
+            F.coalesce("_cont", F.lit(False)).alias("is_contaminated"),
+            "is_duplicate",
+            (
+                u < F.when(F.col("pred_lang") == "en", 0.9).otherwise(0.5)
+            ).alias("sampled"),
+        )
+    )
+    kept = (
+        ~F.col("is_contaminated")
+        & ~F.col("is_duplicate")
+        & (F.col("quality_score") >= 0.7)
+        & F.col("sampled")
+    )
+    reason = (
+        F.when(F.col("is_contaminated"), "decontaminated")
+        .when(F.col("is_duplicate"), "duplicate")
+        .when(F.col("quality_score") < 0.7, "low_quality")
+        .when(~F.col("sampled"), "sampled_out")
+        .otherwise("keep")
+    )
+    return flags.select(
+        "doc_id", "pred_lang", "quality_score",
+        reason.alias("reason"), kept.alias("kept"),
+    )
