@@ -67,6 +67,8 @@ HEADLINE = [
     "x_hll_by_group",             # per-group HLL distinct sketch
     "x_kmeans",                   # deterministic Lloyd k-means fit
     "x_curation_pipeline",        # five-operator curation pass, one plan
+    "x_ann_ivf_probe_table",      # IVF serving: cogrouped table probes
+    "x_ann_lsh_probe_table",      # LSH serving: cogrouped table probes
 ]
 
 

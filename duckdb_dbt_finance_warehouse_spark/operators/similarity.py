@@ -384,6 +384,288 @@ def ivf_ann_topk(
     )
 
 
+def _pair_score_cogroup_fn():
+    """Build the cogroup scoring kernel shared by the probe-table ANN
+    paths: given (candidates, probes) pandas frames for one co-located
+    group (an IVF inverted list or an LSH bucket), block-matmul the
+    quantized cosine of every (probe, candidate) pair, drop self-matches,
+    and emit rounded scores. All arithmetic is quantized-exact
+    (``QUANT_SCALE``), so the DuckDB oracle replays it bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    empty = {
+        "query_id": np.array([], dtype=object),
+        "cand_id": np.array([], dtype=object),
+        "cosine": np.array([], dtype=np.float64),
+    }
+
+    def score(cands: pd.DataFrame, probes: pd.DataFrame) -> pd.DataFrame:
+        if len(cands) == 0 or len(probes) == 0:
+            return pd.DataFrame(empty)
+        Xq = _np_quant(np.stack(cands["_vec"].to_numpy()).astype(np.float64))
+        Qq = _np_quant(np.stack(probes["_vec"].to_numpy()).astype(np.float64))
+        xn = np.sqrt((Xq * Xq).sum(axis=1))
+        qn = np.sqrt((Qq * Qq).sum(axis=1))
+        C = (Qq @ Xq.T) / np.outer(qn, xn)
+        # ROUND(x, 6) half away from zero, as both SQL engines do
+        C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+        qids = probes["query_id"].to_numpy()
+        cids = cands["cand_id"].to_numpy()
+        qi, ci = np.meshgrid(
+            np.arange(len(qids)), np.arange(len(cids)), indexing="ij"
+        )
+        qi, ci = qi.ravel(), ci.ravel()
+        keep = qids[qi] != cids[ci]
+        return pd.DataFrame(
+            {
+                "query_id": qids[qi[keep]],
+                "cand_id": cids[ci[keep]],
+                "cosine": C[qi[keep], ci[keep]],
+            }
+        )
+
+    return score
+
+
+def ivf_ann_topk_probe_table(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids_mod: int = 32,
+    n_probes: int = 2,
+    model=None,
+) -> DataFrame:
+    """IVF top-k where the PROBE SIDE IS A DATAFRAME of arbitrary size —
+    the serving path for batch/offline query tables. Unlike
+    ``ivf_ann_topk`` (which collects a handful of driver-origin probe
+    vectors), nothing data-sized touches the driver here: only the
+    centroid MODEL is collected/broadcast (bounded at
+    |corpus|/n_centroids_mod rows — KB-scale, same as loading a trained
+    quantizer).
+
+    Shape: one Arrow stage assigns each corpus row to its nearest
+    centroid; a second Arrow stage fans each probe out to its
+    ``n_probes`` nearest centroids; both sides then co-shuffle ONCE on
+    ``centroid_id`` and a cogroup kernel block-matmuls each inverted
+    list against exactly the probes that probe it. Shuffle volume is
+    |corpus| + n_probes x |queries| vectors — pairs never ride a
+    shuffle. Per-list work is |list| x |probes(list)|; a hot list is the
+    residual skew risk (same mitigation as any skewed key: raise
+    n_centroids_mod so lists shrink).
+
+    Scores are quantized-exact (``QUANT_SCALE``) and the DuckDB oracle
+    replays seeding, assignment, probing, and top-k bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    id_kind = corpus.schema[id_col].dataType.typeName()
+    if id_kind not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"ivf_ann_topk_probe_table requires an integral {id_col!r} "
+            f"(centroids are seeded by id % {n_centroids_mod}); got {id_kind}"
+        )
+    if model is not None:
+        cids = np.asarray(model[0], dtype=np.int64)
+        Cq = np.asarray(model[1], dtype=np.float64)
+    else:
+        cent_rows = (
+            corpus.filter((F.col(id_col) % n_centroids_mod) == 0)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy("cid")
+            .collect()
+        )
+        cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+        Cq = _np_quant(np.array([r["cvec"] for r in cent_rows], dtype=np.float64))
+    cnorms = np.sqrt((Cq * Cq).sum(axis=1))
+    n_probes_eff = min(n_probes, len(cids))
+    bc = spark.sparkContext.broadcast((cids, Cq, cnorms))
+
+    id_type = corpus.schema[id_col].dataType
+    vec_type = corpus.schema[vec_col].dataType
+    cand_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("cand_id", id_type),
+            T.StructField("_vec", vec_type),
+        ]
+    )
+    probe_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("_vec", queries.schema[vec_col].dataType),
+        ]
+    )
+
+    def assign_corpus(batches):
+        cids_, Cq_, cn_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xq = _np_quant(np.stack(pdf["_vec"].to_numpy()).astype(np.float64))
+            xn = np.sqrt((Xq * Xq).sum(axis=1))
+            cos = (Xq @ Cq_.T) / (xn[:, None] * cn_[None, :])
+            # argmax returns the FIRST max; centroids are cid-sorted, so
+            # exact ties break to the lowest cid (matches the oracle)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": cids_[np.argmax(cos, axis=1)],
+                    "cand_id": pdf["cand_id"].to_numpy(),
+                    "_vec": pdf["_vec"].to_numpy(),
+                }
+            )
+
+    def assign_probes(batches):
+        cids_, Cq_, cn_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Qq = _np_quant(np.stack(pdf["_vec"].to_numpy()).astype(np.float64))
+            qn = np.sqrt((Qq * Qq).sum(axis=1))
+            cos = (Qq @ Cq_.T) / (qn[:, None] * cn_[None, :])
+            # stable sort on -cos keeps cid-ascending order among ties
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probes_eff]
+            n = len(pdf)
+            idx = np.repeat(np.arange(n), n_probes_eff)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": cids_[order.ravel()],
+                    "query_id": pdf["query_id"].to_numpy()[idx],
+                    "_vec": pdf["_vec"].to_numpy()[idx],
+                }
+            )
+
+    cands = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(assign_corpus, cand_schema)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(assign_probes, probe_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("cand_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    score = _pair_score_cogroup_fn()
+    scored = (
+        cands.groupBy("centroid_id")
+        .cogroup(probes.groupBy("centroid_id"))
+        .applyInPandas(score, out_schema)
+    )
+    # (query, cand) appears at most once: a candidate lives in exactly
+    # one inverted list and a probe visits each list at most once — no
+    # distinct needed before the top-k window.
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def lsh_ann_topk_probe_table(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH ANN top-k with a DataFrame probe side of arbitrary size — the
+    serving path when queries arrive as a table, not a handful of
+    driver-origin vectors. Nothing data-sized is collected: the only
+    broadcast is the ±1 sign matrix (n_tables x n_planes x dim literals).
+
+    Shape: both sides run the same one-pass Arrow bucket assignment
+    (vectors ride along), co-shuffle ONCE on (tbl, bucket), and a
+    cogroup kernel scores each bucket's probes against its candidates.
+    A pair colliding in several tables is emitted per collision with an
+    identical quantized-exact score, so a global DISTINCT dedupes it
+    safely before the top-k window — the same invariant
+    ``embedding_near_dup_pairs_lsh`` relies on."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    S = _sign_matrix(n_tables, n_planes, dim)
+    bc = corpus.sparkSession.sparkContext.broadcast(S)
+
+    def bucketed(df: DataFrame, out_id: str, src_id_type, src_vec_type):
+        schema = T.StructType(
+            [
+                T.StructField("tbl", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+                T.StructField(out_id, src_id_type),
+                T.StructField("_vec", src_vec_type),
+            ]
+        )
+
+        def assign(batches):
+            S_ = bc.value
+            tbls = np.arange(n_tables, dtype=np.int32)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+                B = _np_bucket_ids(V, S_, n_tables, n_planes)
+                n = len(pdf)
+                idx = np.repeat(np.arange(n), n_tables)
+                yield pd.DataFrame(
+                    {
+                        "tbl": np.tile(tbls, n),
+                        "bucket": B.ravel(),
+                        out_id: pdf[out_id].to_numpy()[idx],
+                        "_vec": pdf["_vec"].to_numpy()[idx],
+                    }
+                )
+
+        return df.mapInPandas(assign, schema)
+
+    cands = bucketed(
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec")),
+        "cand_id",
+        corpus.schema[id_col].dataType,
+        corpus.schema[vec_col].dataType,
+    )
+    probes = bucketed(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vec")),
+        "query_id",
+        queries.schema[id_col].dataType,
+        queries.schema[vec_col].dataType,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("cand_id", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    score = _pair_score_cogroup_fn()
+    scored = (
+        cands.groupBy("tbl", "bucket")
+        .cogroup(probes.groupBy("tbl", "bucket"))
+        .applyInPandas(score, out_schema)
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -384,6 +384,91 @@ def x_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_ann_ivf_probe_table",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 32 = 0),
+    assign AS (
+      SELECT v.vec_id AS cand_id, v.embedding AS c_vec, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {_CENT_COS.format(a='v')} DESC, c.centroid_id) AS crank
+      FROM embeddings v CROSS JOIN cents c),
+    lists AS (SELECT cand_id, c_vec, centroid_id FROM assign WHERE crank = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.centroid_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_CENT_COS.format(a='q')} DESC, c.centroid_id) AS crank
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 2 = 0),
+    scored AS (
+      SELECT p.query_id, l.cand_id,
+             round(
+               list_sum(list_transform(list_zip(p.q_vec, l.c_vec),
+                        z -> round(CAST(z[1] AS DOUBLE) * {_QS}) * round(CAST(z[2] AS DOUBLE) * {_QS})))
+               / (sqrt(list_sum(list_transform(p.q_vec, x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))
+                * sqrt(list_sum(list_transform(l.c_vec, x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))),
+               6) AS cosine
+      FROM (SELECT * FROM probes WHERE crank <= 2) p
+      JOIN lists l ON l.centroid_id = p.centroid_id AND l.cand_id != p.query_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def x_ann_ivf_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN SERVING with a table-sized probe side (half the corpus —
+    250/1000 probes at sf0.01/sf0.1), the path VERDICT r3 flagged:
+    operators/similarity.ivf_ann_topk_probe_table never collects the
+    probe set — corpus and probes are centroid-assigned in two Arrow
+    stages and co-shuffled once on centroid_id into a cogroup
+    block-matmul. Only the KB-scale centroid model touches the driver.
+    Same quantized-exact arithmetic as x_ann_ivf_topk, so the oracle
+    replays the full pipeline bit-for-bit."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ivf_ann_topk_probe_table(
+        emb, emb.filter(F.col("vec_id") % 2 == 0), k=5,
+        n_centroids_mod=32, n_probes=2,
+    )
+
+
+@query(
+    "x_ann_lsh_probe_table",
+    oracle=f"""
+    WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+    cands AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+      FROM (SELECT * FROM bk WHERE vec_id % 2 = 0) qb
+      JOIN bk cb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                AND cb.vec_id != qb.vec_id),
+    scored AS (
+      SELECT cands.query_id, cands.cand_id, {_QCOS_PAIR} AS cosine
+      FROM cands
+      JOIN embeddings q ON q.vec_id = cands.query_id
+      JOIN embeddings c ON c.vec_id = cands.cand_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN SERVING with a table-sized probe side (half the corpus):
+    operators/similarity.lsh_ann_topk_probe_table bucket-assigns both
+    sides in one-pass Arrow stages, co-shuffles once on (tbl, bucket),
+    and scores per-bucket via a cogroup block matmul — no probe collect,
+    no cross product; multi-table collisions dedup by exact DISTINCT
+    (quantized scores are identical across collisions)."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.lsh_ann_topk_probe_table(
+        emb, emb.filter(F.col("vec_id") % 2 == 0), k=5,
+        n_tables=8, n_planes=4, dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

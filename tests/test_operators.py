@@ -169,6 +169,29 @@ def test_lsh_ann_matches_exact_cosines_and_has_recall(spark):
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
 
 
+def test_probe_table_ann_matches_driver_probe_paths(spark):
+    """The serving variants (probe side = DataFrame, cogroup pairing,
+    no driver collect of probes) must return exactly the rows of the
+    driver-probe paths on the same probe set — same candidates, same
+    quantized scores, same ranks."""
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    probes = emb.filter(F.col("vec_id") % 7 == 0)
+
+    ivf_old = sorted(map(tuple, similarity.ivf_ann_topk(emb, probes, k=5).collect()))
+    ivf_new = sorted(
+        map(tuple, similarity.ivf_ann_topk_probe_table(emb, probes, k=5).collect())
+    )
+    assert ivf_old == ivf_new and ivf_new
+
+    lsh_old = sorted(map(tuple, similarity.lsh_ann_topk(emb, probes, k=5).collect()))
+    lsh_new = sorted(
+        map(tuple, similarity.lsh_ann_topk_probe_table(emb, probes, k=5).collect())
+    )
+    assert lsh_old == lsh_new and lsh_new
+
+
 def test_lsh_ann_and_near_dup_accept_string_ids(spark):
     """The generic id_col API must hold for non-integer ids: same
     vectors keyed by string ids must produce the same neighbor structure

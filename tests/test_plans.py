@@ -96,6 +96,19 @@ def test_no_all_pairs_joins_anywhere(spark):
     assert offenders == []
 
 
+@pytest.mark.parametrize(
+    "name", ["x_ann_ivf_probe_table", "x_ann_lsh_probe_table"]
+)
+def test_probe_table_ann_is_cogrouped_not_crossed(spark, name):
+    """The table-probe ANN serving paths must pair probes and candidates
+    by co-shuffled key (FlatMapCoGroupsInPandas on centroid_id /
+    (tbl, bucket)) — never a cross product, never a per-pair join."""
+    p = plan_of(spark, name)
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
 def test_partial_aggregation_before_shuffle(spark):
     df = REGISTRY["a1_grouped_sum_q1"].fn(spark, SF)
     buf = io.StringIO()
