@@ -69,6 +69,7 @@ HEADLINE = [
     "x_curation_pipeline",        # five-operator curation pass, one plan
     "x_ann_ivf_probe_table",      # IVF serving: cogrouped table probes
     "x_ann_lsh_probe_table",      # LSH serving: cogrouped table probes
+    "x_dedup_incremental",        # batch-vs-index incremental near-dup
 ]
 
 

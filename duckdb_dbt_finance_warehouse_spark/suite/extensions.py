@@ -135,7 +135,11 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_portable_oracle(
-    k: int = 5, n_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    incremental_mod: int | None = None,
 ) -> str:
     from ..operators.dedup import PORTABLE_PRIME, portable_hash_params
 
@@ -143,6 +147,15 @@ def _minhash_portable_oracle(
     seeds = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in ((j, portable_hash_params(j)) for j in range(n_hashes))
     )
+    if incremental_mod is None:
+        pair_pred = "a.doc_id < b.doc_id"
+    else:
+        # incremental mode: id_a must be a NEW doc (id % mod = 0); vs the
+        # index either id order is kept, vs other new docs only id_a < id_b
+        pair_pred = (
+            f"a.doc_id % {incremental_mod} = 0"
+            f" AND ((b.doc_id % {incremental_mod} != 0) OR a.doc_id < b.doc_id)"
+        )
     return f"""
     WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents),
     sh AS (
@@ -161,7 +174,7 @@ def _minhash_portable_oracle(
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        ON a.band = b.band AND a.bkey = b.bkey AND {pair_pred})
     SELECT p.id_a, p.id_b,
            CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
                 / {float(n_hashes)} AS DOUBLE) AS est_jaccard
@@ -199,6 +212,34 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup_portable(
         _docs(spark, sf_dir), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
     )
+
+
+@query(
+    "x_dedup_incremental",
+    oracle=_minhash_portable_oracle(
+        k=5, n_hashes=64, bands=16, threshold=0.5, incremental_mod=4
+    ),
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the nightly production mode
+    (operators/dedup.minhash_lsh_dedup_incremental, the reference's S10
+    high-watermark pattern applied to dedup, stg_accounts.sql:9-11):
+    a NEW batch (doc_id % 4 = 0) is deduped against a persisted
+    MinHash index of the already-ingested corpus (doc_id % 4 != 0)
+    without re-scanning it — O(batch) signature work + one band join
+    that touches only colliding index rows. Pairs keep (new, index)
+    in either id order and canonicalize new-new pairs to id_a < id_b;
+    the oracle replays index + batch bands with the same predicate."""
+    docs = _docs(spark, sf_dir)
+    index_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    index_sigs = dedup.portable_signatures(index_docs, "doc_id", "text", k=5, n_hashes=64)
+    index_bands = dedup.portable_bands(index_sigs, "doc_id", bands=16, n_hashes=64)
+    pairs, _new_sigs, _new_bands = dedup.minhash_lsh_dedup_incremental(
+        new_docs, index_sigs, index_bands, "doc_id", "text",
+        k=5, n_hashes=64, bands=16, threshold=0.5,
+    )
+    return pairs
 
 
 @query(
