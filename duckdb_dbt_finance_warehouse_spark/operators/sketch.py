@@ -268,24 +268,43 @@ def histogram_quantiles(
     Returns (q, est_value, n). The 1-row total rides a scalar broadcast
     (j6 pattern); every arithmetic step is written identically in the
     DuckDB oracle, so estimates match bit-for-bit."""
-    spark = sketch.sparkSession
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = sketch.withColumn("cum", F.sum("cnt").over(w))
-    t = sketch.agg(F.sum("cnt").cast("long").alias("n"))
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    sel = (
-        qdf.crossJoin(F.broadcast(t))
-        .crossJoin(F.broadcast(c))
-        .groupBy("q", "n")
-        .agg(F.min(F.when(F.col("cum") >= F.col("q") * F.col("n"), F.col("bin"))).alias("bin"))
+    # ONE fused job, no window: the earlier shape referenced the sketch
+    # subtree three times (three scans, three scheduling floors), and a
+    # global-window rewrite still tripped WindowExec's "No Partition
+    # Defined" warning (a foldable partition key is optimized away). The
+    # cell count is bounded by value_range/width regardless of data
+    # size, so the whole sketch fits ONE array row: sort the cells,
+    # compute the running cumulative with an expression-level fold, and
+    # for each q pick the first cell whose cum reaches q*n — exactly the
+    # oracle's min(CASE WHEN cum >= q*n THEN bin END), interpolated in
+    # the same arithmetic. The interpreted fold touches ~500 elements
+    # once; the data-sized scan below it stays whole-stage codegen.
+    cum = F.expr(
+        "aggregate(cells,"
+        " struct(cast(array() as array<struct<bin:bigint,cnt:bigint,cum:bigint>>) as a,"
+        "        cast(0 as bigint) as s),"
+        " (acc, c) -> struct(acc.a || array(cast(named_struct("
+        "     'bin', c.bin, 'cnt', c.cnt, 'cum', acc.s + c.cnt)"
+        "     as struct<bin:bigint,cnt:bigint,cum:bigint>)),"
+        "   acc.s + c.cnt),"
+        " acc -> acc.a)"
     )
-    return sel.join(F.broadcast(c), "bin").select(
+    packed = (
+        sketch.agg(
+            F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("cells")
+        )
+        .select(cum.alias("cc"))
+        .select("cc", F.element_at("cc", -1)["cum"].cast("long").alias("n"))
+    )
+    target = F.col("q") * F.col("n")
+    sel = F.element_at(F.filter("cc", lambda c: c["cum"] >= target), 1)
+    return packed.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "cc", "n"
+    ).select(
         "q",
         F.round(
-            F.col("bin") * F.lit(width)
-            + F.lit(width)
-            * (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
-            / F.col("cnt"),
+            sel["bin"] * F.lit(width)
+            + F.lit(width) * (target - (sel["cum"] - sel["cnt"])) / sel["cnt"],
             6,
         ).alias("est_value"),
         "n",

@@ -79,7 +79,6 @@ BNLJ_ALLOWED = {
     "x_ann_ivf_topk",
     "x_tfidf_top_terms",
     "x_winsorize",
-    "x_quantile_sketch",  # 5-quantile literal x few-hundred-row sketch
 }
 
 
