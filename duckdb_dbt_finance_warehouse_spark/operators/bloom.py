@@ -27,49 +27,87 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BLOOM_K = 4  # hash functions
-BLOOM_M = 1 << 16  # bits
+BLOOM_M = 1 << 16  # minimum filter size in bits (m never sizes below this)
+BLOOM_BITS_PER_KEY = 16  # target m/n; K=4 hashes -> FP ~ 0.24%
+BLOOM_M_MAX = 1 << 20  # plan-size bound: m/64 literal words in the probe plan
 
 
-def _bit(key: F.Column, j: int) -> F.Column:
-    """j-th portable bit position: md5("<j>:<key>") -> 60-bit int -> mod M."""
+def bloom_m_for(n_keys: int) -> int:
+    """Size the filter from the OBSERVED build-side key count: the
+    smallest power of two >= BLOOM_BITS_PER_KEY * n_keys (never below
+    BLOOM_M). A fixed m degrades sharply past a few thousand keys
+    (m=2^16 at 30k keys -> FP ~ 0.49 — a filter that passes half the
+    non-matching rows); sizing by key count holds FP near
+    (1 - e^(-K*n/m))^K ~ 0.24% at any build size. Bounded above by
+    BLOOM_M_MAX because the bitmap ships in the plan as m/64 constant
+    words — beyond that a Bloom filter is the wrong tool (use a real
+    join), so this RAISES rather than silently degrading."""
+    m = BLOOM_M
+    while m < BLOOM_BITS_PER_KEY * n_keys:
+        m <<= 1
+    if m > BLOOM_M_MAX:
+        raise ValueError(
+            f"bloom filter over {n_keys} keys needs m={m} bits"
+            f" > BLOOM_M_MAX={BLOOM_M_MAX}; use a real (broadcast) join"
+        )
+    return m
+
+
+def count_bloom_keys(keys: DataFrame, key_col: str) -> int:
+    """Distinct non-null build-side keys — the one tiny job that sizes
+    the filter (the build side is small by assumption; that is why a
+    Bloom filter applies at all)."""
+    k = F.col(key_col)
+    return keys.filter(k.isNotNull()).select(key_col).distinct().count()
+
+
+def _bit(key: F.Column, j: int, m_bits: int) -> F.Column:
+    """j-th portable bit position: md5("<j>:<key>") -> 60-bit int -> mod m."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 15),
         16,
         10,
     ).cast("long")
-    return F.pmod(h, F.lit(BLOOM_M))
+    return F.pmod(h, F.lit(m_bits))
 
 
-def bloom_bits(keys: DataFrame, key_col: str) -> DataFrame:
+def bloom_bits(keys: DataFrame, key_col: str, m_bits: int = BLOOM_M) -> DataFrame:
     """The filter itself: distinct set bit positions over the build-side
-    keys. One small aggregation; merge filters by UNION DISTINCT."""
+    keys. One small aggregation; merge filters by UNION DISTINCT (same
+    m_bits on both sides)."""
     k = F.col(key_col)
     return (
         keys.filter(k.isNotNull())
-        .select(F.explode(F.array(*[_bit(k, j) for j in range(BLOOM_K)])).alias("bit"))
+        .select(
+            F.explode(
+                F.array(*[_bit(k, j, m_bits) for j in range(BLOOM_K)])
+            ).alias("bit")
+        )
         .distinct()
     )
 
 
-def _bit_sql(probe_col: str, j: int) -> str:
+def _bit_sql(probe_col: str, j: int, m_bits: int) -> str:
     """SQL text twin of ``_bit`` (same expression, parsed not built —
     see ``bloom_member_pred``)."""
     return (
         f"pmod(cast(conv(substring(md5(concat('{j}:', cast(`{probe_col}` as string)))"
-        f", 1, 15), 16, 10) as bigint), {BLOOM_M})"
+        f", 1, 15), 16, 10) as bigint), {m_bits})"
     )
 
 
-def bloom_words(bits: list[int]) -> list[int]:
-    """Pack set bit positions into the classic bitmap form: M/64 signed
+def bloom_words(bits: list[int], m_bits: int = BLOOM_M) -> list[int]:
+    """Pack set bit positions into the classic bitmap form: m/64 signed
     64-bit words (what a Bloom filter actually is on the wire)."""
-    words = [0] * (BLOOM_M >> 6)
+    words = [0] * (m_bits >> 6)
     for b in bits:
         words[b >> 6] |= 1 << (b & 63)
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
-def bloom_member_pred(probe_col: str, bits: list[int]) -> F.Column:
+def bloom_member_pred(
+    probe_col: str, bits: list[int], m_bits: int = BLOOM_M
+) -> F.Column:
     """Membership predicate against a driver-held bit set, embedded in
     the plan as the filter's natural form: a constant array of M/64
     words probed with element_at + a bitwise AND — K O(1) word tests,
@@ -78,10 +116,10 @@ def bloom_member_pred(probe_col: str, bits: list[int]) -> F.Column:
     (10k+ literal nodes) measurably stalls Catalyst's optimizer passes,
     and `Column.isin(10k values)` additionally pays a py4j round-trip
     per literal."""
-    arr = "array(" + ",".join(f"{w}L" for w in bloom_words(bits)) + ")"
+    arr = "array(" + ",".join(f"{w}L" for w in bloom_words(bits, m_bits)) + ")"
     tests = []
     for j in range(BLOOM_K):
-        h = _bit_sql(probe_col, j)  # value in [0, BLOOM_M)
+        h = _bit_sql(probe_col, j, m_bits)  # value in [0, m_bits)
         tests.append(
             f"(element_at({arr}, cast(({h}) div 64 as int) + 1)"
             f" & shiftleft(cast(1 as bigint), cast(({h}) % 64 as int))) != 0"
@@ -89,13 +127,16 @@ def bloom_member_pred(probe_col: str, bits: list[int]) -> F.Column:
     return F.expr(" AND ".join(tests))
 
 
-def collect_bloom_bits(keys: DataFrame, key_col: str) -> list[int]:
+def collect_bloom_bits(keys: DataFrame, key_col: str) -> tuple[int, list[int]]:
     """Materialize the filter driver-side — a Bloom filter IS a tiny
-    runtime artifact (<= M_BITS ints, a few hundred KB worst-case); this
+    runtime artifact (<= m_bits ints, a few hundred KB worst-case); this
     is the documented driver-side-model boundary (same pattern as the
     IVF centroid table and LSH hyperplanes), matching how engines ship
-    runtime filters to scan tasks."""
-    return [r["bit"] for r in bloom_bits(keys, key_col).collect()]
+    runtime filters to scan tasks. Returns ``(m_bits, bits)`` with
+    m_bits sized from the observed distinct key count (``bloom_m_for``),
+    so the FP rate stays ~0.24% instead of collapsing at large builds."""
+    m_bits = bloom_m_for(count_bloom_keys(keys, key_col))
+    return m_bits, [r["bit"] for r in bloom_bits(keys, key_col, m_bits).collect()]
 
 
 def bloom_semi_join(
@@ -107,9 +148,8 @@ def bloom_semi_join(
     (one small job) and applied as a native InSet predicate in the probe
     scan's stage: the probe side is never shuffled, never joined, and
     pays zero broadcast-build jobs."""
-    return probe.filter(
-        bloom_member_pred(probe_col, collect_bloom_bits(keys, key_col))
-    )
+    m_bits, bits = collect_bloom_bits(keys, key_col)
+    return probe.filter(bloom_member_pred(probe_col, bits, m_bits))
 
 
 def bloom_contains(
@@ -120,30 +160,54 @@ def bloom_contains(
     the Bloom filter built over ``keys.key_col``? Flag form instead of
     filtering, for plans that need pass/fail counts side by side in ONE
     probe scan."""
-    return probe.withColumn(
-        flag, bloom_member_pred(probe_col, collect_bloom_bits(keys, key_col))
-    )
+    m_bits, bits = collect_bloom_bits(keys, key_col)
+    return probe.withColumn(flag, bloom_member_pred(probe_col, bits, m_bits))
 
 
-def bloom_oracle_bits_sql(keys_sql: str, key_col: str) -> str:
+def bloom_oracle_m_sql(keys_sql: str, key_col: str) -> str:
+    """DuckDB scalar replaying ``bloom_m_for(count_bloom_keys(...))``:
+    the smallest power of two >= BLOOM_BITS_PER_KEY * distinct keys
+    (floor BLOOM_M, hard error past BLOOM_M_MAX — same raise as the
+    Spark side). Wrap in a CTE and thread ``(SELECT m FROM <cte>)`` as
+    ``m_sql`` into the bits/member helpers."""
+    return f"""
+      SELECT CASE WHEN min(p) IS NULL
+                  THEN error('bloom filter build exceeds BLOOM_M_MAX; use a real join')
+                  ELSE min(p) END AS m
+      FROM (SELECT (CAST(1 AS BIGINT) << CAST(g AS INT)) AS p
+            FROM unnest(range(16, 41)) t(g)) pw
+      WHERE p >= greatest({BLOOM_M}, {BLOOM_BITS_PER_KEY} * (
+              SELECT count(DISTINCT {key_col}) FROM ({keys_sql}) kc
+              WHERE {key_col} IS NOT NULL))
+        AND p <= {BLOOM_M_MAX}
+    """
+
+
+def bloom_oracle_bits_sql(
+    keys_sql: str, key_col: str, m_sql: str = str(BLOOM_M)
+) -> str:
     """DuckDB subquery producing the identical set-bit table from
-    ``keys_sql`` (a subquery exposing ``key_col``)."""
+    ``keys_sql`` (a subquery exposing ``key_col``). ``m_sql`` is the
+    filter size — pass ``(SELECT m FROM <m-cte>)`` to replay the
+    key-count-sized filter."""
     return f"""
       SELECT DISTINCT
              ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT
-               % {BLOOM_M} AS bit
+               % ({m_sql}) AS bit
       FROM ({keys_sql}) k
       CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS j) hashes
       WHERE {key_col} IS NOT NULL
     """
 
 
-def bloom_oracle_member_pred(probe_col: str, bits_cte: str) -> str:
+def bloom_oracle_member_pred(
+    probe_col: str, bits_cte: str, m_sql: str = str(BLOOM_M)
+) -> str:
     """DuckDB predicate: all K bit positions of ``probe_col`` are set
     (membership test replaying the Spark semi-joins verbatim)."""
     tests = [
         f"(('0x' || substr(md5('{j}:' || CAST({probe_col} AS VARCHAR)), 1, 15))::BIGINT"
-        f" % {BLOOM_M}) IN (SELECT bit FROM {bits_cte})"
+        f" % ({m_sql})) IN (SELECT bit FROM {bits_cte})"
         for j in range(BLOOM_K)
     ]
     return " AND ".join(tests)

@@ -57,12 +57,20 @@ def _assign_kernel(bc, emit_sums: bool):
     def kernel(batches):
         cids, C = bc.value
         cn = np.sqrt((C * C).sum(axis=1))
+        # zero-norm guard: a 0-vector makes cosine NaN and argmax would
+        # silently pick centroid 0 while the SQL `cos = mx` predicate
+        # drops the row — raise instead (house policy: checks raise,
+        # never silently diverge). Mirrored by error() in the oracle.
+        if np.any(cn == 0):
+            raise ValueError("kmeans: zero-norm centroid vector")
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
             Vq = _np_quant(V)
             vn = np.sqrt((Vq * Vq).sum(axis=1))
+            if np.any(vn == 0):
+                raise ValueError("kmeans: zero-norm embedding vector")
             cos = (Vq @ C.T) / (vn[:, None] * cn[None, :])
             # first max = lowest cid (centroids are cid-sorted)
             idx = np.argmax(cos, axis=1)
@@ -189,13 +197,17 @@ def kmeans_oracle_ctes(
       SELECT {id_col} AS vid, CAST(i AS INT) AS dim,
              round(CAST({vec_col}[CAST(i AS INT) + 1] AS DOUBLE) * {qs}) AS qv
       FROM {src}, unnest(generate_series(0, {dim - 1})) AS u(i)),
-    vnorm AS (SELECT vid, sqrt(sum(qv * qv)) AS nv FROM q GROUP BY 1),
+    vnorm AS (SELECT vid, CASE WHEN sum(qv * qv) = 0
+                  THEN error('kmeans: zero-norm embedding vector')
+                  ELSE sqrt(sum(qv * qv)) END AS nv FROM q GROUP BY 1),
     c0 AS (SELECT vid AS cid, dim, qv AS qc FROM q WHERE vid % {seed_mod} = 0)"""
     ]
     for t in range(n_iter):
         nxt = t + 1
         parts.append(
-            f"""cn{t} AS (SELECT cid, sqrt(sum(qc * qc)) AS nc FROM c{t} GROUP BY 1),
+            f"""cn{t} AS (SELECT cid, CASE WHEN sum(qc * qc) = 0
+                  THEN error('kmeans: zero-norm centroid vector')
+                  ELSE sqrt(sum(qc * qc)) END AS nc FROM c{t} GROUP BY 1),
     dots{t} AS (
       SELECT q.vid, c.cid, sum(q.qv * c.qc) AS dot
       FROM q JOIN c{t} c USING (dim) GROUP BY 1, 2),
@@ -220,7 +232,9 @@ def kmeans_oracle_ctes(
         )
     T = n_iter
     parts.append(
-        f"""cnF AS (SELECT cid, sqrt(sum(qc * qc)) AS nc FROM c{T} GROUP BY 1),
+        f"""cnF AS (SELECT cid, CASE WHEN sum(qc * qc) = 0
+                  THEN error('kmeans: zero-norm centroid vector')
+                  ELSE sqrt(sum(qc * qc)) END AS nc FROM c{T} GROUP BY 1),
     dotsF AS (
       SELECT q.vid, c.cid, sum(q.qv * c.qc) AS dot
       FROM q JOIN c{T} c USING (dim) GROUP BY 1, 2),

@@ -51,8 +51,15 @@ def load_testdata(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Da
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+        ts_kind = dict(df.dtypes).get("ts") if n == "events" else None
+        if ts_kind == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_kind == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet: the naive
+            # value IS the UTC wall clock; session tz is UTC (set above),
+            # so this cast maps it to the same TimestampType instants the
+            # nanos path produces — downstream epoch casts keep working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out[n] = df
     return out
 
@@ -99,10 +106,20 @@ class Warehouse:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
     ) -> None:
+        # heal a mid-swap crash from a previous write_staged run: without
+        # this, a plain overwrite recreates the target while the stale
+        # _trash_<table> sibling lingers on disk indefinitely.
+        self._recover(schema, table)
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(schema, table))
+        # a crash after write_staged's swap but before its cleanup leaves
+        # a stale trash sibling; the write above is now the durable copy,
+        # so the shadow can go.
+        import shutil
+
+        shutil.rmtree(self.path(schema, f"_trash_{table}"), ignore_errors=True)
 
     def write_staged(
         self,

@@ -40,11 +40,22 @@ EVENT_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over an events parquet directory; ns epoch
-    normalized to TimestampType exactly like the batch loader."""
+    """File-source stream over an events parquet directory; ``ts``
+    normalized to TimestampType exactly like the batch loader
+    (``sources.tables.load_testdata``): TIMESTAMP(NANOS)-as-long files
+    are floored to micros, TIMESTAMP_NTZ files are mapped to the same
+    UTC instants. The file schema is probed with one batch-read of the
+    footer (streams need an explicit schema up front)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static_schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(static_schema).parquet(path)
+    kind = dict((f.name, f.dataType.typeName()) for f in static_schema.fields).get("ts")
+    if kind == "long":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if kind == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_raw_to_staging(

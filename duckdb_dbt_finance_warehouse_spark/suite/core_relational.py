@@ -1425,8 +1425,5 @@ def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = salted_join(li, su, ["suppkey"], n_salts=8)
     return j.groupBy("s_nationkey").agg(
         F.count("*").alias("n"),
-        (
-            F.sum(F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)))
-            / F.lit(10000.0)
-        ).alias("revenue"),
+        exact_sum("l_extendedprice", scale=4).alias("revenue"),
     )

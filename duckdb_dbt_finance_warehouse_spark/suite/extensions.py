@@ -1196,10 +1196,11 @@ _BLOOM_KEYS = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
 @query(
     "x_bloom_semi_join",
     oracle=f"""
-    WITH bits AS ({bloom.bloom_oracle_bits_sql(_BLOOM_KEYS, "c_custkey")}),
+    WITH bm AS ({bloom.bloom_oracle_m_sql(_BLOOM_KEYS, "c_custkey")}),
+    bits AS ({bloom.bloom_oracle_bits_sql(_BLOOM_KEYS, "c_custkey", "SELECT m FROM bm")}),
     flags AS (
       SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
-             ({bloom.bloom_oracle_member_pred("o_custkey", "bits")}) AS in_bloom,
+             ({bloom.bloom_oracle_member_pred("o_custkey", "bits", "SELECT m FROM bm")}) AS in_bloom,
              o_custkey IN ({_BLOOM_KEYS}) AS is_true
       FROM orders)
     SELECT order_month,
