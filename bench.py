@@ -70,6 +70,9 @@ HEADLINE = [
     "x_ann_ivf_probe_table",      # IVF serving: cogrouped table probes
     "x_ann_lsh_probe_table",      # LSH serving: cogrouped table probes
     "x_dedup_incremental",        # batch-vs-index incremental near-dup
+    "x_pack_sequences",           # concat-and-chunk sequence packing
+    "x_maintenance_compaction",   # prefix-sum compaction planning
+    "x_snapshot_diff",            # table-state audit diff (full-outer)
 ]
 
 

@@ -1,0 +1,112 @@
+"""Sequence packing — the concat-and-chunk step a training-data pipeline
+runs between curation and the trainer: documents are concatenated in a
+deterministic order and sliced into fixed token-budget sequences, so a
+doc may span two (or more) sequences and a sequence usually carries
+pieces of several docs.
+
+Why this shape (vs first-fit bin packing): greedy bin packing is
+inherently stateful (each placement depends on every earlier bin's
+remaining space) and so cannot be expressed as a window — while
+concat-and-chunk is exactly ONE prefix-sum per stream, which both
+Spark (running-sum window) and the DuckDB oracle replay bit-for-bit.
+It is also what large LM data pipelines actually do: concatenate and
+cut at the context length, tracking piece boundaries.
+
+Scale story: packing is sequential WITHIN a stream, so the corpus is
+first split into ``n_streams`` independent streams by ``id % n_streams``
+and each stream packs in parallel — one shuffle (the window's hash
+partitioning on ``stream``), no global window. At 100 TB you raise
+``n_streams`` to a multiple of the cluster's task slots; each stream's
+running sum is a single ordered scan of that stream's (id, token_count)
+rows — KBs per doc, not the doc bytes themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int = 512,
+    n_streams: int = 16,
+) -> DataFrame:
+    """Assign every document to its packed sequence(s).
+
+    Output, one row per (doc, sequence) piece:
+      stream       : packing stream = id % n_streams
+      seq_id       : sequence index within the stream (0-based)
+      <id_col>     : the document
+      piece_tokens : tokens of this doc landing in this sequence
+      is_head      : True on the doc's first piece (tail pieces are the
+                     spill-over of a doc cut at a sequence boundary)
+
+    Zero-token docs are dropped (nothing to pack). The running sum is
+    over LONG token counts — order-independent and exact, no float
+    accumulation anywhere.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
+    s = df.filter(F.col(token_col) > 0).select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("_tok"),
+        F.pmod(F.col(id_col), F.lit(n_streams)).alias("stream"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        s.withColumn("_cum_end", F.sum("_tok").over(w))
+        .withColumn("_start", F.col("_cum_end") - F.col("_tok"))
+    )
+    # chunks this doc touches: floor(start/B) .. floor((end-1)/B)
+    e = c.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {budget}"), F.expr(f"(_cum_end - 1) div {budget}")
+            )
+        ),
+    )
+    lo = F.greatest(F.col("_start"), F.col("seq_id") * budget)
+    hi = F.least(F.col("_cum_end"), (F.col("seq_id") + 1) * budget)
+    return e.select(
+        "stream",
+        "seq_id",
+        id_col,
+        (hi - lo).alias("piece_tokens"),
+        (F.col("_start") >= F.col("seq_id") * budget).alias("is_head"),
+    )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int = 512,
+    n_streams: int = 16,
+) -> DataFrame:
+    """Per-stream packing summary over ``pack_sequences``: sequence
+    count, docs packed, split-doc count, and the fill rate of the
+    FULL sequences (every sequence but a stream's last is exactly
+    ``budget`` tokens by construction — the interesting number is the
+    tail waste). One extra aggregation over the piece rows."""
+    pieces = pack_sequences(df, id_col, token_col, budget, n_streams)
+    per_seq = pieces.groupBy("stream", "seq_id").agg(
+        F.sum("piece_tokens").alias("_seq_tokens"),
+        F.count("*").alias("_n_pieces"),
+    )
+    return per_seq.groupBy("stream").agg(
+        F.count("*").alias("n_sequences"),
+        F.sum("_n_pieces").alias("n_pieces"),
+        F.sum("_seq_tokens").alias("total_tokens"),
+        # fill = tokens / (sequences * budget); tail sequence may be short
+        F.round(
+            F.sum("_seq_tokens") / (F.count("*") * F.lit(budget)).cast("double"), 6
+        ).alias("fill_rate"),
+    )

@@ -113,3 +113,30 @@ def run_snapshot(ctx: Context, m: Model) -> None:
     # the merge reads the files it is about to replace -> staged write +
     # directory swap: old state stays durable until the new one is
     ctx.wh.write_staged(merged, m.schema, m.name)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str], hash_col: str = "record_hash"
+) -> DataFrame:
+    """Audit diff of two table states — the inspection half of the SCD2
+    merge above: which keys were added / removed / changed between two
+    snapshots (per-row content identity via ``hash_col``, the same
+    record-hash contract as the check-strategy merge, P6).
+
+    One co-partitioned full-outer shuffle join on the key; only keys +
+    hashes travel, never the payload columns. Rows whose content is
+    unchanged are dropped (the interesting output is the delta, and at
+    100 TB the unchanged set is the overwhelming majority)."""
+    o = old.select(*key_cols, F.col(hash_col).alias("_old_h"))
+    n = new.select(*key_cols, F.col(hash_col).alias("_new_h"))
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old_h").isNull(), "added")
+        .when(F.col("_new_h").isNull(), "removed")
+        .when(F.col("_old_h") != F.col("_new_h"), "changed")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

@@ -156,3 +156,19 @@ class Warehouse:
             os.rename(target, trash)  # old state kept until swap completes
         os.rename(staging, target)
         shutil.rmtree(trash, ignore_errors=True)
+
+    def compact(
+        self, schema: str, table: str, target_rows_per_file: int
+    ) -> int:
+        """Rewrite ``schema.table`` into ceil(rows / target) evenly-sized
+        files — the maintenance pass that undoes small-file accretion
+        from incremental appends (see operators/maintenance). Uses the
+        crash-safe staged swap (``write_staged``), so a failure mid-
+        compaction leaves the original table intact. Returns the file
+        count written. Round-robin repartition gives equal-size outputs;
+        on a cluster each output file is one task's single sorted write."""
+        df = self.read(schema, table)
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        self.write_staged(df.repartition(n_files), schema, table)
+        return n_files

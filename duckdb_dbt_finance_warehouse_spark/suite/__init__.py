@@ -55,6 +55,9 @@ DRIVER_PRIORITY: list[str] = [
     "x_ann_ivf_probe_table",
     "x_ann_lsh_probe_table",
     "x_maintenance_compaction",
+    "x_pack_sequences",
+    "x_pack_efficiency",
+    "x_snapshot_diff",
     # -- checked in only one or two prior rounds --
     "x_text_langid",
     "x_text_quality",

@@ -21,7 +21,9 @@ from ..operators import (
     dedup,
     intervals,
     kmeans,
+    maintenance,
     multimodal,
+    packing,
     sampling,
     sessionize,
     similarity,
@@ -1558,3 +1560,176 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pred_lang", "quality_score",
         reason.alias("reason"), kept.alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing & table maintenance
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_PACK_STREAMS = 16
+
+_PACK_PIECES_CTES = f"""
+    t AS (SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS toks
+          FROM documents),
+    s AS (SELECT doc_id, doc_id % {_PACK_STREAMS} AS stream, toks
+          FROM t WHERE toks > 0),
+    c AS (SELECT *, CAST(SUM(toks) OVER (PARTITION BY stream ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+          FROM s),
+    b AS (SELECT *, cum_end - toks AS strt FROM c),
+    pieces AS (
+      SELECT stream, doc_id, toks, strt, cum_end,
+             CAST(unnest(generate_series(strt // {_PACK_BUDGET},
+                         (cum_end - 1) // {_PACK_BUDGET})) AS BIGINT) AS seq_id
+      FROM b)
+"""
+
+
+@query(
+    "x_pack_sequences",
+    oracle=f"""
+    WITH {_PACK_PIECES_CTES}
+    SELECT stream, seq_id, doc_id,
+           CAST(least(cum_end, (seq_id + 1) * {_PACK_BUDGET})
+                - greatest(strt, seq_id * {_PACK_BUDGET}) AS BIGINT) AS piece_tokens,
+           (strt >= seq_id * {_PACK_BUDGET}) AS is_head
+    FROM pieces
+    """,
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing): docs are
+    concatenated per stream (id % streams) in id order and sliced into
+    {budget}-token sequences; a doc crossing a boundary spans two
+    sequences (is_head marks its first piece). One prefix-sum window per
+    stream over (id, token_count) rows — streams pack in parallel, no
+    global window, and the doc BYTES never enter the shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = text.token_counts(docs, "doc_id", "text").select(
+        "doc_id", F.col("n_ws_tokens").alias("toks")
+    )
+    return packing.pack_sequences(
+        toks, "doc_id", "toks", budget=_PACK_BUDGET, n_streams=_PACK_STREAMS
+    )
+
+
+@query(
+    "x_pack_efficiency",
+    oracle=f"""
+    WITH {_PACK_PIECES_CTES},
+    piece_rows AS (
+      SELECT stream, seq_id,
+             least(cum_end, (seq_id + 1) * {_PACK_BUDGET})
+               - greatest(strt, seq_id * {_PACK_BUDGET}) AS piece_tokens
+      FROM pieces),
+    per_seq AS (
+      SELECT stream, seq_id, SUM(piece_tokens) AS seq_tokens,
+             count(*) AS n_pieces
+      FROM piece_rows GROUP BY 1, 2)
+    SELECT stream,
+           CAST(count(*) AS BIGINT) AS n_sequences,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(seq_tokens) AS DOUBLE)
+                 / (count(*) * {float(_PACK_BUDGET)}), 6) AS fill_rate
+    FROM per_seq GROUP BY 1
+    """,
+)
+def x_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing fill-rate rollup (operators/packing.pack_efficiency):
+    sequences, pieces, tokens, and fill per stream — the waste metric
+    that decides the packing budget. Composes over x_pack_sequences'
+    piece rows with one extra bounded aggregation."""
+    docs = _docs(spark, sf_dir)
+    toks = text.token_counts(docs, "doc_id", "text").select(
+        "doc_id", F.col("n_ws_tokens").alias("toks")
+    )
+    return packing.pack_efficiency(
+        toks, "doc_id", "toks", budget=_PACK_BUDGET, n_streams=_PACK_STREAMS
+    )
+
+
+_COMPACT_TARGET = 5000
+
+
+@query(
+    "x_maintenance_compaction",
+    oracle=f"""
+    WITH p AS (
+      SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1),
+    c AS (SELECT *, CAST(SUM(n_rows) OVER (ORDER BY order_month
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+          FROM p)
+    SELECT order_month, n_rows,
+           (cum_end - n_rows) // {_COMPACT_TARGET} AS compaction_group
+    FROM c
+    """,
+)
+def x_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (operators/maintenance.compaction_plan):
+    adjacent order months are binned into ~{target}-row compaction
+    groups by one prefix sum over the per-month counts — the rewrite
+    schedule a maintenance job executes (Warehouse.compact). The window
+    runs over month SUMMARIES (bounded cardinality at any corpus size),
+    never over the fact rows."""
+    orders = load_testdata(spark, sf_dir, "orders")["orders"]
+    return maintenance.compaction_plan(
+        orders,
+        F.trunc("o_orderdate", "month"),
+        target_rows=_COMPACT_TARGET,
+        part_name="order_month",
+    )
+
+
+@query(
+    "x_snapshot_diff",
+    oracle="""
+    WITH old_s AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS record_hash
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    new_s AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN '9-RESTATED'
+                      ELSE o_orderpriority END)) AS record_hash
+      FROM orders WHERE o_orderkey % 89 <> 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.record_hash <> n.record_hash THEN 'changed'
+           END AS change_type
+    FROM old_s o FULL JOIN new_s n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.record_hash <> n.record_hash)
+    """,
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-state audit diff (plans/snapshot.snapshot_diff): which
+    keys were added / removed / changed between two table states,
+    decided by record-hash identity (P6 contract). The two states are
+    carved deterministically out of orders (mod-97 deletes, mod-89
+    additions, mod-7 restated priority). One key-partitioned full-outer
+    join; payload columns never shuffle."""
+    from ..plans.snapshot import snapshot_diff
+
+    orders = load_testdata(spark, sf_dir, "orders")["orders"]
+    hash_old = F.md5(F.concat_ws("|", "o_orderstatus", "o_orderpriority"))
+    hash_new = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.when(F.col("o_orderkey") % 7 == 0, "9-RESTATED").otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", hash_old.alias("record_hash")
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", hash_new.alias("record_hash")
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

@@ -642,3 +642,66 @@ def test_kmeans_improves_cohesion_over_seeds(spark):
     _, C0 = kmeans.kmeans_fit(emb, n_iter=0)
     _, C3 = kmeans.kmeans_fit(emb, n_iter=3)
     assert cohesion(C3) >= cohesion(C0) - 1e-9
+
+
+def test_pack_sequences_invariants(spark):
+    """Conservation, head-per-doc, and budget invariants of the
+    concat-and-chunk packer: every sequence except a stream's last is
+    exactly the budget, nothing is lost, nothing is duplicated."""
+    from collections import defaultdict
+
+    from duckdb_dbt_finance_warehouse_spark.operators import packing
+
+    toks = [5, 10, 3, 7, 12, 1, 9, 4, 20, 2]
+    df = spark.createDataFrame(list(enumerate(toks)), ["id", "toks"])
+    out = packing.pack_sequences(df, "id", "toks", budget=8, n_streams=2).collect()
+
+    assert sum(r["piece_tokens"] for r in out) == sum(toks)
+    assert sorted(r["id"] for r in out if r["is_head"]) == list(range(len(toks)))
+    assert all(r["piece_tokens"] > 0 for r in out)
+
+    seq_tot: dict[tuple, int] = defaultdict(int)
+    for r in out:
+        seq_tot[(r["stream"], r["seq_id"])] += r["piece_tokens"]
+    by_stream: dict[int, list] = defaultdict(list)
+    for (s, q), tot in seq_tot.items():
+        by_stream[s].append((q, tot))
+    for lst in by_stream.values():
+        lst.sort()
+        assert [q for q, _ in lst] == list(range(len(lst)))  # contiguous seqs
+        assert all(tot == 8 for _, tot in lst[:-1])  # full but the tail
+        assert 0 < lst[-1][1] <= 8
+
+    eff = packing.pack_efficiency(df, "id", "toks", budget=8, n_streams=2).collect()
+    assert sum(r["total_tokens"] for r in eff) == sum(toks)
+    assert sum(r["n_sequences"] for r in eff) == len(seq_tot)
+
+
+def test_compaction_plan_and_compact_rewrite(spark, tmp_path):
+    """compaction_plan groups adjacent partitions by the prefix-sum rule;
+    Warehouse.compact rewrites to the expected file count, preserves
+    every row, and stays crash-safe (staged swap)."""
+    import glob
+    import os
+
+    from duckdb_dbt_finance_warehouse_spark.operators import maintenance
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import Warehouse
+
+    df = spark.range(1000).withColumn("part", F.col("id") % 10)
+    plan = sorted(
+        maintenance.compaction_plan(df, "part", target_rows=250).collect(),
+        key=lambda r: r["part"],
+    )
+    assert [r["n_rows"] for r in plan] == [100] * 10
+    # cum starts 0..900 step 100 -> floor(start/250)
+    assert [r["compaction_group"] for r in plan] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.write(df.repartition(20), "main", "t")
+    assert len(glob.glob(os.path.join(str(tmp_path), "main", "t", "*.parquet"))) == 20
+    n_files = wh.compact("main", "t", 500)
+    assert n_files == 2
+    assert len(glob.glob(os.path.join(str(tmp_path), "main", "t", "*.parquet"))) == 2
+    got = wh.read("main", "t")
+    assert got.count() == 1000
+    assert got.agg(F.sum("id")).first()[0] == 999 * 1000 // 2

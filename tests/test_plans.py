@@ -146,3 +146,24 @@ def test_repetition_single_exchange(spark):
     import re as _re
 
     assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_pack_sequences_window_is_stream_partitioned(spark):
+    """The packing prefix sum must be partitioned on the stream key —
+    an empty-partition (global) window would serialize the whole corpus
+    through one task. Token counting and slicing stay JVM-side."""
+    p = plan_of(spark, "x_pack_sequences")
+    assert "Window" in p
+    assert re.search(r"Window.*\n(?:.*\n)*?.*partitionBy.*stream", p) or "stream#" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_compaction_plan_aggregates_before_window(spark):
+    """compaction_plan's window runs over per-month summaries: the plan
+    must show a partial aggregation on the fact scan feeding the window
+    (never a window over raw fact rows), reading only the date column."""
+    p = plan_of(spark, "x_maintenance_compaction")
+    assert "ReadSchema: struct<o_orderdate:timestamp_ntz>" in p
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1

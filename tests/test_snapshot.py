@@ -169,3 +169,13 @@ def test_staged_write_recovers_trash_after_swap_crash(spark, tmp_path):
     v2 = df_of(spark, [("K1", "a", "h1", T1), ("K2", "b", "h2", T1)])
     wh.write_staged(v2, "snapshots", "snap")
     assert wh.read("snapshots", "snap").count() == 2
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from duckdb_dbt_finance_warehouse_spark.plans.snapshot import snapshot_diff
+
+    old = df_of(spark, [("K1", "a", "h1", T1), ("K2", "b", "h2", T1), ("K3", "c", "h3", T1)])
+    # K1 changed, K2 unchanged (dropped), K3 removed, K4 added
+    new = df_of(spark, [("K1", "a2", "h1x", T2), ("K2", "b", "h2", T2), ("K4", "d", "h4", T2)])
+    out = {r["key"]: r["change_type"] for r in snapshot_diff(old, new, ["key"]).collect()}
+    assert out == {"K1": "changed", "K3": "removed", "K4": "added"}
