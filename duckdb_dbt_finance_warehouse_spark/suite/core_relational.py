@@ -995,24 +995,39 @@ def a12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql1_join_agg_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-API surface (SURVEY §3.3): TPC-H Q3-shaped 3-way join + agg
-    written as spark.sql text — same Catalyst plan as the DataFrame API;
-    customer filter pushes down, customer side broadcasts."""
+    written as spark.sql text — same Catalyst plan as the DataFrame API.
+
+    Build-side choice is the scale decision here: left to size
+    estimates, Catalyst broadcasts the filtered LINEITEM (it fits the
+    64 MB threshold at sf0.1 but is the one side that grows without
+    bound — at sf1 it flips to a two-sided shuffle join, the suite's
+    worst scaler at 4.9x for 10x data). The BROADCAST(bo) hint pins the
+    build side to the dimension-shaped subquery (BUILDING orders: slim,
+    ~2% of lineitem's bytes), so lineitem streams through the join with
+    no shuffle and the partial agg above it reduces to ~1 row per order
+    before the single exchange. Past the point where BUILDING orders
+    outgrow the broadcast threshold (~sf30), the hint is dropped and
+    AQE's shuffle join takes over — graceful, not wrong."""
     for n, df in T(spark, sf_dir, "customer", "orders", "lineitem").items():
         df.createOrReplaceTempView(n)
     return spark.sql(
         """
-        SELECT o.o_orderkey,
-               CAST(o.o_orderdate AS DATE) AS order_date,
+        SELECT /*+ BROADCAST(bo) */
+               bo.o_orderkey,
+               CAST(bo.o_orderdate AS DATE) AS order_date,
                CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5))
                  / CAST(10000 AS DOUBLE) AS DOUBLE) AS revenue,
                count(*) AS n_lines
-        FROM customer c
-        JOIN orders o ON o.o_custkey = c.c_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '1998-01-01'
-          AND l.l_shipdate > TIMESTAMP '1996-01-01'
-        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+        FROM lineitem l
+        JOIN (
+            SELECT o.o_orderkey, o.o_orderdate
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        ) bo ON l.l_orderkey = bo.o_orderkey
+        WHERE l.l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY bo.o_orderkey, CAST(bo.o_orderdate AS DATE)
         """
     )
 

@@ -108,6 +108,22 @@ def test_probe_table_ann_is_cogrouped_not_crossed(spark, name):
     assert "CartesianProduct" not in p
 
 
+def test_sql1_broadcasts_orders_not_lineitem(spark):
+    """sql1's build side must be the dimension-shaped BUILDING-orders
+    subquery, never lineitem: left to size estimates Catalyst broadcasts
+    the filtered lineitem (fits the threshold at small sf, flips to a
+    two-sided shuffle join at sf1 — the round-3 4.9x scaler). Locked
+    shape: lineitem streams (its columns never enter a BroadcastExchange)
+    and the only exchange is the final agg's single hashpartitioning."""
+    p = plan_of(spark, "sql1_join_agg_q3_style")
+    assert "SortMergeJoin" not in p
+    for be_input in re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", p
+    ):
+        assert "l_extendedprice" not in be_input, p
+    assert len(re.findall(r"hashpartitioning", p)) == 1
+
+
 def test_partial_aggregation_before_shuffle(spark):
     df = REGISTRY["a1_grouped_sum_q1"].fn(spark, SF)
     buf = io.StringIO()
