@@ -70,20 +70,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
-    """Distinct character k-shingles per document, engine-side:
-    transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, distinct: bool = True
+) -> DataFrame:
+    """Character k-shingles per document, engine-side:
+    transform(sequence(1, len-k+1), i -> substring(text, i, k)).
+
+    ``distinct=True`` (the set semantics SimHash bit-counting and
+    n-gram Jaccard need) costs a full (id, shingle) shuffle — the
+    widest exchange in any dedup plan. MinHash callers pass
+    ``distinct=False``: min over a multiset equals min over its set,
+    so the signature aggregation's map-side combine sees the raw
+    explode and the only shuffled rows are one partial 64-min state
+    per (doc, partition) — bit-identical results, one exchange of
+    shingle-volume data removed."""
     norm = normalize_text(text_col)
-    return (
-        df.select(F.col(id_col), norm.alias("_t"))
-        .select(
-            id_col,
-            F.explode(
-                F.expr(f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), i -> substring(_t, i, {k}))")
-            ).alias("shingle"),
-        )
-        .distinct()
+    out = df.select(F.col(id_col), norm.alias("_t")).select(
+        id_col,
+        F.explode(
+            F.expr(f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), i -> substring(_t, i, {k}))")
+        ).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -93,7 +101,7 @@ def minhash_signatures(
     over ``n_hashes`` seeded murmur3 hashes of the shingle set. One
     groupBy shuffle on id; the array keeps the shuffle payload and any
     downstream join compact (vs 64 separate int columns)."""
-    sh = shingles(df, id_col, text_col, k)
+    sh = shingles(df, id_col, text_col, k, distinct=False)
     mins = [
         F.min(F.hash(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(n_hashes)
     ]
@@ -234,7 +242,7 @@ def portable_signatures(
     md5 prefix x, h_i = (a_i*x + b_i) mod (2^31-1) (products stay <
     2^59 — no 64-bit overflow in engines that error on it). One grouped
     pass computes all minima as expressions, packed into an array."""
-    sh = shingles(df, id_col, text_col, k).withColumn(
+    sh = shingles(df, id_col, text_col, k, distinct=False).withColumn(
         "x", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     )
     mins = []

@@ -23,9 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _persist
+
 
 def compaction_plan(
-    df: DataFrame, part_col, target_rows: int, part_name: str | None = None
+    df: DataFrame,
+    part_col,
+    target_rows: int,
+    part_name: str | None = None,
+    buckets: int = 32,
 ) -> DataFrame:
     """Per-partition compaction assignment: (partition, n_rows,
     compaction_group) where group = floor(cum_start / target_rows) over
@@ -33,6 +39,23 @@ def compaction_plan(
     share a group (one rewrite task), a partition bigger than the
     target keeps a group to itself. Deterministic, exact integer
     arithmetic throughout.
+
+    The prefix sum is the TWO-PASS distributed form, never a global
+    window (a table at 100 TB can carry 10^5-10^6 partitions; a
+    ``Window.orderBy`` with no partition key moves every summary row
+    through one task and Spark warns about it):
+
+    1. range-partition the summaries into ``buckets`` ordered buckets
+       (``repartitionByRange`` keeps bucket i's keys <= bucket i+1's),
+    2. a bucket-partitioned window computes the LOCAL cumulative sum,
+    3. the per-bucket totals collapse to ONE row (``collect_list``)
+       and an O(buckets^2) higher-order expression turns them into
+       exclusive bucket offsets — no window, no nested-loop join,
+    4. a broadcast join adds each bucket's offset back.
+
+    AQE may coalesce the range exchange; coalescing merges only
+    ADJACENT range partitions, so buckets stay range-contiguous and
+    the local-cumsum + offset decomposition stays exact.
 
     ``part_col`` may be a column name or an expression; pass
     ``part_name`` to label an expression."""
@@ -43,13 +66,42 @@ def compaction_plan(
             f"compaction_plan: target_rows must be positive, got {target_rows}"
         )
     per = df.groupBy(c.alias(name)).agg(F.count("*").alias("n_rows"))
-    w = Window.orderBy(name).rowsBetween(Window.unboundedPreceding, 0)
+    bucketed = per.repartitionByRange(buckets, F.col(name)).withColumn(
+        "_bucket", F.spark_partition_id()
+    )
+    # consumed by the local-cumsum window AND the totals aggregate AND
+    # the final join: persist the (tiny, bounded-cardinality) summaries
+    # so the grouped count over the table + range exchange run once;
+    # registered for release_persisted() like the minhash caches
+    bucketed = _persist(bucketed)
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(name)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("_local_cum", F.sum("n_rows").over(w))
+    offsets = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum("n_rows").alias("_total"))
+        .agg(F.sort_array(F.collect_list(F.struct("_bucket", "_total"))).alias("_ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(_ts, (t, i) -> struct("
+                    "t._bucket AS _bucket, "
+                    "aggregate(slice(_ts, 1, i), 0L, (acc, x) -> acc + x._total)"
+                    " AS _offset))"
+                )
+            ).alias("_o")
+        )
+        .select("_o._bucket", "_o._offset")
+    )
     return (
-        per.withColumn("_cum_end", F.sum("n_rows").over(w))
+        local.join(F.broadcast(offsets), "_bucket")
         .select(
             name,
             "n_rows",
-            F.expr(f"(_cum_end - n_rows) div {target_rows}").alias(
+            F.expr(f"(_local_cum + _offset - n_rows) div {target_rows}").alias(
                 "compaction_group"
             ),
         )

@@ -236,6 +236,40 @@ def _np_quant_cos_pre(Xq, Cq, xnorms, cnorms):
     return (Xq @ Cq.T) / (xnorms[:, None] * cnorms[None, :])
 
 
+MAX_SEED_COLLECT = 4096
+
+
+def _seed_centroids(corpus, id_col, vec_col, n_centroids_mod, caller: str):
+    """Driver-side centroid seeding for the UNTRAINED IVF path: collect
+    every ``id % n_centroids_mod == 0`` row. The seed count grows
+    linearly with the corpus, so it is hard-capped at
+    ``MAX_SEED_COLLECT`` (checked via ``limit(cap+1)`` — the job
+    scans at most cap+1 rows, never the runaway set). Past the cap,
+    train centroids distributed (operators/kmeans.kmeans_fit — the
+    x_ann_ivf_trained flow) and pass them as ``model=``; seeding by id
+    stride was only ever a deterministic stand-in for training."""
+    import numpy as np
+
+    cent_rows = (
+        corpus.filter((F.col(id_col) % n_centroids_mod) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(MAX_SEED_COLLECT + 1)
+        .collect()
+    )
+    if len(cent_rows) > MAX_SEED_COLLECT:
+        raise ValueError(
+            f"{caller}: untrained centroid seeding would collect "
+            f">{MAX_SEED_COLLECT} rows to the driver (corpus/"
+            f"{n_centroids_mod} grows with the corpus). Train centroids "
+            "with operators/kmeans.kmeans_fit and pass model=(ids, "
+            "vectors) — see the x_ann_ivf_trained suite entry."
+        )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    Cq = _np_quant(np.array([r["cvec"] for r in cent_rows], dtype=np.float64))
+    return cids, Cq
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -301,14 +335,7 @@ def ivf_ann_topk(
     if model is not None:
         cids, Cq = np.asarray(model[0], dtype=np.int64), np.asarray(model[1], dtype=np.float64)
     else:
-        cent_rows = (
-            corpus.filter((F.col(id_col) % n_centroids_mod) == 0)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-            .orderBy("cid")
-            .collect()
-        )
-        cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-        Cq = _np_quant(np.array([r["cvec"] for r in cent_rows], dtype=np.float64))
+        cids, Cq = _seed_centroids(corpus, id_col, vec_col, n_centroids_mod, "ivf_ann_topk")
     cnorms = np.sqrt((Cq * Cq).sum(axis=1))
     n_probes_eff = min(n_probes, len(cids))
 
@@ -473,14 +500,9 @@ def ivf_ann_topk_probe_table(
         cids = np.asarray(model[0], dtype=np.int64)
         Cq = np.asarray(model[1], dtype=np.float64)
     else:
-        cent_rows = (
-            corpus.filter((F.col(id_col) % n_centroids_mod) == 0)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-            .orderBy("cid")
-            .collect()
+        cids, Cq = _seed_centroids(
+            corpus, id_col, vec_col, n_centroids_mod, "ivf_ann_topk_probe_table"
         )
-        cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-        Cq = _np_quant(np.array([r["cvec"] for r in cent_rows], dtype=np.float64))
     cnorms = np.sqrt((Cq * Cq).sum(axis=1))
     n_probes_eff = min(n_probes, len(cids))
     bc = spark.sparkContext.broadcast((cids, Cq, cnorms))

@@ -13,69 +13,63 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  DRIVER_PRIORITY front-loads (a) every entry that has never
-# had a driver-green CORRECTNESS row through round 3 and (b) this round's
-# new entries, then back-fills with the least-checked older entries and a
-# band of high-complexity flagships that we want re-proven each round.
-# Entries not listed keep their registration order after the priority
-# block; all 82+ still run in pytest / tools/check_correctness.py.
+# cosmetics.  Round-5 rotation (VERDICT r4 task 5): front-load (a) the 39
+# entries whose last driver-green row is r3, (b) every entry whose code
+# was touched this round (dedup signature path, incremental index
+# persist, two-pass compaction), then (c) a flagship band re-proven each
+# round.  Entries not listed keep their registration order after the
+# priority block; all 89 still run in pytest / tools/check_correctness.py.
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked through r3 (VERDICT r3 gap #1) --
-    "x_token_count",
-    "x_fingerprint",
-    "x_tfidf_top_terms",
-    "x_embed_near_dup",
-    "x_sample_hash",
-    "x_sample_stratified",
-    "x_sample_mixture",
-    "x_decontaminate",
-    "x_scrub_pii",
-    "x_hll_distinct",
-    "x_sessionize",
-    "x_event_tumbling_window",
-    "x_json_props",
-    "x_asof_nearest",
-    "x_resample_locf",
-    "x_interval_overlap",
-    "x_profile_stats",
-    "x_winsorize",
-    "x_multimodal_features",
-    "x_multimodal_bytestats",
-    "x_heavy_hitters",
-    "x_text_repetition",
-    "x_bloom_semi_join",
-    "x_quantile_sketch",
-    "x_hll_by_group",
-    "x_kmeans",
-    "x_ann_ivf_trained",
-    "x_dedup_canonical",
-    "x_curation_pipeline",
-    # -- new this round (never checked by construction) --
+    "a2_grouped_min_max",
+    "a3_global_scalar_agg",
+    "a4_multi_sum_rollup",
+    "a5_conditional_count_distinct",
+    "a6_select_distinct",
+    "a7_spine_zero_fill",
+    "a9_rollup",
+    "a10_salted_agg",
+    "a11_pivot",
+    "a12_unpivot",
+    "f19_date_spine",
+    "f_date_kit",
+    "f_misc_scalars",
+    "j2_left_equi_zero_fill",
+    "j4_first_version_backfill",
+    "j5_fk_anti_join",
+    "j6_scalar_subquery_filter",
+    "o1_ordered_topn",
+    "o3_set_ops",
+    "p1_typed_projection",
+    "p3_clean_strings",
+    "p5_negative_to_null",
+    "p6_record_hash",
+    "p7_derived_boolean",
+    "p8_hwm_filter",
+    "p9_topk_per_group",
+    "p10_predicate_filter",
+    "s5_lineage_columns",
+    "w2_lag_prev_month",
+    "w3_prior_history_flag",
+    "w4_partition_min",
+    "w5_rank_kit",
+    "x_ann_cosine_topk",
+    "x_ann_ivf_topk",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_minhash_portable",
+    "x_dedup_simhash",
+    "x_ngram_jaccard",
     "x_dedup_incremental",
-    "x_ann_ivf_probe_table",
-    "x_ann_lsh_probe_table",
-    "x_maintenance_compaction",
-    "x_pack_sequences",
-    "x_pack_efficiency",
-    "x_snapshot_diff",
-    # -- checked in only one or two prior rounds --
-    "x_text_langid",
-    "x_text_quality",
-    "x_salted_join",
-    "x_ann_lsh_bucketed",
     "x_dedup_clusters",
-    "w6_range_frames",
-    # -- flagship band: complex plans we want re-proven every round --
+    "x_dedup_canonical",
+    "x_maintenance_compaction",
+    "x_sessionize",
+    "x_text_langid",
     "m1_movement_classification",
     "m2_waterfall_rollup",
     "sql1_join_agg_q3_style",
-    "j1_month_spine_expansion",
     "j3_validity_asof_join",
-    "a1_grouped_sum_q1",
     "w1_latest_row_dedup",
-    "a8_exact_percentiles",
-    "x_dedup_minhash_lsh",
-    "x_ann_ivf_topk",
 ]
 
 

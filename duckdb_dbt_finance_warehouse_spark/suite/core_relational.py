@@ -1005,9 +1005,15 @@ def sql1_join_agg_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     build side to the dimension-shaped subquery (BUILDING orders: slim,
     ~2% of lineitem's bytes), so lineitem streams through the join with
     no shuffle and the partial agg above it reduces to ~1 row per order
-    before the single exchange. Past the point where BUILDING orders
-    outgrow the broadcast threshold (~sf30), the hint is dropped and
-    AQE's shuffle join takes over — graceful, not wrong."""
+    before the single exchange. NOTE the hint is UNCONDITIONAL: Spark
+    join hints override autoBroadcastJoinThreshold and are never
+    size-demoted by the planner or AQE, so past the point where
+    BUILDING orders outgrow broadcastable size (~sf30) this query
+    fails hard at the 8 GB broadcast / driver-memory limit rather
+    than degrading to a shuffle join. At that scale, drop the hint
+    (AQE picks the shuffle join) or gate it on an input-size check —
+    the hint is kept here because the suite's operating range ends at
+    sf1, where the pinned build side is the right plan."""
     for n, df in T(spark, sf_dir, "customer", "orders", "lineitem").items():
         df.createOrReplaceTempView(n)
     return spark.sql(

@@ -231,12 +231,23 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     without re-scanning it — O(batch) signature work + one band join
     that touches only colliding index rows. Pairs keep (new, index)
     in either id order and canonicalize new-new pairs to id_a < id_b;
-    the oracle replays index + batch bands with the same predicate."""
+    the oracle replays index + batch bands with the same predicate.
+
+    The index subtrees are persisted before the operator consumes
+    them (sigs on both sides of the verification join, bands in the
+    band join): in production these are STORED tables, and without
+    the persist the signature aggregation over 75% of the corpus
+    would recompute once per consumer (the r4 verdict's 10.7s
+    finding — >=3x recompute of the unpersisted index)."""
     docs = _docs(spark, sf_dir)
     index_docs = docs.filter(F.col("doc_id") % 4 != 0)
     new_docs = docs.filter(F.col("doc_id") % 4 == 0)
-    index_sigs = dedup.portable_signatures(index_docs, "doc_id", "text", k=5, n_hashes=64)
-    index_bands = dedup.portable_bands(index_sigs, "doc_id", bands=16, n_hashes=64)
+    index_sigs = dedup._persist(
+        dedup.portable_signatures(index_docs, "doc_id", "text", k=5, n_hashes=64)
+    )
+    index_bands = dedup._persist(
+        dedup.portable_bands(index_sigs, "doc_id", bands=16, n_hashes=64)
+    )
     pairs, _new_sigs, _new_bands = dedup.minhash_lsh_dedup_incremental(
         new_docs, index_sigs, index_bands, "doc_id", "text",
         k=5, n_hashes=64, bands=16, threshold=0.5,

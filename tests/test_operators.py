@@ -233,6 +233,23 @@ def test_ivf_rejects_non_integral_ids(spark):
         similarity.ivf_ann_topk(s_emb, s_emb.limit(1))
 
 
+def test_ivf_untrained_seeding_caps_driver_collect(spark, monkeypatch):
+    """The untrained path collects corpus/n_centroids_mod seed rows to
+    the driver — linear in the corpus. Past MAX_SEED_COLLECT it must
+    raise (pointing at the trained kmeans flow), and the probe job is
+    limit(cap+1), never the runaway collect itself."""
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    monkeypatch.setattr(similarity, "MAX_SEED_COLLECT", 3)
+    with pytest.raises(ValueError, match="kmeans_fit"):
+        similarity.ivf_ann_topk(emb, emb.limit(1), n_centroids_mod=1)
+    with pytest.raises(ValueError, match="x_ann_ivf_trained"):
+        similarity.ivf_ann_topk_probe_table(emb, emb.limit(1), n_centroids_mod=1)
+
+
 def test_embed_near_dup_lsh_subset_of_exact_with_recall(spark):
     """The scale path (LSH bucket candidates + exact verify) must emit a
     subset of the all-pairs baseline with identical cosines, and recall

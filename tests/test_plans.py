@@ -183,3 +183,18 @@ def test_compaction_plan_aggregates_before_window(spark):
     agg_pos = p.find("HashAggregate")
     win_pos = p.find("Window")
     assert agg_pos != -1 and win_pos != -1
+
+
+def test_compaction_window_is_bucket_partitioned(spark):
+    """The prefix sum must be the two-pass form: every Window node
+    carries a partition spec (the range bucket) — a global
+    ``Window.orderBy`` would move all partition summaries through one
+    task (10^5-10^6 rows for a real 100 TB table) and spam
+    'WindowExec: No Partition Defined'."""
+    p = plan_of(spark, "x_maintenance_compaction")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, "expected at least one window in the compaction plan"
+    for spec in specs:
+        # partitionless spec starts directly with the order expression;
+        # partitioned spec leads with the _bucket partition column
+        assert "_bucket" in spec.split(",")[0]
