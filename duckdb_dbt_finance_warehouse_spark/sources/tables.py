@@ -157,6 +157,18 @@ class Warehouse:
         os.rename(staging, target)
         shutil.rmtree(trash, ignore_errors=True)
 
+    def register_catalog(self) -> list[str]:
+        """Register the warehouse layout in the Spark catalog so users
+        address tables by name (``spark.table("mart.fct_account_month")``)
+        — one database per schema directory, one external parquet table
+        per materialized table. Delegates to
+        ``sql.register_warehouse_catalog`` (the BI entry point); exposed
+        here so warehouse construction and catalog registration read as
+        one flow (SURVEY S6, scripts/load_csvs_to_duckdb.py:34)."""
+        from ..sql import register_warehouse_catalog
+
+        return register_warehouse_catalog(self)
+
     def compact(
         self, schema: str, table: str, target_rows_per_file: int
     ) -> int:

@@ -226,14 +226,18 @@ def test_catalog_registration(spark, wh):
     import contextlib
     import io
 
-    from duckdb_dbt_finance_warehouse_spark.sql import register_warehouse_catalog
-
-    names = register_warehouse_catalog(wh)
+    names = wh.register_catalog()
     try:
         assert "mart.fct_account_month" in names
         direct = wh.read("mart", "fct_account_month").count()
         via_catalog = spark.sql("SELECT count(*) FROM mart.fct_account_month").first()[0]
         assert via_catalog == direct
+        # named-table round trip on the flagship mart
+        mart = spark.table("mart.mart_mrr_waterfall_month")
+        assert mart.count() == wh.read("mart", "mart_mrr_waterfall_month").count()
+        assert set(mart.columns) == set(
+            wh.read("mart", "mart_mrr_waterfall_month").columns
+        )
         # partition pruning must reach the scan through the catalog
         p = spark.sql(
             "SELECT subscription_id FROM mart.fct_subscription_month "
