@@ -71,6 +71,8 @@ HEADLINE = [
     "x_ann_lsh_probe_table",      # LSH serving: cogrouped table probes
     "x_dedup_incremental",        # batch-vs-index incremental near-dup
     "x_pack_sequences",           # concat-and-chunk sequence packing
+    "x_leakage_safe_split",       # cluster-coherent train/val split
+    "x_vocab_coverage",           # token-frequency vocab head + coverage
     "x_maintenance_compaction",   # prefix-sum compaction planning
     "x_snapshot_diff",            # table-state audit diff (full-outer)
 ]

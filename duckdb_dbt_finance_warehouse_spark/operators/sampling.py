@@ -26,10 +26,12 @@ from pyspark.sql import functions as F
 TWO_32 = float(1 << 32)
 
 
-def hash_uniform(id_col: str, salt: str = "s0") -> F.Column:
+def hash_uniform(id_col, salt: str = "s0") -> F.Column:
     """Deterministic uniform in [0, 1): md5-derived 32-bit value / 2^32.
-    Exact integer -> double division, identical in any engine."""
-    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    Exact integer -> double division, identical in any engine.
+    ``id_col`` is a column name or a Column expression."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat_ws(":", F.lit(salt), c.cast("string")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(TWO_32)
 
 
@@ -64,6 +66,49 @@ def stratified_quota_sample(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    val_fraction: float,
+    salt: str = "split0",
+) -> DataFrame:
+    """Leakage-safe train/val split: every member of a near-dup CLUSTER
+    lands on the same side, so no evaluation example has a near-copy in
+    the training set — the split discipline any dedup-aware training
+    pipeline needs (hash-splitting raw doc ids would scatter a
+    duplicated document across both sides and silently leak).
+
+    ``pairs`` is a near-dup edge list (id_a, id_b) — typically MinHash
+    LSH output. Clusters come from ``dedup.dedup_clusters`` (large-star/
+    small-star connected components, O(log n) rounds); the split unit is
+    ``split_group`` = cluster_id for clustered docs, else the doc's own
+    id, and the side is the deterministic md5 uniform of the group — so
+    the assignment is reproducible across engines, reruns, and corpus
+    repartitionings, and every group member shares it by construction.
+
+    Scale: the clusters frame is pair-volume (tiny vs the corpus), the
+    join is a key join on the doc id, and the uniform is a narrow map —
+    nothing collects, nothing is corpus-wide beyond the one join."""
+    from .dedup import dedup_clusters
+
+    if not (0.0 <= val_fraction <= 1.0):
+        raise ValueError(
+            f"leakage_safe_split: val_fraction must be in [0, 1], got {val_fraction}"
+        )
+    clusters = dedup_clusters(pairs).withColumnRenamed("member_id", id_col)
+    group = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+    u = hash_uniform(group, salt)
+    return (
+        df.join(clusters, id_col, "left")
+        .withColumn("split_group", group)
+        .withColumn(
+            "split", F.when(u < val_fraction, F.lit("val")).otherwise(F.lit("train"))
+        )
+        .drop("cluster_id")
     )
 
 

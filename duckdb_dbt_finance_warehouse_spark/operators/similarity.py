@@ -593,6 +593,22 @@ def ivf_ann_topk_probe_table(
     )
 
 
+def lsh_planes_for(corpus_rows: int, target_bucket_rows: int = 4096) -> int:
+    """The LSH scale lever as code: n_planes sized so the expected
+    bucket holds ~``target_bucket_rows`` vectors (buckets per table =
+    2^n_planes). Per-bucket serving cost is probes_in_bucket x
+    cands_in_bucket — at FIXED planes that grows quadratically with the
+    corpus (measured 10x data -> ~19x time at n_planes=4); holding
+    bucket size constant keeps cost-per-probe flat and recall is tuned
+    back with n_tables. Clamped to [1, 62] (bucket ids pack into a
+    signed long)."""
+    import math
+
+    if corpus_rows <= 0 or target_bucket_rows <= 0:
+        raise ValueError("lsh_planes_for: row counts must be positive")
+    return max(1, min(62, math.ceil(math.log2(max(2, corpus_rows / target_bucket_rows)))))
+
+
 def lsh_ann_topk_probe_table(
     corpus: DataFrame,
     queries: DataFrame,
@@ -614,7 +630,16 @@ def lsh_ann_topk_probe_table(
     A pair colliding in several tables is emitted per collision with an
     identical quantized-exact score, so a global DISTINCT dedupes it
     safely before the top-k window — the same invariant
-    ``embedding_near_dup_pairs_lsh`` relies on."""
+    ``embedding_near_dup_pairs_lsh`` relies on.
+
+    SCALE LEVER — ``n_planes`` must grow with the corpus: a table has
+    2^n_planes buckets, so at FIXED planes the expected bucket size is
+    n/2^n_planes and per-bucket probe x candidate scoring is O(n^2) in
+    corpus size (measured: 10x data -> ~19x time at n_planes=4). Size
+    n_planes ~ log2(n / target_bucket_rows) to hold bucket volume —
+    and therefore cost per probe — constant; recall is then tuned back
+    with ``n_tables``. The suite entry pins 8x4 at every SF because the
+    oracle replays those exact literal planes."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

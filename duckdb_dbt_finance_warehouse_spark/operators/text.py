@@ -156,6 +156,66 @@ def tf_idf_top_terms(
     )
 
 
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 256
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` most frequent tokens with
+    their cumulative share of ALL token occurrences — the
+    tokenizer-training precursor ('how much of the stream does a
+    k-entry vocab cover?') and the drop-in check for mixture shifts
+    between corpus snapshots.
+
+    Scale shape: one token-keyed grouped count (map-side combine eats
+    the explode volume), a distributed TakeOrdered for the global
+    top-k (count desc, token asc — deterministic), and the cumulative
+    sum over the k survivors via a single-row collect_list fold —
+    BOUNDED state (k rows), no global window, no 'No Partition
+    Defined'. The total-occurrence denominator rides in from a scalar
+    aggregate over the same grouped counts (broadcast 1-row join).
+    Output: (rank, token, n_occurrences, cum_share)."""
+    toks = tokens(df, id_col, text_col).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("_total"))
+    top = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(top_k)
+        # ascending struct sort on (-count, token) == (count desc, token
+        # asc) — the same deterministic order the TakeOrdered used
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_occurrences")).alias("_negn"),
+                        F.col("tok"),
+                        F.col("n_occurrences"),
+                    )
+                )
+            ).alias("_ts")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(_ts, (t, i) -> struct("
+                    "CAST(i + 1 AS INT) AS rank, t.tok AS token, "
+                    "t.n_occurrences AS n_occurrences, "
+                    "aggregate(slice(_ts, 1, i + 1), 0L, (acc, x) -> acc + x.n_occurrences)"
+                    " AS _cum))"
+                )
+            ).alias("_r")
+        )
+        .select("_r.rank", "_r.token", "_r.n_occurrences", "_r._cum")
+    )
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "n_occurrences",
+            F.round(F.col("_cum") / F.col("_total"), 6).alias("cum_share"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalization-robust document fingerprint: md5 of the canonical
     text and of its sorted token multiset (catches reorderings)."""

@@ -65,11 +65,11 @@ DRIVER_PRIORITY: list[str] = [
     "x_maintenance_compaction",
     "x_sessionize",
     "x_text_langid",
+    "x_leakage_safe_split",
+    "x_vocab_coverage",
     "m1_movement_classification",
     "m2_waterfall_rollup",
     "sql1_join_agg_q3_style",
-    "j3_validity_asof_join",
-    "w1_latest_row_dedup",
 ]
 
 

@@ -288,6 +288,51 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs)
 
 
+@query(
+    "x_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        {_minhash_portable_oracle(k=4, n_hashes=32, bands=8, threshold=0.5)}
+      ) q),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label AS label
+      FROM edges e JOIN reach r ON r.node = e.dst),
+    clusters AS (
+      SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY 1),
+    grouped AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(c.cluster_id, d.doc_id) AS split_group
+      FROM documents d LEFT JOIN clusters c USING (doc_id))
+    SELECT doc_id, source, split_group,
+           CASE WHEN {sampling.hash_uniform_oracle_sql("split_group", "split0")} < 0.2
+                THEN 'val' ELSE 'train' END AS split
+    FROM grouped
+    """,
+)
+def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split (operators/sampling.
+    leakage_safe_split): near-dup cluster members share a split_group
+    (cluster_id, else own id) and its md5-uniform decides the side — no
+    val doc has a near-copy in train. Composes MinHash-LSH pairs ->
+    connected components -> deterministic group split; the oracle
+    replays the full chain (recursive-CTE closure + the same uniform)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_dedup_portable(
+        docs, "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
+    )
+    return sampling.leakage_safe_split(docs, pairs, "doc_id", 0.2).select(
+        "doc_id", "source", "split_group", "split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -595,6 +640,36 @@ def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish (ceil(len/4) subword proxy) token counting
     (operators/text.token_counts)."""
     return text.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "x_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT unnest(string_split(t, ' ')) AS tok FROM t),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+               FROM toks WHERE tok <> '' GROUP BY 1),
+    top AS (
+      SELECT tok, n_occurrences,
+             CAST(row_number() OVER w AS INT) AS rank,
+             CAST(SUM(n_occurrences) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM counts
+      WINDOW w AS (ORDER BY n_occurrences DESC, tok)
+      QUALIFY rank <= 64)
+    SELECT rank, tok AS token, n_occurrences,
+           round(cum / (SELECT CAST(SUM(n_occurrences) AS DOUBLE) FROM counts), 6)
+             AS cum_share
+    FROM top
+    """,
+)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head with cumulative coverage share
+    (operators/text.vocab_coverage): top-64 tokens by occurrence count
+    and the fraction of ALL token occurrences a rank-r vocab covers —
+    the tokenizer-training precursor. One token-keyed grouped count, a
+    distributed TakeOrdered top-k, and a bounded single-row fold for
+    the running sum (no global window)."""
+    return text.vocab_coverage(_docs(spark, sf_dir), "doc_id", "text", top_k=64)
 
 
 @query(

@@ -250,6 +250,19 @@ def test_ivf_untrained_seeding_caps_driver_collect(spark, monkeypatch):
         similarity.ivf_ann_topk_probe_table(emb, emb.limit(1), n_centroids_mod=1)
 
 
+def test_lsh_planes_for_holds_bucket_size():
+    """n_planes grows with log2(corpus) so expected bucket volume — and
+    per-probe serving cost — stays constant instead of quadratic."""
+    import pytest
+
+    assert similarity.lsh_planes_for(50_000) == 4
+    assert similarity.lsh_planes_for(500_000) == 7  # 10x data -> +~3 planes
+    assert similarity.lsh_planes_for(10**12) == 28
+    assert similarity.lsh_planes_for(100) == 1
+    with pytest.raises(ValueError):
+        similarity.lsh_planes_for(0)
+
+
 def test_embed_near_dup_lsh_subset_of_exact_with_recall(spark):
     """The scale path (LSH bucket candidates + exact verify) must emit a
     subset of the all-pairs baseline with identical cosines, and recall
@@ -389,6 +402,62 @@ def test_sampling_determinism_and_mix(spark):
     for r in q:
         per[r["lang"]] = per.get(r["lang"], 0) + 1
     assert all(n == 3 for n in per.values()) and len(per) >= 3
+
+
+def test_leakage_safe_split_cluster_coherent(spark):
+    """Chained near-dups (A~B, B~C) must land on ONE side even though
+    A~C was never a pair; unclustered docs split independently; the
+    assignment is rerun-stable and fraction is roughly honored."""
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    out = sampling.leakage_safe_split(docs, pairs, "doc_id", 0.25)
+    rows = {r["doc_id"]: (r["split_group"], r["split"]) for r in out.collect()}
+    assert len(rows) == 200
+    # transitive chain 0-1-2 shares group and side
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[10] == rows[11]
+    assert rows[0][0] == 0 and rows[10][0] == 10
+    # unclustered docs get their own id as the group
+    assert rows[50][0] == 50
+    # rerun-stable
+    out2 = sampling.leakage_safe_split(docs, pairs, "doc_id", 0.25)
+    assert rows == {r["doc_id"]: (r["split_group"], r["split"]) for r in out2.collect()}
+    # both sides populated at n=200, p=0.25
+    sides = {s for _, s in rows.values()}
+    assert sides == {"train", "val"}
+    n_val = sum(1 for _, s in rows.values() if s == "val")
+    assert 20 <= n_val <= 80
+    with pytest.raises(ValueError, match="val_fraction"):
+        sampling.leakage_safe_split(docs, pairs, "doc_id", 1.5)
+
+
+def test_vocab_coverage_known_answers(spark):
+    """Counts, deterministic tie order (count desc, token asc), and a
+    cumulative share that ends at 1.0 when k covers the whole vocab."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b a  d")], ["doc_id", "text"]
+    )
+    rows = text.vocab_coverage(docs, "doc_id", "text", top_k=10).collect()
+    got = [(r["rank"], r["token"], r["n_occurrences"], r["cum_share"]) for r in rows]
+    # totals: a=4 b=3 c=1 d=1 (whitespace collapses); total 9
+    assert got == [
+        (1, "a", 4, round(4 / 9, 6)),
+        (2, "b", 3, round(7 / 9, 6)),
+        (3, "c", 1, round(8 / 9, 6)),
+        (4, "d", 1, 1.0),
+    ]
+    # top_k truncates but shares stay relative to the FULL stream
+    top2 = text.vocab_coverage(docs, "doc_id", "text", top_k=2).collect()
+    assert [(r["rank"], r["token"]) for r in top2] == [(1, "a"), (2, "b")]
+    assert top2[-1]["cum_share"] == round(7 / 9, 6)
 
 
 def test_decontaminate_flags_ngram_overlap(spark):
