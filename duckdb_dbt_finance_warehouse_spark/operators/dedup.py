@@ -354,7 +354,11 @@ def minhash_lsh_dedup_incremental(
     docs), plus the rows to APPEND to the two index tables. The band
     join touches only index rows whose (band, bkey) collides with the
     batch — with a bucketed/partitioned index layout that is an
-    index-lookup, not a scan."""
+    index-lookup, not a scan (proven by
+    tests/test_bucketing.test_incremental_dedup_index_as_bucketed_table:
+    index bands stored bucketBy(band, bkey) join with zero exchanges on
+    the stored side — only the new batch shuffles into the bucket
+    layout)."""
     new_sigs = _persist(portable_signatures(new_docs, id_col, text_col, k, n_hashes))
     new_bands = portable_bands(new_sigs, id_col, bands, n_hashes)
     all_sigs = new_sigs.unionByName(index_sigs)

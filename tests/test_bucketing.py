@@ -53,6 +53,81 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_incremental_dedup_index_as_bucketed_table(spark, tmp_path):
+    """The x_dedup_incremental production layout: the standing MinHash
+    index stored as a table BUCKETED by the band join key. The band
+    join then shuffles ONLY the new batch (one Exchange, on the probe
+    side); the stored index is read straight out of its buckets — the
+    'index-lookup, not a scan' shape the operator docstring promises —
+    and pairs match the plain unbucketed operator bit-for-bit."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from duckdb_dbt_finance_warehouse_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = load_testdata(spark, SF, "documents")["documents"]
+    index_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    index_sigs = dedup.portable_signatures(index_docs, "doc_id", "text", k=5, n_hashes=64)
+    index_bands = dedup.portable_bands(index_sigs, "doc_id", bands=16, n_hashes=64)
+
+    wh = str(tmp_path)
+    for name in ("idx_sigs", "idx_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    index_sigs.write.option("path", os.path.join(wh, "idx_sigs")).saveAsTable("idx_sigs")
+    index_bands.write.bucketBy(8, "band", "bkey").option(
+        "path", os.path.join(wh, "idx_bands")
+    ).saveAsTable("idx_bands")
+    try:
+        stored_sigs = spark.table("idx_sigs")
+        stored_bands = spark.table("idx_bands")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pairs, _, _ = dedup.minhash_lsh_dedup_incremental(
+                new_docs, stored_sigs, stored_bands, "doc_id", "text",
+                k=5, n_hashes=64, bands=16, threshold=0.5,
+            )
+            got = sorted(map(tuple, pairs.select("id_a", "id_b").collect()))
+            # the index side of the band join must come straight from
+            # its buckets: bucket metadata on the scan, and only ONE
+            # exchange partitions on the band key — the new batch being
+            # shuffled INTO the index's bucket layout (the other
+            # exchange is the batch's own signature aggregation)
+            nb = dedup.portable_bands(
+                dedup.portable_signatures(
+                    new_docs, "doc_id", "text", k=5, n_hashes=64
+                ),
+                "doc_id", bands=16, n_hashes=64,
+            ).select(F.col("doc_id").alias("id_a"), "band", "bkey")
+            probe_join = nb.join(stored_bands, ["band", "bkey"])
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                probe_join.explain("formatted")
+            plan = buf.getvalue()
+            assert "Bucketed: true" in plan, plan
+            assert plan.count("hashpartitioning(band") == 1, plan
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        # parity with the in-memory operator
+        mem_sigs = dedup.portable_signatures(
+            index_docs, "doc_id", "text", k=5, n_hashes=64
+        )
+        mem_bands = dedup.portable_bands(mem_sigs, "doc_id", bands=16, n_hashes=64)
+        ref_pairs, _, _ = dedup.minhash_lsh_dedup_incremental(
+            new_docs, mem_sigs, mem_bands, "doc_id", "text",
+            k=5, n_hashes=64, bands=16, threshold=0.5,
+        )
+        assert got == sorted(map(tuple, ref_pairs.select("id_a", "id_b").collect()))
+        assert got  # non-degenerate: the fixture corpus has near-dups
+    finally:
+        for name in ("idx_sigs", "idx_bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_compact_table_unpartitioned_and_partitioned(spark, tmp_path):
     """Small-file compaction: file count drops to the target, content is
     identical, partition layout survives, and sorted layout produces
