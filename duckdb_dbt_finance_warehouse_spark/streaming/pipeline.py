@@ -267,6 +267,64 @@ def stream_append_to_warehouse(
     q.awaitTermination()
 
 
+def stream_dedup_incremental(
+    doc_stream: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> None:
+    """Continuous near-dup dedup of an ingest stream against the
+    standing MinHash index — the streaming twin of
+    ``operators.dedup.minhash_lsh_dedup_incremental``.
+
+    foreachBatch runs the EXACT batch operator per micro-batch (same
+    signatures, same band join, same verification), so streaming and
+    nightly-batch dedup decisions are identical by construction — the
+    property that matters when both paths feed one corpus. Each epoch's
+    pairs land in their own ``_epoch`` partition via dynamic partition
+    overwrite (same idempotent-replay scheme as
+    ``stream_append_to_warehouse``), so retries don't duplicate pairs:
+    exactly-once end-to-end with the checkpointed source offsets.
+
+    The index side is a STATIC table (bucketed by (band, bkey) in
+    production — see tests/test_bucketing): per micro-batch the band
+    join shuffles only the batch, O(batch) work per trigger. Appending
+    the returned new_sigs/new_bands to the index tables is the
+    (batch-side) compaction job's business, not the stream's."""
+    from pyspark.sql import functions as F2
+
+    from ..operators import dedup
+
+    def dedup_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs, _sigs, _bands = dedup.minhash_lsh_dedup_incremental(
+            batch_df, index_sigs, index_bands, id_col, text_col,
+            k=k, n_hashes=n_hashes, bands=bands, threshold=threshold,
+        )
+        (
+            pairs.withColumn("_epoch", F2.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
+        dedup.release_persisted()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(dedup_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion against currently
     available input (availableNow) into an in-memory table ``name``."""

@@ -164,3 +164,74 @@ def test_stream_attribution_join_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got and got == want
+
+
+def test_stream_dedup_incremental_matches_batch(spark, tmp_path_factory):
+    """Continuous ingest deduped against the standing MinHash index
+    (foreachBatch reusing the batch operator): streamed pairs over two
+    source files must equal the batch operator run on the union of the
+    batches — identical dedup decisions on both paths. A second start
+    with the same checkpoint must be a no-op (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.operators import dedup
+
+    docs = load_testdata(spark, SF, "documents")["documents"]
+    index_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0)
+    index_sigs = dedup.portable_signatures(
+        index_docs, "doc_id", "text", k=4, n_hashes=32
+    ).localCheckpoint()
+    index_bands = dedup.portable_bands(
+        index_sigs, "doc_id", bands=8, n_hashes=32
+    ).localCheckpoint()
+
+    src_dir = str(tmp_path_factory.mktemp("doc_stream"))
+    stage = str(tmp_path_factory.mktemp("doc_stage"))
+    for i, m in enumerate((0, 4)):
+        d = os.path.join(stage, f"b{i}")
+        new_docs.filter(F.col("doc_id") % 8 == m).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(d, part), os.path.join(src_dir, f"f{i}.parquet"))
+    out_dir = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)  # two micro-batches
+        .parquet(src_dir)
+    )
+    streaming.pipeline.stream_dedup_incremental(
+        stream, index_sigs, index_bands, out_dir, ckpt,
+        k=4, n_hashes=32, bands=8, threshold=0.5,
+    )
+    got_df = spark.read.parquet(out_dir)
+    got = sorted(map(tuple, got_df.select("id_a", "id_b").collect()))
+    assert got_df.select("_epoch").distinct().count() == 2
+
+    # batch reference: per-batch runs unioned (a streamed doc is deduped
+    # against the index and its OWN micro-batch, not later batches)
+    want = []
+    for m in (0, 4):
+        batch = new_docs.filter(F.col("doc_id") % 8 == m)
+        pairs, _, _ = dedup.minhash_lsh_dedup_incremental(
+            batch, index_sigs, index_bands, "doc_id", "text",
+            k=4, n_hashes=32, bands=8, threshold=0.5,
+        )
+        want += [tuple(r) for r in pairs.select("id_a", "id_b").collect()]
+        dedup.release_persisted()
+    assert got and got == sorted(want)
+
+    # restart on the drained checkpoint: no new epochs, no new rows
+    stream2 = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    streaming.pipeline.stream_dedup_incremental(
+        stream2, index_sigs, index_bands, out_dir, ckpt,
+        k=4, n_hashes=32, bands=8, threshold=0.5,
+    )
+    assert sorted(
+        map(tuple, spark.read.parquet(out_dir).select("id_a", "id_b").collect())
+    ) == got
