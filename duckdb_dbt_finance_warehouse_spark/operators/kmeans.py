@@ -29,18 +29,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import similarity
 from .similarity import QUANT_SCALE, _np_quant
 
 
 def _seed_centroids(corpus: DataFrame, id_col: str, vec_col: str, seed_mod: int):
+    """Stride-seeded initial centroids. The collect is the model (k x
+    dim), not the data — but k = corpus/seed_mod grows with the corpus,
+    so it carries the same MAX_SEED_COLLECT cap as the IVF seeding
+    (checked via limit(cap+1); past it, raise rather than pull a
+    runaway row count onto the driver — pick a larger seed_mod)."""
     import numpy as np
 
+    cap = similarity.MAX_SEED_COLLECT
     rows = (
         corpus.filter((F.col(id_col) % seed_mod) == 0)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .orderBy("cid")
+        .limit(cap + 1)
         .collect()
     )
+    if len(rows) > cap:
+        raise ValueError(
+            f"kmeans seeding would collect >{cap} centroids to the driver "
+            f"(corpus/{seed_mod} grows with the corpus) — raise seed_mod so "
+            "k stays model-sized"
+        )
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     C = _np_quant(np.array([r["cvec"] for r in rows], dtype=np.float64))
     return cids, C

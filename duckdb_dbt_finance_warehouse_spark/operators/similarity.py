@@ -237,6 +237,26 @@ def _np_quant_cos_pre(Xq, Cq, xnorms, cnorms):
 
 
 MAX_SEED_COLLECT = 4096
+MAX_QUERY_COLLECT = 1 << 17
+
+
+def _collect_queries(queries, id_col, vec_col, caller: str, table_variant: str):
+    """Driver-side query collect for the small-probe serving paths.
+    Capped (via limit(cap+1) — the probe job never pulls the runaway
+    set): a query side big enough to trip this is a TABLE, and the
+    cogrouped table-probe path handles it without any driver collect."""
+    rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .limit(MAX_QUERY_COLLECT + 1)
+        .collect()
+    )
+    if len(rows) > MAX_QUERY_COLLECT:
+        raise ValueError(
+            f"{caller}: >{MAX_QUERY_COLLECT} query vectors is a probe TABLE, "
+            f"not a driver-side probe set — use {table_variant} (cogrouped "
+            "bucket/centroid join, no driver collect)"
+        )
+    return rows
 
 
 def _seed_centroids(corpus, id_col, vec_col, n_centroids_mod, caller: str):
@@ -339,9 +359,9 @@ def ivf_ann_topk(
     cnorms = np.sqrt((Cq * Cq).sum(axis=1))
     n_probes_eff = min(n_probes, len(cids))
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
+    q_rows = _collect_queries(
+        queries, id_col, vec_col, "ivf_ann_topk", "ivf_ann_topk_probe_table"
+    )
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Qq = _np_quant(np.array([r["q_vec"] for r in q_rows], dtype=np.float64)) if q_rows else np.zeros((0, 1))
     qnorms = np.sqrt((Qq * Qq).sum(axis=1))
@@ -866,9 +886,9 @@ def lsh_ann_topk(
 
     spark = corpus.sparkSession
     S = _sign_matrix(n_tables, n_planes, dim)
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
+    q_rows = _collect_queries(
+        queries, id_col, vec_col, "lsh_ann_topk", "lsh_ann_topk_probe_table"
+    )
     # object dtype keeps ids native (int, str, ...); the output schema
     # advertises the input id column's type, so no int64 coercion here
     qids = np.array([r["query_id"] for r in q_rows], dtype=object)

@@ -250,6 +250,35 @@ def test_ivf_untrained_seeding_caps_driver_collect(spark, monkeypatch):
         similarity.ivf_ann_topk_probe_table(emb, emb.limit(1), n_centroids_mod=1)
 
 
+def test_driver_probe_collects_are_capped(spark, monkeypatch):
+    """The small-probe serving paths collect query vectors to the
+    driver; past MAX_QUERY_COLLECT they must refuse and point at the
+    cogrouped table-probe variants (and the probe job itself is
+    limit(cap+1), never the runaway collect)."""
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    monkeypatch.setattr(similarity, "MAX_QUERY_COLLECT", 3)
+    with pytest.raises(ValueError, match="ivf_ann_topk_probe_table"):
+        similarity.ivf_ann_topk(emb, emb.limit(10))
+    with pytest.raises(ValueError, match="lsh_ann_topk_probe_table"):
+        similarity.lsh_ann_topk(emb, emb.limit(10))
+
+
+def test_kmeans_seed_collect_capped(spark, monkeypatch):
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.operators import kmeans
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    monkeypatch.setattr(similarity, "MAX_SEED_COLLECT", 3)
+    with pytest.raises(ValueError, match="seed_mod"):
+        kmeans.kmeans_fit(emb, "vec_id", "embedding", seed_mod=1, n_iter=1)
+
+
 def test_lsh_planes_for_holds_bucket_size():
     """n_planes grows with log2(corpus) so expected bucket volume — and
     per-probe serving cost — stays constant instead of quadratic."""
