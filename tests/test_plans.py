@@ -79,6 +79,7 @@ BNLJ_ALLOWED = {
     "x_ann_ivf_topk",
     "x_tfidf_top_terms",
     "x_winsorize",
+    "x_vocab_coverage",  # 1-row total-occurrences bound
 }
 
 
