@@ -89,6 +89,45 @@ def test_incremental_minhash_matches_full_recompute(spark):
     release_persisted()
 
 
+def test_dedup_index_lifecycle_lossless(spark, tmp_path):
+    """Three batches appended through DedupIndex must together emit
+    EXACTLY the full-corpus pair set — the invariant that makes the
+    incremental mode a safe replacement for the nightly full pass
+    (band collisions are a pure function of the signatures, which
+    don't depend on batch boundaries). Also: the index tables exist in
+    the warehouse afterwards, and a re-run from a fresh index over the
+    same batches reproduces the same pairs (deterministic)."""
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import (
+        DedupIndex,
+        minhash_lsh_dedup_portable,
+    )
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import Warehouse, load_testdata
+
+    docs = load_testdata(spark, SF, "documents")["documents"]
+    cfg = dict(k=4, n_hashes=32, bands=8, threshold=0.5)
+    wh = Warehouse(spark, str(tmp_path))
+    idx = DedupIndex(wh, **cfg)
+
+    got: set[tuple] = set()
+    for m in (0, 1, 2):
+        batch = docs.filter(F.col("doc_id") % 3 == m)
+        pairs = idx.append(batch)
+        got |= {
+            tuple(sorted(t))
+            for t in ((r["id_a"], r["id_b"]) for r in pairs.collect())
+        }
+        release_persisted()
+    assert wh.exists("index", "minhash_sigs") and wh.exists("index", "minhash_bands")
+    assert wh.read("index", "minhash_sigs").count() == docs.count()
+
+    full = minhash_lsh_dedup_portable(docs, "doc_id", "text", **cfg)
+    want = {
+        tuple(sorted(t)) for t in ((r["id_a"], r["id_b"]) for r in full.collect())
+    }
+    release_persisted()
+    assert got and got == want
+
+
 def test_dedup_clusters_transitive_closure(spark):
     """A~B and B~C must land in one cluster even though (A, C) was never
     a candidate pair; disjoint components stay separate. Chain length 4
