@@ -46,6 +46,7 @@ HEADLINE = [
     "m1_movement_classification", # flagship movement classification
     "m2_waterfall_rollup",        # flagship waterfall mart
     "sql1_join_agg_q3_style",     # SQL-API 3-way join + agg
+    "sql2_join_agg_q5_style",     # SQL-API 6-way star join (reordering)
     "x_tfidf_top_terms",          # tf-idf term ranking
     "a10_salted_agg",             # skew-proof two-stage aggregation
     "x_ann_ivf_topk",             # IVF inverted-list ANN

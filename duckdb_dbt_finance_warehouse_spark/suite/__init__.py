@@ -69,7 +69,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_vocab_coverage",
     "m1_movement_classification",
     "m2_waterfall_rollup",
-    "sql1_join_agg_q3_style",
+    "sql2_join_agg_q5_style",
 ]
 
 

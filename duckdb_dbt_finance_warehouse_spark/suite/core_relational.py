@@ -1039,6 +1039,59 @@ def sql1_join_agg_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql2_join_agg_q5_style",
+    oracle="""
+    SELECT n.n_name AS nation,
+           SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+             AS BIGINT)) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def sql2_join_agg_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q5 shape: the 6-way star join (fact x fact x
+    four dims) that exercises Catalyst JOIN REORDERING and multi-level
+    broadcast. nation/region/supplier are dimension-sized at any SF —
+    all three plan as BroadcastHashJoin; the local-supplier predicate
+    (c_nationkey = s_nationkey) rides the join output as a filter.
+    Revenue uses the scaled-integer floor trick in BOTH engines, so the
+    sum is order-independent and bit-identical."""
+    for n, df in T(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    ).items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5))
+                 / CAST(10000 AS DOUBLE) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM customer c
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND c.c_nationkey = s.s_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        """
+    )
+
+
+@query(
     "m2_waterfall_rollup",
     oracle=f"""
     WITH base AS ({_M1_SQL})

@@ -175,6 +175,16 @@ def test_pack_sequences_window_is_stream_partitioned(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_q5_star_join_broadcasts_all_dims(spark):
+    """The 6-way star join must broadcast every dimension-sized side
+    (supplier, nation, region + the customer-side build Catalyst
+    picks) — at least 3 BroadcastHashJoins, no SortMergeJoin at test
+    SF, no nested loop."""
+    p = plan_of(spark, "sql2_join_agg_q5_style")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
 def test_compaction_plan_aggregates_before_window(spark):
     """compaction_plan's window runs over per-month summaries: the plan
     must show a partial aggregation on the fact scan feeding the window
