@@ -68,8 +68,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_leakage_safe_split",
     "x_vocab_coverage",
     "m1_movement_classification",
-    "m2_waterfall_rollup",
     "sql2_join_agg_q5_style",
+    "sql3_exists_q4_style",
 ]
 
 

@@ -1092,6 +1092,38 @@ def sql2_join_agg_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql3_exists_q4_style",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql3_exists_q4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q4 shape: correlated EXISTS — Catalyst
+    DECORRELATES the subquery into a left-semi join (never a per-row
+    subquery execution), with the returnflag filter pushed into the
+    lineitem scan below it; plan-tested. The dual of j5's anti join."""
+    for n, df in T(spark, sf_dir, "orders", "lineitem").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@query(
     "m2_waterfall_rollup",
     oracle=f"""
     WITH base AS ({_M1_SQL})

@@ -185,6 +185,15 @@ def test_q5_star_join_broadcasts_all_dims(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must plan as a join with LeftSemi semantics
+    (decorrelated), with the returnflag filter reaching the lineitem
+    scan — never per-row subquery execution."""
+    p = plan_of(spark, "sql3_exists_q4_style")
+    assert "LeftSemi" in p, p
+    assert "EqualTo(l_returnflag,R)" in p, p
+
+
 def test_compaction_plan_aggregates_before_window(spark):
     """compaction_plan's window runs over per-month summaries: the plan
     must show a partial aggregation on the fact scan feeding the window
