@@ -48,6 +48,7 @@ HEADLINE = [
     "sql1_join_agg_q3_style",     # SQL-API 3-way join + agg
     "sql2_join_agg_q5_style",     # SQL-API 6-way star join (reordering)
     "sql3_exists_q4_style",       # correlated EXISTS -> semi join
+    "sql4_recursive_spine",       # WITH RECURSIVE month spine + zero-fill
     "x_tfidf_top_terms",          # tf-idf term ranking
     "a10_salted_agg",             # skew-proof two-stage aggregation
     "x_ann_ivf_topk",             # IVF inverted-list ANN

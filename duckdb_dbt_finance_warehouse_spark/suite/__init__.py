@@ -67,9 +67,9 @@ DRIVER_PRIORITY: list[str] = [
     "x_text_langid",
     "x_leakage_safe_split",
     "x_vocab_coverage",
-    "m1_movement_classification",
     "sql2_join_agg_q5_style",
     "sql3_exists_q4_style",
+    "sql4_recursive_spine",
 ]
 
 

@@ -1124,6 +1124,52 @@ def sql3_exists_q4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql4_recursive_spine",
+    oracle="""
+    WITH RECURSIVE months(month_start) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE month_start < DATE '1996-12-01')
+    SELECT m.month_start,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           SUM(CAST(floor(COALESCE(o.o_totalprice, 0) * 10000 + 0.5) AS BIGINT))
+             / 10000.0 AS total_price
+    FROM months m
+    LEFT JOIN orders o
+      ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month_start
+    GROUP BY m.month_start
+    """,
+)
+def sql4_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface: WITH RECURSIVE (Spark 4.1) generating a month
+    spine — the dbt date_spine semantics (F19) as an acyclic recursive
+    CTE instead of explode(sequence) — left-joined to orders with
+    zero-fill, both engines running the same recursion. (Cycle-safe
+    closure still needs the iterative operator: Spark recursion is
+    UNION ALL-only, so dedup_clusters remains large-star/small-star.)"""
+    for n, df in T(spark, sf_dir, "orders").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(month_start) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(month_start, 1) FROM months
+          WHERE month_start < DATE '1996-12-01')
+        SELECT m.month_start,
+               count(o.o_orderkey) AS n_orders,
+               CAST(SUM(FLOOR(COALESCE(o.o_totalprice, 0) * 10000 + 0.5))
+                 / CAST(10000 AS DOUBLE) AS DOUBLE) AS total_price
+        FROM months m
+        LEFT JOIN orders o
+          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month_start
+        GROUP BY m.month_start
+        """
+    )
+
+
+@query(
     "m2_waterfall_rollup",
     oracle=f"""
     WITH base AS ({_M1_SQL})
