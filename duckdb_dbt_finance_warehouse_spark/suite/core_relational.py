@@ -1147,7 +1147,13 @@ def sql4_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE instead of explode(sequence) — left-joined to orders with
     zero-fill, both engines running the same recursion. (Cycle-safe
     closure still needs the iterative operator: Spark recursion is
-    UNION ALL-only, so dedup_clusters remains large-star/small-star.)"""
+    UNION ALL-only, so dedup_clusters remains large-star/small-star.)
+
+    Scale shape: orders pre-aggregate to month grain BEFORE the spine
+    join (a raw months-LEFT-JOIN-orders can't broadcast — LeftOuter
+    only builds the right side, and orders is the unbounded one), so
+    the join inputs are both month-sized and the fact table pays one
+    grouped scan."""
     for n, df in T(spark, sf_dir, "orders").items():
         df.createOrReplaceTempView(n)
     return spark.sql(
@@ -1156,15 +1162,19 @@ def sql4_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT DATE '1995-01-01'
           UNION ALL
           SELECT add_months(month_start, 1) FROM months
-          WHERE month_start < DATE '1996-12-01')
+          WHERE month_start < DATE '1996-12-01'),
+        by_month AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                 count(o_orderkey) AS n_orders,
+                 SUM(FLOOR(o_totalprice * 10000 + 0.5)) AS scaled_price
+          FROM orders
+          GROUP BY 1)
         SELECT m.month_start,
-               count(o.o_orderkey) AS n_orders,
-               CAST(SUM(FLOOR(COALESCE(o.o_totalprice, 0) * 10000 + 0.5))
+               COALESCE(b.n_orders, 0) AS n_orders,
+               CAST(COALESCE(b.scaled_price, 0)
                  / CAST(10000 AS DOUBLE) AS DOUBLE) AS total_price
         FROM months m
-        LEFT JOIN orders o
-          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m.month_start
-        GROUP BY m.month_start
+        LEFT JOIN by_month b ON b.month_start = m.month_start
         """
     )
 
