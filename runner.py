@@ -6,6 +6,7 @@
   python runner.py build  --warehouse WH [--full-refresh] [--vars JSON]
                           [--select model1,model2]
   python runner.py test   --warehouse WH
+  python runner.py dag    [--select model1,model2]   # build-order listing
 """
 
 from __future__ import annotations
@@ -85,9 +86,30 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_dag(args) -> int:
+    """Print the model DAG in build order (the `dbt list`/docs analog):
+    one line per model — schema.name, materialization, declared deps —
+    without touching Spark or the warehouse (pure registry metadata)."""
+    p = build_pipeline()
+    select = args.select.split(",") if args.select else None
+    for name in p.topo_order(select):
+        m = p.models[name]
+        deps = ", ".join(m.deps) if m.deps else "-"
+        extras = []
+        if m.unique_key:
+            extras.append(f"unique_key={','.join(m.unique_key)}")
+        if m.partition_by:
+            extras.append(f"partition_by={','.join(m.partition_by)}")
+        suffix = f"  [{'; '.join(extras)}]" if extras else ""
+        print(f"{m.schema}.{m.name}  ({m.materialization})  <- {deps}{suffix}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
+    dag = sub.add_parser("dag")
+    dag.add_argument("--select", default=None)
     for name in ("ingest", "build", "test", "query"):
         s = sub.add_parser(name)
         s.add_argument("--warehouse", required=True)
@@ -108,6 +130,7 @@ def main() -> int:
         "build": cmd_build,
         "test": cmd_test,
         "query": cmd_query,
+        "dag": cmd_dag,
     }[args.cmd](args)
 
 

@@ -218,6 +218,20 @@ def test_full_declared_matrix_after_three_batches(spark, wh):
     assert failures == {}
 
 
+def test_dag_listing_is_topological():
+    """runner dag: every model appears exactly once, after all its deps
+    (no Spark, pure registry metadata)."""
+    from duckdb_dbt_finance_warehouse_spark.models import build_pipeline
+
+    p = build_pipeline()
+    order = p.topo_order()
+    assert sorted(order) == sorted(p.models)
+    seen: set[str] = set()
+    for name in order:
+        assert set(p.models[name].deps) <= seen
+        seen.add(name)
+
+
 def test_catalog_registration(spark, wh):
     """Catalog mode (sql.register_warehouse_catalog): one database per
     warehouse schema, external tables over the parquet layout, partition
