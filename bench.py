@@ -78,6 +78,12 @@ HEADLINE = [
     "x_vocab_coverage",           # token-frequency vocab head + coverage
     "x_maintenance_compaction",   # prefix-sum compaction planning
     "x_snapshot_diff",            # table-state audit diff (full-outer)
+    "x_paragraph_dedup",          # passage-level exact dedup + rebuild
+    "x_simhash_near_dup",         # banded simhash hamming<=3 pairs
+    "x_semantic_dedup",           # SemDeDup: kmeans + in-cluster cosine
+    "x_sample_temperature",       # alpha=0.5 temperature language mix
+    "x_collocations",             # bigram PMI top-k (exact rational)
+    "x_quality_classifier",       # hashed linear quality filter
 ]
 
 

@@ -569,3 +569,127 @@ class DedupIndex:
         self.wh.write(new_sigs, self.schema, self.sigs_table, mode="append")
         self.wh.write(new_bands, self.schema, self.bands_table, mode="append")
         return pairs
+
+
+def passage_dedup(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """Passage-level exact dedup (C4-style span removal, at word-window
+    granularity): split each document into consecutive non-overlapping
+    ``w``-word passages, hash each, and drop every passage whose hash
+    occurs in MORE THAN ONE document — boilerplate (headers, footers,
+    license blocks) vanishes while unique prose survives. Returns one
+    row per doc: passage counts, the duplicated-passage ratio, and the
+    reconstructed ``dedup_text`` with duplicated passages removed (in
+    original order).
+
+    Shape: one explode to passage volume, one groupBy on the passage
+    hash (high-entropy key — skew-free), one hash join back, one
+    doc-keyed agg that rebuilds the text via sort_array over (pos,
+    passage) structs. No windows, no collects; passage volume is
+    ~n_words/w rows per doc, each carrying one md5 — the widest
+    exchange is the corpus-wide hash groupBy, same scale class as
+    exact_dedup's content-hash shuffle."""
+    passages = (
+        df.select(F.col(id_col), F.split(normalize_text(text_col), " ").alias("_w"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, CAST(ceil(size(_w) / {w}.0) AS INT)),"
+                    f" i -> array_join(slice(_w, (i - 1) * {w} + 1, {w}), ' '))"
+                )
+            ).alias("pos", "passage"),
+        )
+        .withColumn("phash", F.md5("passage"))
+    )
+    dup = (
+        passages.groupBy("phash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("phash")
+        .withColumn("_dup", F.lit(True))
+    )
+    flagged = passages.join(dup, "phash", "left").withColumn(
+        "is_dup", F.coalesce(F.col("_dup"), F.lit(False))
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("is_dup"), F.struct("pos", "passage"))
+                )
+            ),
+            lambda s: s["passage"],
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_passages"),
+        F.count_if(F.col("is_dup")).alias("n_dup_passages"),
+        (F.count_if(F.col("is_dup")).cast("double") / F.count("*").cast("double")).alias(
+            "dup_ratio"
+        ),
+        kept_text.alias("dedup_text"),
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs at scale: band the ``bits``-bit md5
+    fingerprint into ``bands`` chunks — two fingerprints within hamming
+    distance ``bands - 1`` (pigeonhole) share at least one identical
+    chunk — self-join per (band, chunk) for candidates, then verify
+    ``bit_count(xor) <= max_hamming`` exactly. The Google-dedup
+    companion to MinHash-LSH: one fused aggregation builds fingerprints
+    (no shingle explode), candidates are an ids+fingerprint join on a
+    high-entropy key, and the hamming verify is two codegen'd integer
+    ops — no second pass over text.
+
+    Requires ``max_hamming <= bands - 1`` for full recall (the
+    pigeonhole guarantee); raises otherwise rather than silently
+    missing pairs."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"simhash_near_dup: max_hamming={max_hamming} exceeds the pigeonhole "
+            f"guarantee of bands-1={bands - 1}; raise bands for full recall"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"simhash_near_dup: bits={bits} not divisible by bands={bands}")
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    fp = simhash(df, id_col, text_col, bits=bits, hash_fn="md5")
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"shiftright(simhash, {b * rows}) & {mask}").alias("chunk"),
+        )
+        for b in range(bands)
+    ]
+    banded = fp.select(
+        id_col, "simhash", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("sh_a ^ sh_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -112,6 +112,67 @@ def leakage_safe_split(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+    salt: str = "s0",
+    weight_scale: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-reweighted mixture sampling: per-stratum keep rates
+    proportional to ``count^alpha`` — the standard multilingual /
+    multi-source rebalancing (alpha < 1 upsamples small strata relative
+    to their raw share, the way training mixes temper head-heavy
+    language or domain distributions).
+
+    Math, kept engine-exact: stratum weight ``w_s = round(count_s^alpha
+    * weight_scale)`` is an INTEGER (sums of weights are order-free),
+    and the keep fraction is ``min(1, target_total * (w_s / W) /
+    count_s)`` evaluated as a fixed sequence of IEEE double ops —
+    bit-identical in any engine. alpha is restricted to {0.5, 1.0}
+    because sqrt is correctly rounded under IEEE 754 (identical
+    everywhere) while pow(x, a) is a transcendental whose last ulp is
+    engine-specific; other temperatures would need a quantized pow
+    table. Row selection is the usual deterministic md5 uniform.
+
+    Scale: one tiny per-stratum aggregate (map-side combined), its
+    1-row total, both broadcast back onto the corpus — the corpus
+    itself sees one narrow filter, no shuffle, no collect."""
+    if alpha not in (0.5, 1.0):
+        raise ValueError(
+            "temperature_resample: alpha must be 0.5 or 1.0 — sqrt is the only "
+            "IEEE-exact fractional power, so other temperatures cannot be "
+            "replayed bit-for-bit by a SQL oracle (quantize a pow table first)"
+        )
+    n_dbl = F.col("n_s").cast("double")
+    w = F.sqrt(n_dbl) if alpha == 0.5 else n_dbl
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_s"))
+        .withColumn(
+            "qw_s",
+            F.floor(w * F.lit(float(weight_scale)) + F.lit(0.5)).cast("long"),
+        )
+    )
+    total = counts.agg(F.sum("qw_s").alias("qw_total"))
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("qw_s").cast("double") * F.lit(float(target_total)))
+        / F.col("qw_total").cast("double")
+        / F.col("n_s").cast("double"),
+    )
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        stratum_col, "n_s", frac.alias("keep_fraction")
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .withColumn("sample_u", hash_uniform(id_col, salt))
+        .filter(F.col("sample_u") < F.col("keep_fraction"))
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

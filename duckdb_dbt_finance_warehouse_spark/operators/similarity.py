@@ -950,3 +950,100 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mod: int = 32,
+    n_iter: int = 3,
+    threshold: float = 0.4,
+    model=None,
+):
+    """SemDeDup-style semantic near-dup pairs: cluster the embedding
+    space with the fixed-round quantized k-means
+    (operators/kmeans.kmeans_fit), then score all pairs WITHIN each
+    cluster and keep those at quantized cosine >= threshold — semantic
+    duplicates (paraphrases, re-renderings) that exact/MinHash dedup
+    cannot see. Clustering makes the quadratic local: k clusters cut
+    candidate pairs from N^2/2 to ~N^2/(2k), and at 100 TB the
+    per-cluster work is an embarrassingly parallel Arrow stage (one
+    BLAS gram matrix per cluster batch).
+
+    Pass ``model=(cids, C)`` from a prior ``kmeans_fit`` to skip
+    refitting (the production shape: the quantizer is trained once and
+    reused across dedup runs — same contract as ``ivf_ann_topk``).
+
+    Shape: broadcast centroid model -> one narrow mapInPandas
+    assignment pass, one key join to re-attach vectors, one shuffle on
+    cluster_id, per-cluster vectorized scoring via applyInPandas.
+    Quantized-exact arithmetic (``QUANT_SCALE``) end to end, so the
+    DuckDB oracle (kmeans CTE replay + pairwise quantized cosine)
+    matches bit-for-bit. Returns (cluster_id, id_a, id_b, cosine),
+    id_a < id_b."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .kmeans import _assign_kernel, kmeans_fit
+
+    spark = corpus.sparkSession
+    if model is None:
+        model = kmeans_fit(corpus, id_col, vec_col, seed_mod, n_iter)
+    bc = spark.sparkContext.broadcast(model)
+    id_type = corpus.schema[id_col].dataType
+    asg_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("member_id", id_type),
+        ]
+    )
+    src = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    asg = src.mapInPandas(_assign_kernel(bc, emit_sums=False), asg_schema)
+    members = asg.join(
+        corpus.select(
+            F.col(id_col).alias("member_id"), F.col(vec_col).alias("_vec")
+        ),
+        "member_id",
+    )
+    pair_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    empty = {
+        "cluster_id": np.array([], dtype=np.int64),
+        "id_a": np.array([], dtype=object),
+        "id_b": np.array([], dtype=object),
+        "cosine": np.array([], dtype=np.float64),
+    }
+
+    def cluster_pairs(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        Xq = _np_quant(V)
+        xn = np.sqrt((Xq * Xq).sum(axis=1))
+        Cm = (Xq @ Xq.T) / np.outer(xn, xn)
+        # ROUND(x, 6) half away from zero, as both SQL engines do
+        Cm = np.sign(Cm) * np.floor(np.abs(Cm) * 1e6 + 0.5) / 1e6
+        ia, ib = np.triu_indices(n, k=1)
+        ids = pdf["member_id"].to_numpy()
+        a, b, cs = ids[ia], ids[ib], Cm[ia, ib]
+        keep = cs >= threshold
+        a, b, cs = a[keep], b[keep], cs[keep]
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(a), pdf["cluster_id"].iloc[0]),
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": cs,
+            }
+        )
+
+    return members.groupBy("cluster_id").applyInPandas(cluster_pairs, pair_schema)

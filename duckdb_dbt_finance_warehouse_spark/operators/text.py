@@ -363,3 +363,116 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> D
         ).alias("dup_frac"),
         F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_gram_frac"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k bigram collocations by PMI — the phrase-mining /
+    tokenizer-merge-candidate primitive ("new york" scores high because
+    its joint count dwarfs what its unigram frequencies predict).
+
+    PMI = log(N * c_xy / (c_x * c_y)); log is monotone, so ranking and
+    the emitted score use the exact RATIONAL ``pmi_ratio = c_xy * N /
+    (c_x * c_y)`` instead — integer products and ONE double division,
+    bit-identical in any engine (a log would drag in engine-specific
+    transcendental rounding for zero analytical gain).
+
+    Shape: adjacent-pair extraction is an in-row array transform (no
+    self-join), bigram and unigram counts are map-side-combined grouped
+    counts, the unigram side joins back twice on the word key, the
+    token total rides in as a broadcast 1-row aggregate, and the global
+    top-k is a distributed TakeOrdered with (ratio desc, w1, w2)
+    deterministic tiebreaks. ``min_count`` prunes the long tail before
+    the joins."""
+    base = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_w")
+    )
+    uni = (
+        base.select(F.explode("_w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_toks"))
+    bg = (
+        base.filter(F.size("_w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1),"
+                    " i -> struct(element_at(_w, i) AS w1, element_at(_w, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))
+    ratio = (F.col("c_xy") * F.col("n_toks")).cast("double") / (
+        F.col("c_x") * F.col("c_y")
+    ).cast("double")
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c_xy", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str = "qw0",
+    weight_range: int = 1000,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Linear quality classifier over hashed token features — the
+    execution shape of a fastText-style quality filter (hash each token
+    into a weight table, score = mean weight, threshold decides
+    keep/drop), with DETERMINISTIC md5-derived integer weights standing
+    in for trained ones (this container ships no model; swap
+    ``_weight`` for a broadcast lookup of real weights and the plan is
+    unchanged).
+
+    Exactness: per-token weight is an INTEGER in [-weight_range,
+    weight_range] (md5-derived), the document sum is an order-free
+    bigint, and the logit is ONE double division of two exact integers
+    — bit-identical in any engine (a float dot product would be
+    summation-order-dependent and unverifiable cross-engine).
+
+    Shape: one token explode + one doc-keyed aggregation (map-side
+    combine collapses each doc's tokens before the exchange) + a narrow
+    projection. No joins, no windows, no model I/O."""
+    span = 2 * weight_range + 1
+    toks = tokens(df, id_col, text_col).filter(F.col("tok") != "")
+    wq = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("tok"))), 1, 8), 16, 10)
+        .cast("long")
+        % span
+        - weight_range
+    )
+    scored = toks.withColumn("wq", wq).groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.sum("wq").alias("w_sum")
+    )
+    logit = F.col("w_sum").cast("double") / (
+        F.col("n_tokens") * F.lit(weight_range)
+    ).cast("double")
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "w_sum",
+        logit.alias("quality_logit"),
+        (logit >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -14,11 +14,18 @@ from . import extensions  # noqa: E402,F401
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
 # cosmetics.  Round-5 rotation (VERDICT r4 task 5): front-load (a) the 39
-# entries whose last driver-green row is r3, (b) every entry whose code
-# was touched this round (dedup signature path, incremental index
-# persist, two-pass compaction), then (c) a flagship band re-proven each
-# round.  Entries not listed keep their registration order after the
-# priority block; all 89 still run in pytest / tools/check_correctness.py.
+# entries whose last driver-green row is r3, (b) every entry that has
+# NEVER had a driver row (the five mid-round additions plus the six new
+# round-5 operators — paragraph/simhash/semantic dedup, temperature mix,
+# collocations, quality classifier).  The six r4-green entries that held
+# the remaining slots (x_dedup_incremental, x_dedup_clusters,
+# x_dedup_canonical, x_maintenance_compaction, x_sessionize,
+# x_text_langid) rotate OUT this round — r4-green keeps them inside the
+# no-entry->2-rounds-unchecked window until r6, and the dedup-signature /
+# compaction code they share is still driver-covered via
+# x_dedup_minhash_lsh / x_dedup_minhash_portable in the 39.  Entries not
+# listed keep their registration order after the priority block; all
+# still run in pytest / tools/check_correctness.py.
 DRIVER_PRIORITY: list[str] = [
     "a2_grouped_min_max",
     "a3_global_scalar_agg",
@@ -59,12 +66,12 @@ DRIVER_PRIORITY: list[str] = [
     "x_dedup_minhash_portable",
     "x_dedup_simhash",
     "x_ngram_jaccard",
-    "x_dedup_incremental",
-    "x_dedup_clusters",
-    "x_dedup_canonical",
-    "x_maintenance_compaction",
-    "x_sessionize",
-    "x_text_langid",
+    "x_paragraph_dedup",
+    "x_simhash_near_dup",
+    "x_semantic_dedup",
+    "x_sample_temperature",
+    "x_collocations",
+    "x_quality_classifier",
     "x_leakage_safe_split",
     "x_vocab_coverage",
     "sql2_join_agg_q5_style",

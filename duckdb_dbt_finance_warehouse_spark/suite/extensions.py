@@ -1819,3 +1819,194 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", hash_new.alias("record_hash")
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: passage/simhash/semantic dedup, temperature mix,
+# collocations, hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_paragraph_dedup",
+    oracle=f"""
+    WITH wds AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    p AS (SELECT doc_id, i AS pos,
+                 array_to_string(w[(i - 1) * 8 + 1 : i * 8], ' ') AS passage
+          FROM wds, LATERAL (SELECT unnest(generate_series(1,
+                 CAST(ceil(len(w) / 8.0) AS INT))) AS i) g),
+    ph AS (SELECT doc_id, pos, passage, md5(passage) AS phash FROM p),
+    dup AS (SELECT phash FROM ph GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+    fl AS (SELECT ph.doc_id, ph.pos, ph.passage,
+                  ph.phash IN (SELECT phash FROM dup) AS is_dup FROM ph)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_passages,
+           CAST(count(*) FILTER (WHERE is_dup) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_ratio,
+           COALESCE(string_agg(passage, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT is_dup), '') AS dedup_text
+    FROM fl GROUP BY 1
+    """,
+)
+def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (operators/dedup.passage_dedup): C4-style
+    span removal at 8-word-window granularity — passages repeated across
+    documents (boilerplate) are dropped and the text is rebuilt in
+    order. One explode, one high-entropy hash groupBy, one doc-keyed
+    rebuild agg; no windows."""
+    return dedup.passage_dedup(_docs(spark, sf_dir), "doc_id", "text", w=8)
+
+
+@query(
+    "x_simhash_near_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    hx AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+    bits AS (
+      SELECT doc_id, CAST(i AS INT) AS i,
+             SUM(CASE WHEN (th >> CAST(i AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hx CROSS JOIN unnest(generate_series(0, 47)) AS u(i)
+      GROUP BY 1, 2),
+    fp AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+               AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id),
+    banded AS (SELECT doc_id, simhash, CAST(b AS INT) AS b,
+                      (simhash >> (CAST(b AS INT) * 12)) & 4095 AS chunk
+               FROM fp CROSS JOIN unnest(generate_series(0, 3)) AS u(b)),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sh_a, b.simhash AS sh_b
+              FROM banded a JOIN banded b
+                ON b.b = a.b AND b.chunk = a.chunk AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def x_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (operators/dedup.simhash_near_dup): 48-bit
+    md5 fingerprints banded 4x12 — pigeonhole guarantees hamming<=3
+    pairs share a band — candidates from a high-entropy (band, chunk)
+    self-join, verified by two integer ops (bit_count(xor)). The
+    Google-style fingerprint companion to the MinHash-LSH family: no
+    shingle explode, no second text pass."""
+    return dedup.simhash_near_dup(
+        _docs(spark, sf_dir), "doc_id", "text", bits=48, bands=4, max_hamming=3
+    )
+
+
+@query(
+    "x_semantic_dedup",
+    oracle=f"""
+    WITH {kmeans.kmeans_oracle_ctes(seed_mod=32, n_iter=3)},
+    mpairs AS (SELECT x.cid AS cluster_id, x.vid AS id_a, y.vid AS id_b
+              FROM asgF x JOIN asgF y ON y.cid = x.cid AND x.vid < y.vid),
+    scored AS (SELECT p.cluster_id, p.id_a, p.id_b, {_QCOS_PAIR} AS cosine
+               FROM mpairs p JOIN embeddings q ON q.vec_id = p.id_a
+                             JOIN embeddings c ON c.vec_id = p.id_b)
+    SELECT cluster_id, id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
+)
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (operators/similarity.
+    semantic_dedup_pairs): quantized k-means clusters the embedding
+    space (broadcast centroid model, one Arrow assignment pass), then
+    all-pairs quantized cosine WITHIN each cluster only — N^2/2 shrinks
+    to ~N^2/(2k) candidate pairs and the per-cluster gram matrix is one
+    BLAS call. Catches paraphrase-level duplicates exact/MinHash dedup
+    cannot see; the DuckDB oracle replays fit, assignment, and pairwise
+    scoring bit-for-bit."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.semantic_dedup_pairs(
+        emb, seed_mod=32, n_iter=3, threshold=0.4
+    )
+
+
+@query(
+    "x_sample_temperature",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+    qw AS (SELECT lang, n_s,
+                  CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)
+                    AS qw_s
+           FROM counts),
+    tot AS (SELECT sum(qw_s) AS qw_total FROM qw),
+    rates AS (SELECT lang, n_s,
+                     least(1.0, CAST(qw_s AS DOUBLE) * 120.0
+                                  / CAST(qw_total AS DOUBLE)
+                                  / CAST(n_s AS DOUBLE)) AS keep_fraction
+              FROM qw, tot)
+    SELECT d.doc_id, d.lang, r.n_s, r.keep_fraction, d.u AS sample_u
+    FROM (SELECT doc_id, lang, {_U} AS u FROM documents) d
+    JOIN rates r USING (lang)
+    WHERE d.u < r.keep_fraction
+    """,
+)
+def x_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted language mix at alpha=0.5 (operators/
+    sampling.temperature_resample): per-stratum keep rates proportional
+    to sqrt(count) — small languages upsampled relative to their raw
+    share, the standard multilingual rebalance. Integer-quantized
+    weights + IEEE-exact sqrt keep the rates bit-identical across
+    engines; the corpus sees one broadcast-joined narrow filter."""
+    return sampling.temperature_resample(
+        _docs(spark, sf_dir), "doc_id", "lang", target_total=120, alpha=0.5
+    ).select("doc_id", "lang", "n_s", "keep_fraction", "sample_u")
+
+
+@query(
+    "x_collocations",
+    oracle=f"""
+    WITH wds AS (SELECT string_split({_NORM}, ' ') AS w FROM documents),
+    uni AS (SELECT tok, count(*) AS c
+            FROM (SELECT unnest(w) AS tok FROM wds) WHERE tok <> '' GROUP BY 1),
+    tot AS (SELECT sum(c) AS n_toks FROM uni),
+    bg AS (SELECT w[i] AS w1, w[i + 1] AS w2
+           FROM (SELECT w FROM wds WHERE len(w) >= 2) ww,
+                LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g),
+    cxy AS (SELECT w1, w2, count(*) AS c_xy FROM bg
+            WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT b.w1, b.w2, b.c_xy,
+           CAST(b.c_xy * t.n_toks AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)
+             AS pmi_ratio
+    FROM cxy b JOIN uni u1 ON u1.tok = b.w1 JOIN uni u2 ON u2.tok = b.w2, tot t
+    ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50
+    """,
+)
+def x_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (operators/text.collocations):
+    adjacent pairs via in-row array transform (no self-join), map-side-
+    combined counts, exact-rational pmi_ratio (integer products, one
+    double division — no engine-specific log), distributed TakeOrdered
+    for the global top-k."""
+    return text.collocations(
+        _docs(spark, sf_dir), "doc_id", "text", min_count=5, top_k=50
+    )
+
+
+@query(
+    "x_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    w AS (SELECT doc_id,
+                 ('0x' || substr(md5('qw0' || ':' || tok), 1, 8))::BIGINT % 2001
+                   - 1000 AS wq
+          FROM toks WHERE tok <> ''),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(wq) AS BIGINT) AS w_sum
+          FROM w GROUP BY 1)
+    SELECT doc_id, n_tokens, w_sum,
+           CAST(w_sum AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) AS quality_logit,
+           (CAST(w_sum AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) >= 0.0) AS keep
+    FROM s
+    """,
+)
+def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed token features (operators/
+    text.quality_classifier): the fastText-filter execution shape with
+    deterministic md5 integer weights standing in for trained ones —
+    order-free bigint dot product, one exact double division for the
+    logit, one explode + one doc-keyed agg."""
+    return text.quality_classifier(_docs(spark, sf_dir), "doc_id", "text")

@@ -859,3 +859,108 @@ def test_compaction_plan_and_compact_rewrite(spark, tmp_path):
     got = wh.read("main", "t")
     assert got.count() == 1000
     assert got.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators: passage dedup, simhash pairs, temperature mix,
+# collocations, quality classifier, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_passage_dedup_removes_cross_doc_passages(spark):
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail of document one here now"),
+            (2, shared + " another distinct ending for doc two there"),
+            (3, "totally different words without any shared passage at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.passage_dedup(df, "doc_id", "text", w=8).collect()}
+    assert out[1]["n_passages"] == 2 and out[1]["n_dup_passages"] == 1
+    assert out[1]["dedup_text"] == "unique tail of document one here now"
+    assert out[2]["dedup_text"] == "another distinct ending for doc two there"
+    assert out[3]["n_dup_passages"] == 0
+    assert out[3]["dedup_text"] == out[3]["dedup_text"].strip() != ""
+
+
+def test_passage_dedup_fully_duplicated_doc_empties(spark):
+    t = "a b c d e f g h"
+    df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    rows = dedup.passage_dedup(df, "doc_id", "text", w=8).collect()
+    assert all(r["dedup_text"] == "" and r["dup_ratio"] == 1.0 for r in rows)
+
+
+def test_simhash_near_dup_finds_exact_dups_and_guards(spark):
+    df = docs_df(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_dup(df, "doc_id", "text").collect()}
+    assert pairs[(1, 4)] == 0  # case/ws dup -> identical fingerprint
+    assert all(h <= 3 for h in pairs.values())
+    import pytest
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dup(df, "doc_id", "text", bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_near_dup(df, "doc_id", "text", bits=50, bands=4, max_hamming=3)
+
+
+def test_temperature_resample_upsamples_small_strata(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)], ["id", "src"]
+    )
+    out = sampling.temperature_resample(df, "id", "src", target_total=200)
+    rates = {r["src"]: r["keep_fraction"] for r in
+             out.select("src", "keep_fraction").distinct().collect()}
+    # alpha=0.5: keep fraction of the small stratum must exceed the big one's
+    assert rates["small"] > rates["big"]
+    # and the expected total stays near the target: sum(n_s * f_s) ~ 200
+    assert abs(900 * rates["big"] + 100 * rates["small"] - 200) < 1e-6
+    import pytest
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_resample(df, "id", "src", target_total=200, alpha=0.7)
+
+
+def test_quality_classifier_deterministic_and_exact(spark):
+    df = docs_df(spark)
+    a = {r["doc_id"]: r for r in text.quality_classifier(df, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r for r in text.quality_classifier(df, "doc_id", "text").collect()}
+    assert a == b
+    for r in a.values():
+        assert r["quality_logit"] == r["w_sum"] / (r["n_tokens"] * 1000)
+        assert r["keep"] == (r["quality_logit"] >= 0.0)
+
+
+def test_collocations_ranks_frequent_pair_first(spark):
+    rows = [(i, "new york " + " ".join(f"w{j}x{i}" for j in range(6))) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = text.collocations(df, "doc_id", "text", min_count=5, top_k=5).collect()
+    assert (top[0]["w1"], top[0]["w2"]) == ("new", "york")
+    assert top[0]["c_xy"] == 20
+
+
+def test_semantic_dedup_pairs_finds_planted_near_dups(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant a near-dup of vector 3 as id 40 (tiny perturbation)
+    rows.append((40, [float(x) for x in base[3] + 0.001]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = similarity.semantic_dedup_pairs(
+        df, seed_mod=8, n_iter=2, threshold=0.99
+    ).collect()
+    assert any(r["id_a"] == 3 and r["id_b"] == 40 for r in pairs)
+    # trained-model reuse path returns the identical pair set
+    from duckdb_dbt_finance_warehouse_spark.operators.kmeans import kmeans_fit
+
+    model = kmeans_fit(df, "vec_id", "embedding", seed_mod=8, n_iter=2)
+    again = similarity.semantic_dedup_pairs(
+        df, seed_mod=8, n_iter=2, threshold=0.99, model=model
+    ).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in again) == sorted(
+        (r["id_a"], r["id_b"]) for r in pairs
+    )

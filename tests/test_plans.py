@@ -80,6 +80,8 @@ BNLJ_ALLOWED = {
     "x_tfidf_top_terms",
     "x_winsorize",
     "x_vocab_coverage",  # 1-row total-occurrences bound
+    "x_sample_temperature",  # 1-row quantized-weight total bound
+    "x_collocations",  # 1-row token-count total bound
 }
 
 
