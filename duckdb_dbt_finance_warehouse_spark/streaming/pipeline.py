@@ -336,3 +336,63 @@ def run_to_memory(df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_curation_gate(
+    doc_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "qw0",
+    weight_range: int = 1000,
+    threshold: float = 0.0,
+    sample_fraction: float = 1.0,
+    sample_salt: str = "s0",
+) -> DataFrame:
+    """Streaming curation gate: the hashed-linear quality classifier
+    (operators/text.quality_classifier) + deterministic Bernoulli
+    sampling (operators/sampling.hash_sample) applied to a document
+    INGEST STREAM — docs are scored and admitted/dropped at arrival
+    time, append-mode, no aggregation state, no watermark.
+
+    The batch classifier computes the weight sum as explode + doc-keyed
+    groupBy (the 100 TB shape: map-side combine, codegen'd). A stream
+    can't aggregate in append mode without windows, so the twin folds
+    the SAME integer weights in-row with ``aggregate`` over the token
+    array — integer summation is order-free, so batch and stream
+    admission decisions are IDENTICAL by construction (pinned by
+    tests/test_streaming.test_stream_curation_gate_matches_batch).
+    Higher-order-function folds are CodegenFallback (interpreted); that
+    trade is per-arriving-row on a stream, not per-corpus-scan, so the
+    batch path keeps the explode shape and the stream pays the
+    interpreter only at ingest rates."""
+    from ..operators.sampling import hash_uniform
+
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+        lambda t: t != F.lit(""),
+    )
+    span = 2 * weight_range + 1
+    w_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), t)), 1, 8), 16, 10)
+            .cast("long")
+            % span
+            - weight_range
+        ),
+    )
+    n_tokens = F.size(toks)
+    logit = w_sum.cast("double") / (n_tokens * F.lit(weight_range)).cast("double")
+    u = hash_uniform(id_col, sample_salt)
+    return (
+        doc_stream.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("w_sum", w_sum)
+        .withColumn("quality_logit", logit)
+        .withColumn("sample_u", u)
+        .filter(
+            (F.col("quality_logit") >= F.lit(float(threshold)))
+            & (F.col("sample_u") < F.lit(float(sample_fraction)))
+        )
+    )

@@ -235,3 +235,35 @@ def test_stream_dedup_incremental_matches_batch(spark, tmp_path_factory):
     assert sorted(
         map(tuple, spark.read.parquet(out_dir).select("id_a", "id_b").collect())
     ) == got
+
+
+def test_stream_curation_gate_matches_batch(spark, tmp_path_factory):
+    """The streaming quality gate (in-row integer fold) admits exactly
+    the docs the batch classifier + hash sample would keep."""
+    from duckdb_dbt_finance_warehouse_spark.operators import sampling, text
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    shutil.copy(os.path.join(SF, "documents.parquet"), os.path.join(d, "part-0.parquet"))
+    docs = load_testdata(spark, SF, "documents")["documents"]
+
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    gated = streaming.pipeline.stream_curation_gate(
+        stream, threshold=0.0, sample_fraction=0.8
+    )
+    got = _mem(spark, gated, "curation_gate")
+
+    batch = (
+        text.quality_classifier(docs, "doc_id", "text")
+        .filter("keep")
+        .join(sampling.hash_sample(docs, "doc_id", 0.8), "doc_id")
+    )
+    got_rows = {
+        r["doc_id"]: (r["n_tokens"], r["w_sum"], r["quality_logit"], r["sample_u"])
+        for r in got.collect()
+    }
+    batch_rows = {
+        r["doc_id"]: (r["n_tokens"], r["w_sum"], r["quality_logit"], r["sample_u"])
+        for r in batch.collect()
+    }
+    assert got_rows == batch_rows
+    assert len(got_rows) > 0
