@@ -84,6 +84,12 @@ HEADLINE = [
     "x_sample_temperature",       # alpha=0.5 temperature language mix
     "x_collocations",             # bigram PMI top-k (exact rational)
     "x_quality_classifier",       # hashed linear quality filter
+    "x_event_funnel",             # ordered 3-step funnel, one shuffle
+    "x_cohort_retention",         # weekly cohort retention matrix
+    "x_bm25_search",              # BM25 top-k keyword retrieval
+    "x_lm_bigram_score",          # bigram-LM familiarity scoring
+    "x_zorder_layout",            # Morton-curve clustering stats
+    "x_incremental_rollup",       # stored-state + tail merge rollup
 ]
 
 

@@ -106,3 +106,149 @@ def compaction_plan(
             ),
         )
     )
+
+
+def zvalue_expr(xs: str, ys: str, bits: int) -> F.Column:
+    """Morton/Z-order interleave of two ``bits``-wide nonnegative LONG
+    columns: bit i of x lands at position 2i, bit i of y at 2i+1. Pure
+    bigint shift/mask/or expression — codegen'd, exact, engine-portable."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
+    return F.expr(" | ".join(terms))
+
+
+def zvalue_sql(xs: str, ys: str, bits: int) -> str:
+    """The identical interleave as DuckDB SQL text (oracle replay)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xs} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ys} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col,
+    y_col,
+    bits: int = 16,
+    bucket_bits: int = 6,
+    x_name: str = "x",
+    y_name: str = "y",
+) -> DataFrame:
+    """Z-order (Morton-curve) layout assignment — the multi-dimensional
+    clustering pass behind Delta/Iceberg OPTIMIZE ZORDER BY: scale both
+    dimensions to ``bits``-wide integer grids, interleave the bits, and
+    bucket rows by the top ``bucket_bits`` of the z-value. Rows in one
+    z-bucket are range-local in BOTH dimensions at once, so a scan
+    filtered on either column prunes most buckets — the summary this
+    returns (per-bucket row count + min/max of each dimension) is
+    exactly the file-skipping statistics a rewriter would persist.
+
+    All arithmetic is bigint (scaling uses ``div``, never double
+    division), so the oracle replays bit-for-bit. ENVELOPE: the scale
+    product needs (x - min_x) * (2^bits - 1) < 2^63 — any real key
+    range at bits=16.
+
+    One pass + one bucket-keyed shuffle at any scale: global min/max
+    come from a 1-row broadcast aggregate; the z computation is
+    per-row; the summary groups on at most 2^bucket_bits keys. The
+    actual rewrite (repartitionByRange(z) + write) is Warehouse.compact
+    composed over this plan."""
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.select(
+        x.cast("long").alias("_x"), y.cast("long").alias("_y")
+    )
+    rng = base.agg(
+        F.min("_x").alias("_xmn"),
+        F.max("_x").alias("_xmx"),
+        F.min("_y").alias("_ymn"),
+        F.max("_y").alias("_ymx"),
+    )
+    m = (1 << bits) - 1
+    scaled = base.crossJoin(F.broadcast(rng)).select(
+        "_x",
+        "_y",
+        F.expr(f"((_x - _xmn) * {m}) div greatest(_xmx - _xmn, 1)").alias("_xs"),
+        F.expr(f"((_y - _ymn) * {m}) div greatest(_ymx - _ymn, 1)").alias("_ys"),
+    )
+    z = zvalue_expr("_xs", "_ys", bits)
+    shift = 2 * bits - bucket_bits
+    return (
+        scaled.withColumn("_z", z)
+        .groupBy(F.expr(f"_z >> {shift}").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("_x").alias(f"min_{x_name}"),
+            F.max("_x").alias(f"max_{x_name}"),
+            F.min("_y").alias(f"min_{y_name}"),
+            F.max("_y").alias(f"max_{y_name}"),
+        )
+    )
+
+
+def daily_agg_states(
+    df: DataFrame,
+    key_cols: list[str],
+    day_col,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Partial aggregate states at (key, day) grain: count + scaled-long
+    sum + min/max. Every field is MERGEABLE (sum of sums, min of mins),
+    which is the whole point — states computed on disjoint day slices
+    recombine into exactly the full-history aggregate."""
+    d = day_col if not isinstance(day_col, str) else F.col(day_col)
+    s = 10 ** scale
+    v = F.col(value_col)
+    return df.groupBy(*key_cols, d.alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(v * s + F.lit(0.5)).cast("long")).alias("sum_q"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_agg_states(
+    states: DataFrame, key_cols: list[str], scale: int = 4
+) -> DataFrame:
+    """Fold partial states to final per-key aggregates. avg divides the
+    exact integer sum back — order-free, oracle-replayable."""
+    s = float(10 ** scale)
+    return states.groupBy(*key_cols).agg(
+        F.sum("n").alias("n_rows"),
+        (F.sum("sum_q") / s).cast("double").alias("sum_value"),
+        F.min("mn").alias("min_value"),
+        F.max("mx").alias("max_value"),
+        (F.sum("sum_q") / s / F.sum("n")).cast("double").alias("avg_value"),
+    )
+
+
+def incremental_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    day_col,
+    value_col: str,
+    cutoff,
+    scale: int = 4,
+) -> DataFrame:
+    """Incremental aggregate maintenance — the 100 TB pattern where
+    history is NEVER rescanned: daily partial states for days before
+    ``cutoff`` model the STORED state table (persist() — bench's
+    untimed warmup materializes it, the honest model for precomputed
+    state per CLAUDE.md); only the tail (day >= cutoff) aggregates
+    fresh, and the merge of stored + fresh states equals the full
+    recompute — which is precisely what the oracle verifies by running
+    the flat aggregation over all history."""
+    d = day_col if not isinstance(day_col, str) else F.col(day_col)
+    stored = _persist(
+        daily_agg_states(
+            df.filter(d < cutoff), key_cols, d, value_col, scale
+        )
+    )
+    fresh = daily_agg_states(
+        df.filter(d >= cutoff), key_cols, d, value_col, scale
+    )
+    return merge_agg_states(stored.unionByName(fresh), key_cols, scale)

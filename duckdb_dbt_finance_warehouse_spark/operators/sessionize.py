@@ -130,6 +130,122 @@ def resample_locf(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_days: int | None = 7,
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest completion of
+    ``steps`` in strict temporal order — step k's timestamp is the MIN
+    event time of type steps[k] strictly after step k-1's timestamp
+    (classic product-analytics funnel; the reference's warehouse has no
+    event surface, this extends SURVEY §7.6's events family).
+
+    ONE shuffle at any scale: every step timestamp is a conditional MIN
+    over the same user-partitioned unbounded window, so Catalyst plans
+    K chained Window operators over a single exchange (no per-step
+    self-joins — the join form shuffles the event table K times).
+    ``max_days`` caps the whole journey relative to step 1; a step
+    outside the cap nulls itself and everything after it.
+
+    Returns one row per user that completed step 1: step_1_ts ..
+    step_K_ts, reached_step, converted, secs_to_convert."""
+    w = Window.partitionBy(user_col)
+    micros = F.unix_micros(F.col(ts_col))
+    out = df.select(user_col, type_col, micros.alias("_us"))
+    prev: F.Column | None = None
+    deadline: F.Column | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col("_us") > prev)
+        if deadline is not None:
+            cond = cond & (F.col("_us") <= deadline)
+        out = out.withColumn(
+            f"_s{i}_us", F.min(F.when(cond, F.col("_us"))).over(w)
+        )
+        prev = F.col(f"_s{i}_us")
+        if i == 1 and max_days is not None:
+            deadline = prev + F.lit(max_days * 86400 * 1_000_000)
+    k = len(steps)
+    reached = sum(
+        (F.when(F.col(f"_s{i}_us").isNotNull(), 1).otherwise(0))
+        for i in range(1, k + 1)
+    )
+    agg = [
+        F.max(F.timestamp_micros(F.col(f"_s{i}_us"))).alias(f"step_{i}_ts")
+        for i in range(1, k + 1)
+    ] + [F.max(F.col(f"_s{k}_us") - F.col("_s1_us")).alias("_conv_us")]
+    res = (
+        out.groupBy(user_col)
+        .agg(*agg, F.max(reached).alias("reached_step"))
+        .filter(F.col("step_1_ts").isNotNull())
+    )
+    return res.select(
+        user_col,
+        *[f"step_{i}_ts" for i in range(1, k + 1)],
+        F.col("reached_step").cast("int").alias("reached_step"),
+        (F.col("reached_step") == k).alias("converted"),
+        F.floor(F.col("_conv_us") / 1_000_000).cast("bigint").alias("secs_to_convert"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period; each cell counts distinct cohort members active ``offset``
+    periods later. retention_pct is exact-rational (1e6-scaled integer
+    division) so the value hashes bit-identically in any engine.
+
+    Cohort assignment is a MIN over the user-partitioned unbounded
+    window — the events table shuffles ONCE on the user key and never
+    again at event volume (the distinct + matrix aggregation run over
+    (cohort, offset, user) tuples, bounded by users x periods, not by
+    events)."""
+    w = Window.partitionBy(user_col)
+    unit_days = {"day": 1, "week": 7}[unit]
+    day0 = F.date_trunc("day", F.col(ts_col)).cast("date")
+    withc = df.select(
+        F.col(user_col),
+        day0.alias("_d"),
+    ).withColumn("cohort_start", F.min(F.col("_d")).over(w))
+    cells = (
+        withc.select(
+            user_col,
+            "cohort_start",
+            F.floor(F.datediff(F.col("_d"), F.col("cohort_start")) / unit_days)
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_active"))
+        # feeds both the matrix rows and the cohort-size lookup below;
+        # genuinely recomputed per run -> localCheckpoint, not persist
+        # (CLAUDE.md subtree rule)
+        .localCheckpoint(eager=False)
+    )
+    sizes = cells.filter(F.col("period_offset") == 0).select(
+        "cohort_start", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_start").select(
+        "cohort_start",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        (
+            F.floor(F.col("n_active") * 1000000 / F.col("cohort_size")).cast("bigint")
+        ).alias("retention_ppm"),
+    )
+
+
 def json_props(df: DataFrame, props_col: str = "props", key: str = "k") -> DataFrame:
     """Extract a JSON property as typed column (events.props is a JSON
     string; get_json_object is codegen'd, no UDF)."""

@@ -249,6 +249,124 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return word_ngrams_all(df, id_col, text_col, n).distinct()
 
 
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Sparck Jones; the classic
+    probabilistic ranking function): top-k documents for a small term
+    set. idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation with
+    the usual k1/b length normalization.
+
+    Determinism: per-term scores are quantized to 1e-6 integers BEFORE
+    the per-doc sum (a double sum over terms is addition-order-dependent;
+    a BIGINT sum is not), so the oracle replays the ranking bit-for-bit
+    — same playbook as similarity.QUANT_SCALE. ln/round(6) parity with
+    DuckDB is established by tf_idf_top_terms.
+
+    Scale: term frequencies only materialize for the queried terms (the
+    isin filter precedes the groupBy), so the (doc, term) table is
+    O(docs x |query|), never vocabulary-sized; doc lengths come from a
+    scan-side projection and join on the high-cardinality doc key. The
+    global top-k is TakeOrdered — no global sort."""
+    lens = df.select(
+        F.col(id_col),
+        F.size(F.split(normalize_text(text_col), " ")).alias("dl"),
+    )
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tokens(df, id_col, text_col)
+        .filter(F.col("tok").isin(list(query_terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (F.lit(1.0) - b + b * (F.col("dl") / avgdl))
+    )
+    term_q = F.floor(idf * tf_part * 1000000 + F.lit(0.5)).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), term_q.alias("q"))
+        .groupBy(id_col)
+        .agg(F.sum("q").alias("score_q"), F.count("*").alias("n_terms_hit"))
+    )
+    return (
+        scored.select(
+            id_col,
+            (F.col("score_q").cast("double") / 1000000).alias("bm25"),
+            F.col("score_q"),
+            F.col("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_q"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Bigram language-model familiarity score — the CCNet-style
+    quality signal: train add-one-smoothed bigram counts on the corpus
+    itself, then score every document by its average bigram log-prob
+    ln((c(w1 w2) + 1) / (c(w1) + V)). Low scores flag text the corpus
+    LM finds surprising (garbled/boilerplate/outlier docs).
+
+    Determinism: each bigram's log-prob quantizes to a 1e-6 BIGINT
+    before the per-doc sum (order-free); avg divides back in two fixed
+    IEEE ops. The (doc, gram) frame feeds BOTH the corpus counts and
+    the per-doc join, so it is localCheckpointed (CLAUDE.md subtree
+    rule — recomputed per run, not a stored table).
+
+    Scale: two shuffles at gram volume keyed on the high-cardinality
+    gram/unigram strings (map-side combined counts), one doc-keyed
+    aggregation; no vocabulary ships to the driver (V is a 1-row
+    broadcast)."""
+    grams = (
+        word_ngrams_all(df, id_col, text_col, 2)
+        .withColumn("w1", F.split(F.col("gram"), " ")[0])
+        .localCheckpoint(eager=False)
+    )
+    c2 = grams.groupBy("gram").agg(F.count("*").alias("c2"))
+    toks = tokens(df, id_col, text_col)
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab = c1.agg(F.count("*").alias("v"))
+    lnp = F.log(
+        (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+    )
+    q = F.floor(lnp * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        grams.join(c2, "gram")
+        .join(c1.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), q.alias("q"))
+        .groupBy(id_col)
+        .agg(F.sum("q").alias("sum_logprob_q"), F.count("*").alias("n_bigrams"))
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_logprob_q",
+            (
+                F.col("sum_logprob_q").cast("double")
+                / 1000000
+                / F.col("n_bigrams")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

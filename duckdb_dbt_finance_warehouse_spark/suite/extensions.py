@@ -983,6 +983,73 @@ def x_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_event_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                       OVER (PARTITION BY user_id) AS s1us FROM e),
+    s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > s1us
+                              AND us <= s1us + 604800000000 THEN us END)
+                       OVER (PARTITION BY user_id) AS s2us FROM s1),
+    s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > s2us
+                              AND us <= s1us + 604800000000 THEN us END)
+                       OVER (PARTITION BY user_id) AS s3us FROM s2),
+    g AS (SELECT user_id, max(s1us) AS s1us, max(s2us) AS s2us,
+                 max(s3us) AS s3us
+          FROM s3 GROUP BY user_id)
+    SELECT user_id,
+           make_timestamp(s1us) AS step_1_ts,
+           make_timestamp(s2us) AS step_2_ts,
+           make_timestamp(s3us) AS step_3_ts,
+           CAST((s1us IS NOT NULL)::INT + (s2us IS NOT NULL)::INT
+                + (s3us IS NOT NULL)::INT AS INT) AS reached_step,
+           (s3us IS NOT NULL) AS converted,
+           CAST(floor((s3us - s1us) / 1000000) AS BIGINT) AS secs_to_convert
+    FROM g WHERE s1us IS NOT NULL
+    """,
+)
+def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel within 7 days
+    (operators/sessionize.funnel): every step timestamp is a
+    conditional MIN over the same user-partitioned window, so the event
+    table shuffles ONCE and Catalyst chains the three Window operators
+    over that single exchange — no per-step self-joins."""
+    return sessionize.funnel(
+        _events(spark, sf_dir), steps=["view", "click", "purchase"], max_days=7
+    )
+
+
+@query(
+    "x_cohort_retention",
+    oracle="""
+    WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+               FROM events),
+    c AS (SELECT *, min(d) OVER (PARTITION BY user_id) AS cohort_start FROM d),
+    cells AS (
+      SELECT cohort_start,
+             CAST(floor(date_diff('day', cohort_start, d) / 7) AS INT)
+               AS period_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM c GROUP BY 1, 2),
+    sizes AS (SELECT cohort_start, n_active AS cohort_size
+              FROM cells WHERE period_offset = 0)
+    SELECT cells.cohort_start, period_offset, n_active, cohort_size,
+           CAST(floor(n_active * 1000000 / cohort_size) AS BIGINT)
+             AS retention_ppm
+    FROM cells JOIN sizes USING (cohort_start)
+    """,
+)
+def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix
+    (operators/sessionize.cohort_retention): cohort assignment is a MIN
+    over the user-partitioned window (one event-volume shuffle); the
+    matrix itself aggregates (cohort, offset, user) tuples — bounded by
+    users x periods. retention_ppm is exact-integer so the hash
+    replays."""
+    return sessionize.cohort_retention(_events(spark, sf_dir), unit="week")
+
+
+@query(
     "x_asof_nearest",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts, p.value,
@@ -1248,6 +1315,83 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(
         est.select(F.col("item").alias("tok"), F.col("cms_est")), "tok"
     ).select("tok", "exact_n", F.col("cms_est").cast("long").alias("cms_est"))
+
+
+_BM25_TERMS = ("spark", "window", "hash")
+
+
+@query(
+    "x_bm25_search",
+    oracle=f"""
+    WITH lens AS (SELECT doc_id, len(string_split({_NORM}, ' ')) AS dl
+                  FROM documents),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+    toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+             FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN {repr(_BM25_TERMS)} GROUP BY 1, 2),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                  * ((tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75
+                      * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))
+                  * 1000000 + 0.5) AS BIGINT) AS q
+      FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id)
+      CROSS JOIN stats),
+    g AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS score_q,
+                 CAST(count(*) AS BIGINT) AS n_terms_hit
+          FROM scored GROUP BY 1)
+    SELECT doc_id, CAST(score_q AS DOUBLE) / 1000000 AS bm25,
+           score_q, n_terms_hit
+    FROM g ORDER BY score_q DESC, doc_id LIMIT 10
+    """,
+)
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 keyword retrieval (operators/text.bm25_search):
+    term frequencies materialize only for the 3 queried terms, per-term
+    scores quantize to 1e-6 BIGINTs before the order-free doc sum, and
+    the global top-k is TakeOrdered. Oracle replays the exact ranking."""
+    return text.bm25_search(
+        _docs(spark, sf_dir), "doc_id", "text", list(_BM25_TERMS), top_k=10
+    )
+
+
+@query(
+    "x_lm_bigram_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(w[CAST(i AS INT) : CAST(i AS INT) + 1], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)),
+    g2 AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM grams),
+    c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY 1),
+    toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+             FROM documents),
+    c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+    q AS (SELECT doc_id,
+                 CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))
+                      * 1000000 + 0.5) AS BIGINT) AS q
+          FROM g2 JOIN c2 USING (gram) JOIN c1 ON c1.tok = g2.w1
+          CROSS JOIN v),
+    s AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS sum_logprob_q,
+                 CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM q GROUP BY 1)
+    SELECT doc_id, n_bigrams, sum_logprob_q,
+           CAST(sum_logprob_q AS DOUBLE) / 1000000 / n_bigrams AS avg_logprob
+    FROM s
+    """,
+)
+def x_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM familiarity score
+    (operators/text.bigram_lm_scores): add-one-smoothed corpus bigram
+    LM scores every doc's average bigram log-prob. Gram-keyed count
+    shuffles + one doc-keyed sum of 1e-6-quantized BIGINTs — the DuckDB
+    oracle replays the LM training AND scoring bit-for-bit."""
+    return text.bigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text")
 
 
 @query(
@@ -1732,6 +1876,83 @@ def x_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packing.pack_efficiency(
         toks, "doc_id", "toks", budget=_PACK_BUDGET, n_streams=_PACK_STREAMS
+    )
+
+
+@query(
+    "x_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(o_custkey AS BIGINT) AS _x,
+             CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS _y
+      FROM orders),
+    rng AS (SELECT min(_x) AS _xmn, max(_x) AS _xmx,
+                   min(_y) AS _ymn, max(_y) AS _ymx FROM base),
+    scaled AS (
+      SELECT _x, _y,
+             ((_x - _xmn) * 65535) // greatest(_xmx - _xmn, 1) AS _xs,
+             ((_y - _ymn) * 65535) // greatest(_ymx - _ymn, 1) AS _ys
+      FROM base CROSS JOIN rng),
+    z AS (SELECT _x, _y, ({maintenance.zvalue_sql("_xs", "_ys", 16)}) AS _z
+          FROM scaled)
+    SELECT _z >> 26 AS z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(_x) AS min_custkey, max(_x) AS max_custkey,
+           min(_y) AS min_day, max(_y) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout assignment over orders(custkey, order day) —
+    the OPTIMIZE ZORDER BY clustering pass
+    (operators/maintenance.zorder_layout): min-max scale both
+    dimensions to 16-bit grids, Morton-interleave, bucket by the top 6
+    z-bits, and emit per-bucket file-skipping stats. Pure bigint
+    shift/mask algebra, one 1-row broadcast + one 64-key shuffle."""
+    o = load_testdata(spark, sf_dir, "orders")["orders"]
+    return maintenance.zorder_layout(
+        o,
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ),
+        bits=16,
+        bucket_bits=6,
+        x_name="custkey",
+        y_name="day",
+    )
+
+
+@query(
+    "x_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 / count(*) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def x_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators/maintenance.incremental_rollup): persisted daily partial
+    states for days < 2024-01-20 (the stored state table) merge with a
+    fresh aggregate over only the tail days — and the oracle runs the
+    FLAT full-history aggregation, verifying merge(states) ==
+    recompute(everything) bit-for-bit. At 100 TB only the tail is ever
+    rescanned."""
+    e = _events(spark, sf_dir)
+    return maintenance.incremental_rollup(
+        e,
+        ["event_type"],
+        F.date_trunc("day", F.col("ts")).cast("date"),
+        "value",
+        cutoff=F.lit("2024-01-20").cast("date"),
+        scale=4,
     )
 
 

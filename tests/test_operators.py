@@ -964,3 +964,139 @@ def test_semantic_dedup_pairs_finds_planted_near_dups(spark):
     assert sorted((r["id_a"], r["id_b"]) for r in again) == sorted(
         (r["id_a"], r["id_b"]) for r in pairs
     )
+
+
+def test_funnel_requires_strict_order_and_deadline(spark):
+    ts = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # u1 completes in order: view d1 -> click d2 -> purchase d3
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        # u2 purchase BEFORE click: step 3 must not count
+        (2, ts(1), "view"), (2, ts(3), "click"), (2, ts(2), "purchase"),
+        # u3 converts but outside the 7-day cap
+        (3, ts(1), "view"), (3, ts(2), "click"), (3, ts(20), "purchase"),
+        # u4 never views: excluded entirely
+        (4, ts(1), "click"), (4, ts(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r["user_id"]: r
+        for r in sessionize.funnel(
+            df, ["view", "click", "purchase"], max_days=7
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["converted"] and out[1]["reached_step"] == 3
+    assert out[1]["secs_to_convert"] == 2 * 86400
+    assert not out[2]["converted"] and out[2]["reached_step"] == 2
+    assert not out[3]["converted"] and out[3]["reached_step"] == 2
+    assert out[3]["step_3_ts"] is None
+
+
+def test_cohort_retention_offsets_and_ppm(spark):
+    ts = lambda d: datetime(2024, 1, d)  # 2024-01-01 is a Monday
+    rows = [
+        (1, ts(1)), (1, ts(8)),   # cohort day 1, active offset 0 and 1
+        (2, ts(1)),               # cohort day 1, offset 0 only
+        (3, ts(9)), (3, ts(10)),  # cohort day 9, both rows offset 0
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (str(r["cohort_start"]), r["period_offset"]): r
+        for r in sessionize.cohort_retention(df, unit="week").collect()
+    }
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention_ppm"] == 500000
+    assert out[("2024-01-09", 0)]["cohort_size"] == 1
+    assert ("2024-01-09", 1) not in out
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    rows = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine engine engine"),
+        (3, "window hash join"),
+        (4, "nothing relevant here at all " + "filler " * 20),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.bm25_search(df, "doc_id", "text", ["spark", "window"], top_k=3)
+    got = out.collect()
+    ids = [r["doc_id"] for r in got]
+    assert set(ids) == {1, 2, 3}  # doc 4 matches nothing
+    # same term, same doc length: tf=3 must outrank tf=1
+    scores = {r["doc_id"]: r["bm25"] for r in got}
+    assert scores[1] > scores[2]
+    assert all(r["bm25"] > 0 for r in got)
+
+
+def test_bigram_lm_scores_flag_outlier_doc(spark):
+    common = [(i, "the cat sat on the mat and the dog sat too") for i in range(10)]
+    rows = common + [(99, "zq xv qqk wplj zzv mmo qqk zax")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.bigram_lm_scores(df, "doc_id", "text").collect()}
+    # the garbled doc's bigrams are corpus-rare -> much lower avg log-prob
+    assert out[99]["avg_logprob"] < out[0]["avg_logprob"]
+    # repeated docs share identical scores (determinism across partitions)
+    assert out[0]["sum_logprob_q"] == out[5]["sum_logprob_q"]
+
+
+def test_zvalue_interleaves_bits(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import maintenance
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+    z = df.select(
+        maintenance.zvalue_expr("x", "y", 3).alias("z")
+    ).collect()[0]["z"]
+    # x bits at even positions (1,0,1 -> 1+16), y bits at odd (1,1,0 -> 2+8)
+    assert z == 0b011011
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark):
+    rows = [(i % 100, i // 100) for i in range(10000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = maintenance_mod().zorder_layout(
+        df, "x", "y", bits=8, bucket_bits=4
+    ).collect()
+    assert sum(r["n_rows"] for r in out) == 10000
+    for r in out:
+        # each of the 16 z-buckets spans at most half of each dimension
+        assert r["max_x"] - r["min_x"] <= 50
+        assert r["max_y"] - r["min_y"] <= 50
+
+
+def maintenance_mod():
+    from duckdb_dbt_finance_warehouse_spark.operators import maintenance
+
+    return maintenance
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import maintenance
+
+    rows = [
+        (datetime(2024, 1, d, h), "t%d" % (d % 3), float(d) + h / 100)
+        for d in range(1, 20)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    inc = maintenance.incremental_rollup(
+        df, ["event_type"], day, "value", cutoff=F.lit("2024-01-10").cast("date")
+    )
+    full = df.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")) / 10000.0)
+        .cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    a = {r["event_type"]: r for r in inc.collect()}
+    b = {r["event_type"]: r for r in full.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n_rows"] == b[k]["n_rows"]
+        assert a[k]["sum_value"] == b[k]["sum_value"]
+        assert a[k]["min_value"] == b[k]["min_value"]
+        assert a[k]["max_value"] == b[k]["max_value"]
+    release_persisted()

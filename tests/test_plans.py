@@ -82,6 +82,9 @@ BNLJ_ALLOWED = {
     "x_vocab_coverage",  # 1-row total-occurrences bound
     "x_sample_temperature",  # 1-row quantized-weight total bound
     "x_collocations",  # 1-row token-count total bound
+    "x_bm25_search",  # 1-row (n_docs, sum_dl) corpus stats bound
+    "x_lm_bigram_score",  # 1-row vocabulary-size bound
+    "x_zorder_layout",  # 1-row global min/max range bound
 }
 
 
