@@ -90,6 +90,7 @@ HEADLINE = [
     "x_lm_bigram_score",          # bigram-LM familiarity scoring
     "x_zorder_layout",            # Morton-curve clustering stats
     "x_incremental_rollup",       # stored-state + tail merge rollup
+    "x_bpe_train",                # 5-round vocab-sized BPE merges
 ]
 
 

@@ -1,0 +1,180 @@
+"""Distributed BPE merge training (Sennrich et al. 2016) — the
+tokenizer-training step of an LLM data pipeline, expressed Spark-first.
+
+The scale insight: BPE trains on the WORD-FREQUENCY table, not the
+corpus. One corpus-volume aggregation (distinct word counts — the same
+shuffle x_vocab_coverage pays) reduces 100 TB of text to a vocab-sized
+frame, and every merge round after that is vocabulary work: pair counts
+explode ~word-length rows per distinct word, the argmax is a 1-row
+TakeOrdered, and the merge itself is a per-word array fold. No round
+touches the corpus again and nothing unbounded reaches the driver — the
+winning pair stays a broadcast DataFrame.
+
+The greedy left-to-right non-overlapping merge is a plain left fold:
+walk the symbol array once, and when the accumulator's last element is
+the winning pair's left symbol and the current element its right, pop
+and push their concatenation. The merged token is strictly longer than
+the left symbol, so it can never immediately re-match as a left element
+— which makes the fold EXACTLY standard BPE's scan semantics, with no
+position bookkeeping. DuckDB replays the identical fold via
+list_reduce, so the whole 5-round training run is oracle-verified
+bit-for-bit (see suite x_bpe_train).
+
+The folds are higher-order functions (CodegenFallback, interpreted) —
+acceptable here and ONLY here because they run at vocab volume, never
+corpus volume; this is the documented exception to the HOF-hot-path
+ban (CLAUDE.md), same argument as the compaction offset fold.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+END_MARKER = "</w>"
+
+# the greedy non-overlapping merge as a left fold; _ml/_mr are the
+# winning pair columns from the cross-joined 1-row broadcast
+_FOLD = (
+    "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+    "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = _ml AND x = _mr "
+    "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(_ml, _mr))) "
+    "ELSE concat(acc, array(x)) END)"
+)
+
+_PAIRS = (
+    "transform(sequence(1, size(syms) - 1), "
+    "i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"
+)
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, wc) corpus word frequencies — the one corpus-volume step."""
+    return (
+        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    table (merge_round, lhs, rhs, merged, pair_count) — the artifact a
+    tokenizer ships. Deterministic: argmax tie-break is (count DESC,
+    lhs, rhs)."""
+    vocab = word_vocab(df, text_col).select(
+        "word",
+        "wc",
+        F.concat(F.split("word", ""), F.array(F.lit(END_MARKER))).alias("syms"),
+    )
+    merges: list[DataFrame] = []
+    for r in range(1, n_merges + 1):
+        # two consumers per round (pair counts + fold) and every later
+        # round re-reads it -> localCheckpoint the vocab-sized frame
+        vocab = vocab.localCheckpoint(eager=False)
+        best = (
+            vocab.select("wc", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .select(F.lit(r).alias("merge_round"), "lhs", "rhs", "pair_count")
+            .localCheckpoint(eager=False)
+        )
+        merges.append(best)
+        vocab = vocab.crossJoin(
+            F.broadcast(
+                best.select(F.col("lhs").alias("_ml"), F.col("rhs").alias("_mr"))
+            )
+        ).select("word", "wc", F.expr(_FOLD).alias("syms"))
+    out = reduce(DataFrame.unionByName, merges)
+    return out.select(
+        "merge_round",
+        "lhs",
+        "rhs",
+        F.concat("lhs", "rhs").alias("merged"),
+        "pair_count",
+    )
+
+
+def bpe_segment(
+    df: DataFrame, id_col: str, text_col: str, merges: DataFrame
+) -> DataFrame:
+    """Apply a learned merge table to a corpus: per doc, fold each
+    merge (in rank order) over every word's symbols and emit token
+    counts — the encode side of BPE. The merge list arrives as ONE
+    broadcast array-of-structs row, so encoding is a single corpus scan
+    with a per-word fold (bounded by n_merges x word length)."""
+    mt = merges.orderBy("merge_round").agg(
+        F.collect_list(F.struct("lhs", "rhs")).alias("_merges")
+    )
+    word_syms = (
+        "transform(split(%s, ' '), w -> concat(split(w, ''), array('%s')))"
+        % (text_col, END_MARKER)
+    )
+    apply_all = (
+        "aggregate(_merges, wsyms, (acc, m) -> "
+        "aggregate(acc, CAST(array() AS array<string>), (a, x) -> "
+        "CASE WHEN size(a) > 0 AND element_at(a, -1) = m.lhs AND x = m.rhs "
+        "THEN concat(slice(a, 1, size(a) - 1), array(concat(m.lhs, m.rhs))) "
+        "ELSE concat(a, array(x)) END))"
+    )
+    return (
+        df.select(F.col(id_col), normalize_text(text_col).alias(text_col))
+        .crossJoin(F.broadcast(mt))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(word_syms)).alias("wsyms"),
+            F.col("_merges"),
+        )
+        .select(F.col(id_col), F.explode(F.expr(apply_all)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bpe_oracle_sql(table: str, norm_expr: str, n_merges: int = 5) -> str:
+    """The identical training run as one DuckDB query (unrolled CTE
+    chain; list_reduce replays the fold, lambdas capture the winning
+    pair from a cross-joined 1-row CTE)."""
+    parts = [
+        f"""v0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split({norm_expr}, ' ')) AS word FROM {table})
+      GROUP BY 1),
+    s0 AS (SELECT word, wc, string_split(word, '') || ['{END_MARKER}'] AS syms
+           FROM v0)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+      SELECT syms[CAST(i AS INT)] AS lhs, syms[CAST(i AS INT) + 1] AS rhs,
+             CAST(sum(wc) AS BIGINT) AS pair_count
+      FROM s{r - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      GROUP BY 1, 2),
+    b{r} AS (SELECT {r} AS merge_round, lhs, rhs, pair_count FROM p{r}
+             ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    s{r} AS (
+      SELECT word, wc,
+             list_reduce(list_transform(syms, x -> [x]),
+               (acc, cur) -> CASE WHEN len(acc) > 0 AND acc[-1] = _ml
+                                  AND cur[1] = _mr
+                             THEN acc[1:len(acc) - 1] || [_ml || _mr]
+                             ELSE acc || cur END) AS syms
+      FROM s{r - 1} CROSS JOIN
+           (SELECT lhs AS _ml, rhs AS _mr FROM b{r}))"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT merge_round, lhs, rhs, lhs || rhs AS merged, pair_count
+    FROM ({union})"""
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     asof,
     bloom,
+    bpe,
     dedup,
     intervals,
     kmeans,
@@ -1315,6 +1316,20 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(
         est.select(F.col("item").alias("tok"), F.col("cms_est")), "tok"
     ).select("tok", "exact_n", F.col("cms_est").cast("long").alias("cms_est"))
+
+
+@query(
+    "x_bpe_train",
+    oracle=bpe.bpe_oracle_sql("documents", _NORM, n_merges=5),
+)
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training, 5 rounds (operators/bpe): one
+    corpus-volume word count, then every round is VOCAB-sized — pair
+    counts, a 1-row TakeOrdered argmax kept as a broadcast DataFrame,
+    and a per-word greedy left-fold merge. The DuckDB oracle replays
+    the whole training run (unrolled CTE chain + list_reduce folds)
+    bit-for-bit."""
+    return bpe.bpe_train(_docs(spark, sf_dir), "text", n_merges=5)
 
 
 _BM25_TERMS = ("spark", "window", "hash")

@@ -1100,3 +1100,41 @@ def test_incremental_rollup_equals_full_recompute(spark):
         assert a[k]["min_value"] == b[k]["min_value"]
         assert a[k]["max_value"] == b[k]["max_value"]
     release_persisted()
+
+
+def test_bpe_train_known_corpus(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import bpe
+
+    # 'ab' is the dominant adjacent pair: 3 'abab' + 2 'ab'
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab xy")], ["doc_id", "text"]
+    )
+    merges = {r["merge_round"]: r for r in bpe.bpe_train(df, "text", 2).collect()}
+    assert (merges[1]["lhs"], merges[1]["rhs"]) == ("a", "b")
+    # 3+2 = 5 words contain 'a b'; abab has it twice -> 3*2 + 2*1 = 8
+    assert merges[1]["pair_count"] == 8
+    # round 2 sees 'ab' as one symbol: (ab, </w>) closes both 'abab'
+    # (wc 3) and 'ab' (wc 2) words -> 5, beating (ab, ab) at 3
+    assert (merges[2]["lhs"], merges[2]["rhs"]) == ("ab", "</w>")
+    assert merges[2]["pair_count"] == 5
+
+
+def test_bpe_segment_matches_training_vocab(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "hello hello world"), (2, "held world word")], ["doc_id", "text"]
+    )
+    merges = bpe.bpe_train(df, "text", 3)
+    seg = bpe.bpe_segment(df, "doc_id", "text", merges)
+    out = {(r["doc_id"], r["token"]): r["n"] for r in seg.collect()}
+    # every token ends a word at </w> or is an intermediate symbol;
+    # totals must conserve: sum of n*len(token without marker) == chars
+    total_chars = sum(len(w) for t in ["hellohelloworld", "heldworldword"] for w in [t])
+    got_chars = sum(
+        n * len(tok.replace("</w>", "")) for (_, tok), n in out.items()
+    )
+    assert got_chars == total_chars
+    # determinism
+    again = {(r["doc_id"], r["token"]): r["n"] for r in seg.collect()}
+    assert out == again

@@ -85,6 +85,7 @@ BNLJ_ALLOWED = {
     "x_bm25_search",  # 1-row (n_docs, sum_dl) corpus stats bound
     "x_lm_bigram_score",  # 1-row vocabulary-size bound
     "x_zorder_layout",  # 1-row global min/max range bound
+    "x_bpe_train",  # 1-row argmax winning pair per merge round
 }
 
 
