@@ -14,6 +14,7 @@ Methodology:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -91,6 +92,7 @@ HEADLINE = [
     "x_zorder_layout",            # Morton-curve clustering stats
     "x_incremental_rollup",       # stored-state + tail merge rollup
     "x_bpe_train",                # 5-round vocab-sized BPE merges
+    "x_bpe_segment",              # BPE encode via vocab-join fold
 ]
 
 
@@ -115,6 +117,11 @@ def main() -> None:
         execute(df)
         timings[name] = round(time.time() - t0, 4)
         release_persisted()  # drop minhash signature caches between queries
+        # untimed housekeeping: drop py4j refs so ContextCleaner frees
+        # accumulated localCheckpoint blocks between queries (the r4
+        # collateral-GC lesson, now at suite scale)
+        df = None
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -102,45 +102,59 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5) -> DataFrame:
 
 
 def bpe_segment(
-    df: DataFrame, id_col: str, text_col: str, merges: DataFrame
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame,
+    vocab_join: bool = True,
 ) -> DataFrame:
-    """Apply a learned merge table to a corpus: per doc, fold each
-    merge (in rank order) over every word's symbols and emit token
-    counts — the encode side of BPE. The merge list arrives as ONE
-    broadcast array-of-structs row, so encoding is a single corpus scan
-    with a per-word fold (bounded by n_merges x word length)."""
+    """Apply a learned merge table to a corpus — the encode side of
+    BPE: fold each merge (in rank order) over a word's symbols and emit
+    per-doc token counts. The merge list arrives as ONE broadcast
+    array-of-structs row, so any unseen word encodes correctly.
+
+    ``vocab_join=True`` (the scale path, default): the interpreted HOF
+    folds run once per DISTINCT word (vocab volume); the corpus then
+    joins that (word -> tokens) table on the high-cardinality word key
+    and explodes — corpus work is one shuffle, zero Python, zero
+    interpreted expressions. ``vocab_join=False`` folds per word
+    OCCURRENCE — same result (pinned by pytest), linear-scan shape, but
+    pays the interpreted fold at corpus volume; keep it for streaming
+    micro-batches where the distinct step would dominate."""
     mt = merges.orderBy("merge_round").agg(
         F.collect_list(F.struct("lhs", "rhs")).alias("_merges")
     )
-    word_syms = (
-        "transform(split(%s, ' '), w -> concat(split(w, ''), array('%s')))"
-        % (text_col, END_MARKER)
-    )
     apply_all = (
-        "aggregate(_merges, wsyms, (acc, m) -> "
+        "aggregate(_merges, concat(split(word, ''), array('%s')), (acc, m) -> "
         "aggregate(acc, CAST(array() AS array<string>), (a, x) -> "
         "CASE WHEN size(a) > 0 AND element_at(a, -1) = m.lhs AND x = m.rhs "
         "THEN concat(slice(a, 1, size(a) - 1), array(concat(m.lhs, m.rhs))) "
-        "ELSE concat(a, array(x)) END))"
+        "ELSE concat(a, array(x)) END))" % END_MARKER
     )
-    return (
-        df.select(F.col(id_col), normalize_text(text_col).alias(text_col))
-        .crossJoin(F.broadcast(mt))
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(word_syms)).alias("wsyms"),
-            F.col("_merges"),
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("word"),
+    )
+    if vocab_join:
+        seg = (
+            words.select("word")
+            .distinct()
+            .crossJoin(F.broadcast(mt))
+            .select("word", F.explode(F.expr(apply_all)).alias("token"))
         )
-        .select(F.col(id_col), F.explode(F.expr(apply_all)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("n"))
-    )
+        pairs = words.join(seg, "word").select(id_col, "token")
+    else:
+        pairs = (
+            words.crossJoin(F.broadcast(mt))
+            .select(F.col(id_col), F.explode(F.expr(apply_all)).alias("token"))
+        )
+    return pairs.groupBy(id_col, "token").agg(F.count("*").alias("n"))
 
 
-def bpe_oracle_sql(table: str, norm_expr: str, n_merges: int = 5) -> str:
-    """The identical training run as one DuckDB query (unrolled CTE
-    chain; list_reduce replays the fold, lambdas capture the winning
-    pair from a cross-joined 1-row CTE)."""
+def _bpe_ctes(table: str, norm_expr: str, n_merges: int) -> str:
+    """The training run as a reusable CTE chain body (v0, s0, p/b/s per
+    round); compose with a final SELECT over b1..bN (merges) or sN
+    (final per-word segmentation)."""
     parts = [
         f"""v0 AS (
       SELECT word, CAST(count(*) AS BIGINT) AS wc
@@ -168,13 +182,37 @@ def bpe_oracle_sql(table: str, norm_expr: str, n_merges: int = 5) -> str:
       FROM s{r - 1} CROSS JOIN
            (SELECT lhs AS _ml, rhs AS _mr FROM b{r}))"""
         )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def bpe_oracle_sql(table: str, norm_expr: str, n_merges: int = 5) -> str:
+    """The identical training run as one DuckDB query (unrolled CTE
+    chain; list_reduce replays the fold, lambdas capture the winning
+    pair from a cross-joined 1-row CTE)."""
     union = "\n      UNION ALL ".join(
         f"SELECT * FROM b{r}" for r in range(1, n_merges + 1)
     )
     return (
-        "WITH "
-        + ",\n    ".join(parts)
+        _bpe_ctes(table, norm_expr, n_merges)
         + f"""
     SELECT merge_round, lhs, rhs, lhs || rhs AS merged, pair_count
     FROM ({union})"""
+    )
+
+
+def bpe_segment_oracle_sql(
+    table: str, norm_expr: str, id_col: str, n_merges: int = 5
+) -> str:
+    """Segmentation replay: after n_merges rounds, s{n}'s syms ARE each
+    distinct word's token sequence — join the corpus words back and
+    count per doc."""
+    return (
+        _bpe_ctes(table, norm_expr, n_merges)
+        + f""",
+    words AS (SELECT {id_col}, unnest(string_split({norm_expr}, ' ')) AS word
+              FROM {table}),
+    seg AS (SELECT word, unnest(syms) AS token FROM s{n_merges})
+    SELECT w.{id_col}, seg.token, CAST(count(*) AS BIGINT) AS n
+    FROM words w JOIN seg USING (word)
+    GROUP BY 1, 2"""
     )

@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # the default 240 MB JIT code cache fills during a 65-query
+        # suite (each query codegens fresh classes twice); once full the
+        # JIT stops compiling and late queries run interpreted 3-5x
+        # slower, seemingly at random — size it for the suite
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # read TIMESTAMP(NANOS) parquet (events.ts) as long; the canonical

@@ -396,3 +396,61 @@ def stream_curation_gate(
             & (F.col("sample_u") < F.lit(float(sample_fraction)))
         )
     )
+
+
+def stream_funnel(
+    event_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    steps: list[str] | None = None,
+    max_days: int = 7,
+) -> None:
+    """Continuous funnel maintenance — the streaming twin of
+    operators/sessionize.funnel, correct under ARBITRARY event
+    disorder (not just watermark-bounded): a funnel's step times are
+    order-sensitive mins (step k must be strictly after step k-1), so
+    an early view arriving late can retroactively change which click
+    qualifies — no bounded per-user accumulator survives that. Instead
+    each micro-batch (1) appends only the funnel-relevant events to a
+    compacted store, idempotently (epoch-partitioned dynamic overwrite,
+    the stream_append_to_warehouse exactly-once trick), then (2) reruns
+    the BATCH funnel over the compacted store and publishes the
+    refreshed snapshot.
+
+    Scale: the store holds only step-typed events (a fraction of the
+    stream), the batch funnel over it is the one-shuffle chained-window
+    plan, and the snapshot overwrite is bounded by user cardinality.
+    Exactness over incrementality is the right trade for a funnel —
+    pinned by tests/test_streaming.test_stream_funnel_matches_batch
+    (shuffled arrival order, identical snapshot)."""
+    from ..operators.sessionize import funnel
+
+    steps = steps or ["view", "click", "purchase"]
+    relevant = event_stream.filter(F.col("event_type").isin(steps)).select(
+        "user_id", "ts", "event_type"
+    )
+
+    def refresh(df: DataFrame, epoch_id: int) -> None:
+        spark = df.sparkSession
+        (
+            df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(store_path)
+        )
+        snap = funnel(
+            spark.read.parquet(store_path).drop("_epoch"),
+            steps,
+            max_days=max_days,
+        )
+        snap.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        relevant.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1332,6 +1332,23 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(_docs(spark, sf_dir), "text", n_merges=5)
 
 
+@query(
+    "x_bpe_segment",
+    oracle=bpe.bpe_segment_oracle_sql("documents", _NORM, "doc_id", n_merges=5),
+)
+def x_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode over the corpus with the just-trained merges
+    (operators/bpe.bpe_segment, vocab_join path): the interpreted folds
+    run once per DISTINCT word, then the corpus joins the (word ->
+    tokens) table on the word key and counts per doc — corpus work is
+    one shuffle, no interpreted expressions. Oracle: the training CTE
+    chain's final vocab IS the segmentation; join words back and
+    count."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.bpe_train(docs, "text", n_merges=5)
+    return bpe.bpe_segment(docs, "doc_id", "text", merges)
+
+
 _BM25_TERMS = ("spark", "window", "hash")
 
 

@@ -86,6 +86,7 @@ BNLJ_ALLOWED = {
     "x_lm_bigram_score",  # 1-row vocabulary-size bound
     "x_zorder_layout",  # 1-row global min/max range bound
     "x_bpe_train",  # 1-row argmax winning pair per merge round
+    "x_bpe_segment",  # same argmax rows + 1-row merge-table broadcast
 }
 
 

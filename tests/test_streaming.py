@@ -267,3 +267,44 @@ def test_stream_curation_gate_matches_batch(spark, tmp_path_factory):
     }
     assert got_rows == batch_rows
     assert len(got_rows) > 0
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path_factory):
+    """Events arrive across two files in SHUFFLED order; the published
+    funnel snapshot must equal the batch funnel over all events."""
+    import shutil
+    from datetime import datetime
+
+    from duckdb_dbt_finance_warehouse_spark.operators.sessionize import funnel
+    from duckdb_dbt_finance_warehouse_spark.streaming.pipeline import stream_funnel
+
+    base = tmp_path_factory.mktemp("sfunnel")
+    src = str(base / "src")
+    ts = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        (1, ts(1), "view"), (1, ts(2), "click"), (1, ts(3), "purchase"),
+        (2, ts(2), "click"), (2, ts(3), "purchase"), (2, ts(1), "view"),
+        (3, ts(5), "view"), (3, ts(6), "click"),
+        (4, ts(1), "error"), (4, ts(2), "view"),
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    all_df = spark.createDataFrame(rows, schema)
+    # file 1 carries the LATER events; file 2 back-fills earlier ones
+    spark.createDataFrame(rows[:4], schema).write.mode("overwrite").parquet(
+        src + "/f1.parquet"
+    )
+    spark.createDataFrame(rows[4:], schema).write.mode("append").parquet(
+        src + "/f1.parquet"
+    )
+    stream = spark.readStream.schema(schema).parquet(src + "/f1.parquet")
+    store, out, ckpt = (str(base / p) for p in ("store", "out", "ckpt"))
+    stream_funnel(stream, store, out, ckpt)
+
+    want = {
+        r["user_id"]: r for r in funnel(all_df, ["view", "click", "purchase"]).collect()
+    }
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].asDict() == want[k].asDict()
+    shutil.rmtree(str(base), ignore_errors=True)
