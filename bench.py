@@ -93,6 +93,9 @@ HEADLINE = [
     "x_incremental_rollup",       # stored-state + tail merge rollup
     "x_bpe_train",                # 5-round vocab-sized BPE merges
     "x_bpe_segment",              # BPE encode via vocab-join fold
+    "x_chunk_overlap",            # sliding-window RAG chunking
+    "x_negative_sampling",        # bucket-join random negatives
+    "x_hard_negatives",           # ANN hard-negative mining
 ]
 
 

@@ -46,9 +46,15 @@ _FOLD = (
     "ELSE concat(acc, array(x)) END)"
 )
 
+# adjacent pairs via offset slices + zip_with: a word fully merged to
+# ONE symbol yields size-1 = 0 -> empty slices -> no pairs.  (The naive
+# transform(sequence(1, size-1), i -> element_at(...)) form is WRONG
+# there: Spark's sequence(1, 0) is the DESCENDING [1, 0], and
+# element_at(syms, 2) throws on the 1-element array — hit at sf1 where
+# the rotated vocab contains single-letter words.)
 _PAIRS = (
-    "transform(sequence(1, size(syms) - 1), "
-    "i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))"
+    "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), "
+    "(l, r) -> struct(l AS lhs, r AS rhs))"
 )
 
 

@@ -110,3 +110,55 @@ def pack_efficiency(
             F.sum("_seq_tokens") / (F.count("*") * F.lit(budget)).cast("double"), 6
         ).alias("fill_rate"),
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG/long-context prep
+    step that splits documents into fixed-size token windows where
+    consecutive chunks share ``overlap`` tokens (so no span is ever cut
+    without context). Chunk starts are 1, 1+stride, ... up to
+    greatest(n_tokens - overlap, 1) with stride = chunk - overlap: the
+    final chunk always reaches the document end, a document shorter
+    than one chunk yields exactly one chunk, and no start begins in the
+    pure-overlap tail.
+
+    Per-row compute only (split + sequence + slice, all codegen'd):
+    zero shuffles at any corpus size — chunk rows inherit the scan's
+    partitioning. Exact and oracle-replayable."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"chunk_overlap: overlap ({overlap}) must be < chunk_tokens"
+            f" ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = "split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' ')".format(
+        c=text_col
+    )
+    starts = f"sequence(1, greatest(size(_t) - {overlap}, 1), {stride})"
+    return (
+        df.select(F.col(id_col), F.expr(toks).alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            F.size("_t").alias("n_tokens"),
+            F.posexplode(F.expr(starts)).alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "chunk_idx",
+            "start_tok",
+            F.expr(f"size(slice(_t, start_tok, {chunk_tokens}))").alias(
+                "chunk_len"
+            ),
+            F.expr(
+                f"concat_ws(' ', slice(_t, start_tok, {chunk_tokens}))"
+            ).alias("chunk_text"),
+        )
+    )

@@ -190,3 +190,83 @@ def mixture_sample(
     return df.withColumn("sample_u", hash_uniform(id_col, salt)).filter(
         F.col("sample_u") < frac
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    anchors: DataFrame,
+    k: int = 4,
+    buckets: int = 8,
+    salt: str = "neg0",
+) -> DataFrame:
+    """Deterministic random negative sampling for contrastive training:
+    K differently-labeled negatives per anchor, WITHOUT the anchor x
+    corpus cross join. Every candidate hashes into one of ``buckets``
+    groups (md5-uniform), each anchor probes the single bucket its own
+    hash picks, and the K winners are the lowest md5(anchor, candidate)
+    values in that bucket — a pure equi-join on the bucket key plus a
+    per-anchor top-k window.
+
+    Scale: the join is bucket-keyed (co-partitioned, no broadcast of
+    the corpus); per-anchor work is one bucket's population, so
+    ``buckets`` ~ corpus/target_candidates holds it constant as the
+    corpus grows. Selection is a pure function of (salt, ids): stable
+    across engines, reruns and partitionings — the DuckDB oracle
+    replays it exactly."""
+    from pyspark.sql import Window
+
+    cand_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt + "c"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    anch_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt + "a"), F.col("anchor_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    cands = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        cand_bucket.alias("_b"),
+    )
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+    ).withColumn("_b", anch_bucket)
+    pick = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(salt),
+            F.col("anchor_id").cast("string"),
+            F.col("cand_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("pick_key", "cand_id")
+    return (
+        a.join(cands, "_b")
+        .filter(
+            (F.col("cand_label") != F.col("anchor_label"))
+            & (F.col("cand_id") != F.col("anchor_id"))
+        )
+        .withColumn("pick_key", pick)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "anchor_label", "cand_id", "cand_label", "rank")
+    )

@@ -1047,3 +1047,46 @@ def semantic_dedup_pairs(
         )
 
     return members.groupBy("cluster_id").applyInPandas(cluster_pairs, pair_schema)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-cosine-similar corpus vectors with a DIFFERENT label —
+    the near-misses that make the loss informative. Same plan shape as
+    cosine_topk (broadcast anchors, streamed corpus, per-anchor window
+    top-k with WindowGroupLimit pushdown); the label filter runs before
+    scoring so agreeing-label rows never pay the dot product."""
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "cand_id",
+            "cand_label",
+            F.round(cosine_expr("q_vec", "c_vec"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "anchor_label", "cand_id", "cand_label", "cosine", "rank")
+    )

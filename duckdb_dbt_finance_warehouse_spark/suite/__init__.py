@@ -30,7 +30,8 @@ from . import extensions  # noqa: E402,F401
 # R6 ROTATION PLAN: the 50 slots must go to (a) the late-r5 additions
 # that could not displace task-5's 39 mandatory r3-only entries
 # (x_event_funnel, x_cohort_retention, x_bm25_search, x_lm_bigram_score,
-# x_zorder_layout, x_incremental_rollup, x_bpe_train, x_bpe_segment —
+# x_zorder_layout, x_incremental_rollup, x_bpe_train, x_bpe_segment,
+# x_chunk_overlap, x_negative_sampling, x_hard_negatives —
 # all green in
 # tools/check_correctness.py, the driver-identical local gate), then
 # (b) the r4-green entries rotated out this round, then (c) the oldest

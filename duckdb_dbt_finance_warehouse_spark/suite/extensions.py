@@ -370,6 +370,73 @@ def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+@query(
+    "x_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             c.vec_id AS cand_id, c.label AS cand_label, {_COS} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.label != q.label
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    SELECT anchor_id, anchor_label, cand_id, cand_label, cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.hard_negatives): per anchor, the top-5
+    most-similar DIFFERENTLY-labeled vectors — broadcast anchors,
+    streamed corpus, label filter ahead of the dot product, per-anchor
+    WindowGroupLimit top-k."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query(
+    "x_negative_sampling",
+    oracle="""
+    WITH cands AS (
+      SELECT vec_id AS cand_id, label AS cand_label,
+             ('0x' || substr(md5('neg0c' || ':' || CAST(vec_id AS VARCHAR)),
+              1, 8))::BIGINT % 8 AS _b
+      FROM embeddings),
+    a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             ('0x' || substr(md5('neg0a' || ':' || CAST(vec_id AS VARCHAR)),
+              1, 8))::BIGINT % 8 AS _b
+      FROM embeddings WHERE vec_id < 20),
+    j AS (
+      SELECT anchor_id, anchor_label, cand_id, cand_label,
+             md5('neg0' || ':' || CAST(anchor_id AS VARCHAR) || ':'
+                 || CAST(cand_id AS VARCHAR)) AS pick_key
+      FROM a JOIN cands USING (_b)
+      WHERE cand_label != anchor_label AND cand_id != anchor_id),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY pick_key, cand_id) AS INT) AS rank
+          FROM j)
+    SELECT anchor_id, anchor_label, cand_id, cand_label, rank
+    FROM r WHERE rank <= 4
+    """,
+)
+def x_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random negatives WITHOUT an anchor x corpus cross
+    join (operators/sampling.negative_pairs): candidates hash into 8
+    buckets, each anchor equi-joins its own hash's bucket, winners are
+    the lowest md5(anchor, cand) keys — bucket-keyed join + per-anchor
+    top-k, constant per-anchor cost as the corpus grows (raise
+    ``buckets`` with the corpus)."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return sampling.negative_pairs(
+        emb, "vec_id", "label", emb.filter(F.col("vec_id") < 20), k=4, buckets=8
+    )
+
+
 # quantized-cosine assignment metric (operators/similarity.QUANT_SCALE):
 # components round to integer multiples of 2^-18, so every dot / squared
 # norm is an exact float64 integer — summation-order-free, bit-identical
@@ -1985,6 +2052,35 @@ def x_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         cutoff=F.lit("2024-01-20").cast("date"),
         scale=4,
+    )
+
+
+@query(
+    "x_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w, CAST(len(w) AS INT) AS n_tokens,
+                 generate_series(1, greatest(len(w) - 16, 1), 48) AS starts
+          FROM t)
+    SELECT doc_id, n_tokens,
+           CAST(i - 1 AS INT) AS chunk_idx,
+           CAST(starts[CAST(i AS INT)] AS INT) AS start_tok,
+           CAST(len(w[CAST(starts[CAST(i AS INT)] AS INT) :
+                      CAST(starts[CAST(i AS INT)] AS INT) + 63]) AS INT)
+             AS chunk_len,
+           array_to_string(w[CAST(starts[CAST(i AS INT)] AS INT) :
+                             CAST(starts[CAST(i AS INT)] AS INT) + 63], ' ')
+             AS chunk_text
+    FROM s, unnest(generate_series(1, len(starts))) AS u(i)
+    """,
+)
+def x_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with 16-token overlap, 64-token chunks
+    (operators/packing.chunk_overlap) — the RAG/long-context prep step.
+    Pure per-row split + sequence + slice, all codegen'd: ZERO shuffles
+    at any corpus size."""
+    return packing.chunk_overlap(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_tokens=64, overlap=16
     )
 
 

@@ -1138,3 +1138,68 @@ def test_bpe_segment_matches_training_vocab(spark):
     # determinism
     again = {(r["doc_id"], r["token"]): r["n"] for r in seg.collect()}
     assert out == again
+
+
+def test_chunk_overlap_covers_and_overlaps(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import packing
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    out = packing.chunk_overlap(df, "doc_id", "text", chunk_tokens=64, overlap=16)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["chunk_len"])
+        for r in out.collect()
+    )
+    # doc 1: starts 1 and 49 (stride 48, last start <= 100-16)
+    assert [(d, i, s, l) for d, i, s, l in rows if d == 1] == [
+        (1, 0, 1, 64),
+        (1, 1, 49, 52),
+    ]
+    # short doc -> exactly one whole-doc chunk
+    assert [(d, i, s, l) for d, i, s, l in rows if d == 2] == [(2, 0, 1, 2)]
+    # consecutive chunks share exactly `overlap` tokens
+    texts = {r["chunk_idx"]: r["chunk_text"].split(" ")
+             for r in out.collect() if r["doc_id"] == 1}
+    assert texts[0][-16:] == texts[1][:16]
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        packing.chunk_overlap(df, "doc_id", "text", chunk_tokens=16, overlap=16)
+
+
+def test_negative_pairs_labels_differ_and_deterministic(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], ["vec_id", "label"]
+    )
+    anchors = df.filter(F.col("vec_id") < 6)
+    run = lambda: sorted(
+        (r["anchor_id"], r["cand_id"], r["rank"])
+        for r in sampling.negative_pairs(
+            df, "vec_id", "label", anchors, k=3, buckets=4
+        ).collect()
+    )
+    out = run()
+    assert out == run()  # pure function of (salt, ids)
+    by_anchor = {}
+    for a, c, rank in out:
+        by_anchor.setdefault(a, []).append((c, rank))
+        assert c % 3 != a % 3  # labels always differ
+    for a, pairs in by_anchor.items():
+        assert len(pairs) == 3 and sorted(r for _, r in pairs) == [1, 2, 3]
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    import numpy as np
+    from duckdb_dbt_finance_warehouse_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    # vec 29: near-copy of anchor 0 but with a DIFFERENT label -> must rank 1
+    vecs[29] = vecs[0] + 0.001
+    rows = [(i, [float(x) for x in vecs[i]], i % 2) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.hard_negatives(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = sorted((r["rank"], r["cand_id"], r["cand_label"]) for r in out.collect())
+    assert all(lbl != 0 for _, _, lbl in got)  # anchor 0 has label 0
+    assert got[0][1] == 29  # the planted near-copy is the hardest negative
