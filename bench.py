@@ -96,6 +96,13 @@ HEADLINE = [
     "x_chunk_overlap",            # sliding-window RAG chunking
     "x_negative_sampling",        # bucket-join random negatives
     "x_hard_negatives",           # ANN hard-negative mining
+    "x_substring_dedup",          # duplicated-span (window hash) detection
+    "x_dataset_overlap",          # source-pair MinHash Jaccard matrix
+    "x_zipf_fit",                 # integer-exact Zipf conformance
+    "x_length_buckets",           # pad-to-bucket batching profile
+    "x_random_projection",        # ±1 JL projection, Arrow map stage
+    "x_tokenizer_fertility",      # tokens-per-char by predicted lang
+    "x_merge_upsert",             # generic MERGE anti-join + union
 ]
 
 

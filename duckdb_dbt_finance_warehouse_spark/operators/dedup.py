@@ -693,3 +693,46 @@ def simhash_near_dup(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dataset_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """Pairwise corpus-slice overlap matrix via GROUP-level MinHash:
+    the signature of a slice (source, crawl, dump...) is the
+    element-wise min over every document's shingle hashes — min is
+    associative, so grouping ``portable_signatures`` by the slice key
+    instead of the doc id computes it in the same single aggregation,
+    and sig_a[i] == sig_b[i] estimates the shingle-set Jaccard between
+    the two slices. This is the dataset-contamination / mixture-drift
+    estimator: G slices compare in G^2/2 signature comparisons
+    regardless of corpus size (the corpus is touched ONCE).
+
+    Shape: shingle explode -> one group-keyed 64-min agg (G rows out),
+    checkpoint, posexplode to (grp, i, mh), equi-join on the hash
+    INDEX i (G rows per side per index — the G^2 pair work is the
+    output, not a shuffle blowup), one pair-keyed agg. Engine-portable
+    Carter-Wegman hashes -> the DuckDB oracle replays bit-for-bit."""
+    sigs = portable_signatures(df, group_col, text_col, k, n_hashes).localCheckpoint(
+        eager=False
+    )
+    ex = sigs.select(
+        F.col(group_col), F.posexplode("sig").alias("i", "mh")
+    )
+    a = ex.select(F.col(group_col).alias("src_a"), "i", F.col("mh").alias("mh_a"))
+    b = ex.select(F.col(group_col).alias("src_b"), "i", F.col("mh").alias("mh_b"))
+    return (
+        a.join(b, "i")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.count_if(F.col("mh_a") == F.col("mh_b"))
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard")
+        )
+    )

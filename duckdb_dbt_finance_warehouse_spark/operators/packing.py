@@ -162,3 +162,68 @@ def chunk_overlap(
             ).alias("chunk_text"),
         )
     )
+
+
+LENGTH_BUCKET_CAPS: tuple[int, ...] = (
+    16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+)
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batching profile — the pad-to-bucket alternative
+    to concat-and-chunk packing (``pack_sequences``): docs are grouped
+    into power-of-two length buckets, every doc in a bucket pads to the
+    bucket cap, and batches of ``batch_size`` fill from each bucket.
+    The output says what padding actually costs per bucket (and in
+    total via a simple rollup) BEFORE anyone launches a training run.
+
+    The bucket is picked by a literal CASE chain over
+    ``LENGTH_BUCKET_CAPS`` (integer compares only — no log2, whose
+    float edge behavior at exact powers of two differs per libm), docs
+    longer than the top cap land in the top bucket (flagged), and every
+    statistic is a bigint sum with one final double division — fully
+    oracle-replayable. Shape: one scan + one bucket-keyed agg (a dozen
+    groups, map-side combined)."""
+    if batch_size <= 0:
+        raise ValueError(f"length_bucket_stats: batch_size must be positive, got {batch_size}")
+    n = F.col(token_col).cast("long")
+    top = LENGTH_BUCKET_CAPS[-1]
+    cap = F.lit(top)
+    for c in reversed(LENGTH_BUCKET_CAPS):
+        cap = F.when(n <= c, F.lit(c)).otherwise(cap)
+    b = df.filter(n > 0).select(
+        n.alias("_n"),
+        cap.alias("bucket_cap"),
+        (n > top).alias("_overflow"),
+    )
+    padded = F.col("bucket_cap") * F.count("*")
+    return (
+        b.groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+            # overflow docs truncate to the cap — kept_tokens is what
+            # survives, so fill_rate stays a true <=1 utilization
+            F.sum(F.least(F.col("_n"), F.col("bucket_cap"))).alias("kept_tokens"),
+            F.count_if(F.col("_overflow")).alias("n_overflow"),
+            padded.alias("padded_tokens"),
+            F.expr(f"(count(*) + {batch_size - 1}) div {batch_size}").alias("n_batches"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            "kept_tokens",
+            "n_overflow",
+            "padded_tokens",
+            "n_batches",
+            F.round(
+                F.col("kept_tokens").cast("double") / F.col("padded_tokens"), 6
+            ).alias("fill_rate"),
+        )
+    )

@@ -1090,3 +1090,101 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "anchor_label", "cand_id", "cand_label", "cosine", "rank")
     )
+
+
+def projection_signs(out_dim: int, dim: int):
+    """±1 sparse-free sign matrix for random projection, md5-derived
+    (namespace 'proj' — independent of the LSH planes). Pure literal
+    data: the same matrix is embedded in the Spark kernel AND the
+    DuckDB oracle, so the projection is engine-portable by
+    construction."""
+    return [
+        [
+            1 if hashlib.md5(f"proj:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Signed random projection (Achlioptas ±1 variant): reduce
+    ``dim``-d embeddings to ``out_dim`` components y_i = Σ_j s_ij x_j
+    — the cheap JL-style dimensionality reduction a 100 TB pipeline
+    runs before clustering / near-dup passes to cut vector bytes 4x.
+
+    Exactness: inputs quantize to integers (QUANT_SCALE), the sign
+    matrix is ±1, so every output is an exact integer in float64
+    regardless of summation order — divided once by QUANT_SCALE into
+    the emitted double. Output is EXPLODED to (id, out_i, component)
+    rows: portable to hash-compare (array column reprs differ across
+    engines) and the shape downstream bucketing wants anyway.
+
+    Shape: ONE narrow Arrow stage (mapInPandas, broadcast 16x64 sign
+    matrix, BLAS matmul per batch — higher-order functions are
+    CodegenFallback and ~8x slower); no shuffle at all. At 100 TB this
+    is a pure map over the corpus partitions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    S = np.array(projection_signs(out_dim, dim), dtype=np.float64)
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("out_i", T.IntegerType()),
+            T.StructField("component", T.DoubleType()),
+        ]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Xq = _np_quant(np.stack(pdf["_v"].to_numpy()).astype(np.float64))
+            Y = Xq @ S.T  # exact integers < 2^26 * dim
+            ids = pdf["_id"].to_numpy()
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, out_dim),
+                    "out_i": np.tile(np.arange(out_dim, dtype=np.int32), n),
+                    "component": Y.reshape(-1) / QUANT_SCALE,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(project, out_schema)
+
+
+def random_project_oracle_sql(
+    src: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of ``random_project``: same literal sign rows over
+    the same quantized components — exact integer sums, one division."""
+    qs = f"{int(QUANT_SCALE)}.0"
+    signs = projection_signs(out_dim, dim)
+    selects = []
+    for i in range(out_dim):
+        arr = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in signs[i]) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip({vec_col}, {arr}),"
+            f" z -> round(CAST(z[1] AS DOUBLE) * {qs}) * CAST(z[2] AS DOUBLE)))"
+        )
+        selects.append(
+            f"SELECT {id_col}, {i} AS out_i,"
+            f" CAST({dot} / {qs} AS DOUBLE) AS component FROM {src}"
+        )
+    return "(" + "\nUNION ALL\n".join(selects) + ")"

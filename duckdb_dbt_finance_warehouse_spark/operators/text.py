@@ -594,3 +594,164 @@ def quality_classifier(
         logit.alias("quality_logit"),
         (logit >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Duplicated-span detection (exact-substring dedup, Lee et al.
+    'Deduplicating Training Data Makes Language Models Better' at
+    window granularity): hash fixed-size character windows sampled
+    every ``stride`` chars; a window whose md5 appears in >=2 distinct
+    documents is a duplicated span. Per doc: distinct-window count,
+    duplicated-window count, and the duplicated fraction — the signal
+    a 100 TB curation pass uses to CUT repeated boilerplate rather
+    than drop whole near-dup docs.
+
+    Shape: one explode (~len/stride rows per doc, window-hash payload
+    only — the text itself never shuffles), a (doc, hash) distinct,
+    one hash-keyed count, and a hash-keyed join back + doc-keyed agg.
+    The window table feeds both the corpus count and the join probe,
+    so it is localCheckpointed (CLAUDE.md subtree rule — recomputed
+    per run, not stored state). Window hashes are high-entropy md5 —
+    every shuffle key is skew-free by construction."""
+    norm = normalize_text(text_col)
+    wins = (
+        df.select(F.col(id_col), norm.alias("_t"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_t) - {window - 1}, 1),"
+                    f" {stride}), i -> substring(_t, i, {window}))"
+                )
+            ).alias("win"),
+        )
+        .select(id_col, F.md5("win").alias("wh"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    counts = wins.groupBy("wh").agg(F.count("*").alias("n_docs"))
+    return (
+        wins.join(counts, "wh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count_if(F.col("n_docs") >= 2).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def zipf_rank_stats(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    top_ranks: int = 100,
+) -> DataFrame:
+    """Zipf-law conformance per corpus slice, in EXACT integer
+    arithmetic: under freq ∝ 1/rank the product freq*rank is constant
+    across ranks, so the normalized mean absolute deviation of
+    freq*rank over the top ``top_ranks`` terms measures how far a
+    slice departs from Zipf — the standard smell test for synthetic /
+    boilerplate-heavy sources (a log-log OLS slope needs ln(), whose
+    last-ulp behavior is libm-specific; the product form keeps every
+    intermediate an exact bigint, so the DuckDB oracle replays
+    bit-for-bit).
+
+    zipf_dev = (Σ_i |fr_i * n - Σ_j fr_j|) / (n * Σ_j fr_j), with
+    fr_i = freq_i * rank_i — one double division of two exact bigints
+    at the very end.
+
+    Shape: token explode -> (slice, term) count -> per-slice top-R by
+    a PARTITIONED row_number (ties broken by term — deterministic) ->
+    one slice-keyed agg. The (slice, term) shuffle is the only wide
+    exchange; term keys are high-cardinality."""
+    toks = tokens(df, group_col, text_col).filter(F.col("tok") != "")
+    freqs = toks.groupBy(group_col, "tok").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("tok"))
+    # top-R rows feed BOTH the totals agg and the deviation pass (the
+    # deviation needs Σfr before it can score each row) -> checkpoint
+    # the slim ranked frame, not the explode behind it
+    ranked = (
+        freqs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_ranks)
+        .withColumn("fr", F.col("freq") * F.col("rank"))
+        .localCheckpoint(eager=False)
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_ranks"),
+        F.max(F.when(F.col("rank") == 1, F.col("freq"))).alias("top_freq"),
+        F.sum("fr").alias("sum_fr"),
+    )
+    dev = (
+        ranked.join(F.broadcast(agg.select(group_col, "n_ranks", "sum_fr")), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.abs(F.col("fr") * F.col("n_ranks") - F.col("sum_fr"))
+            ).alias("abs_dev_scaled")
+        )
+    )
+    return (
+        agg.join(dev, group_col)
+        .select(
+            group_col,
+            "n_ranks",
+            "top_freq",
+            "sum_fr",
+            F.round(
+                F.col("abs_dev_scaled").cast("double")
+                / (F.col("n_ranks") * F.col("sum_fr")).cast("double"),
+                6,
+            ).alias("zipf_dev"),
+        )
+    )
+
+
+def fertility_by_lang(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tokenizer-fertility profile grouped by PREDICTED language: how
+    many whitespace tokens / BPE-ish subwords a slice yields per 100
+    normalized chars — the metric that decides whether a tokenizer
+    under-serves a language in the training mix. Composes language_id
+    (stopword-vote argmax) with token_counts in one doc-keyed join,
+    then a small lang-keyed agg; ratios are single double divisions of
+    exact bigint sums (order-free, oracle-replayable)."""
+    lid = language_id(df, id_col, text_col)
+    tc = token_counts(df, id_col, text_col)
+    per_doc = lid.join(tc, id_col)
+    return (
+        per_doc.groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws_tokens").alias("sum_ws_tokens"),
+            F.sum("n_bpe_ish_tokens").alias("sum_bpe_tokens"),
+            F.sum("n_chars_norm").alias("sum_chars"),
+        )
+        .select(
+            "pred_lang",
+            "n_docs",
+            "sum_ws_tokens",
+            "sum_bpe_tokens",
+            "sum_chars",
+            F.round(
+                F.col("sum_ws_tokens") * F.lit(100).cast("double") / F.col("sum_chars"),
+                6,
+            ).alias("ws_tokens_per_100_chars"),
+            F.round(
+                F.col("sum_bpe_tokens").cast("double") / F.col("sum_ws_tokens"), 6
+            ).alias("bpe_per_ws_token"),
+        )
+    )

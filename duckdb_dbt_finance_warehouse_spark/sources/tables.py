@@ -184,3 +184,39 @@ class Warehouse:
         n_files = max(1, -(-n // target_rows_per_file))
         self.write_staged(df.repartition(n_files), schema, table)
         return n_files
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Generic MERGE semantics as one declarative plan (the dbt
+    ``incremental_strategy='merge'`` shape the reference's delete+insert
+    materialization approximates, fct_subscription_month.sql:1-5):
+
+      - key in target only           -> keep the target row
+      - key in source, delete flag   -> drop (WHEN MATCHED DELETE)
+      - key in source otherwise      -> the source row wins (whole-row
+                                        UPDATE / INSERT)
+
+    = target LEFT ANTI source (on keys) ∪ source rows not flagged for
+    delete. Whole-row update keeps the op key-shuffle-only: one anti
+    join partitioned by the merge keys, no window, no full-outer
+    branch explosion. Source rows must be unique per key (enforce with
+    W1 latest-row dedup upstream — dbt merge has the same precondition).
+
+    Scale: both sides shuffle once on the merge keys (or zero times if
+    the target is stored bucketed by them); at 100 TB pair this with
+    ``Warehouse.write_staged`` partitioned by a date column so only
+    affected partitions rewrite (delete+insert), or feed it to a format
+    with native MERGE. ``delete_col`` (boolean on the source) is
+    dropped from the output."""
+    merged_src = source
+    if delete_col is not None:
+        merged_src = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    survivors = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return survivors.unionByName(merged_src)

@@ -31,8 +31,10 @@ from . import extensions  # noqa: E402,F401
 # that could not displace task-5's 39 mandatory r3-only entries
 # (x_event_funnel, x_cohort_retention, x_bm25_search, x_lm_bigram_score,
 # x_zorder_layout, x_incremental_rollup, x_bpe_train, x_bpe_segment,
-# x_chunk_overlap, x_negative_sampling, x_hard_negatives —
-# all green in
+# x_chunk_overlap, x_negative_sampling, x_hard_negatives, plus the
+# late-r5 batch x_substring_dedup, x_dataset_overlap, x_zipf_fit,
+# x_length_buckets, x_random_projection, x_tokenizer_fertility,
+# x_merge_upsert — all green in
 # tools/check_correctness.py, the driver-identical local gate), then
 # (b) the r4-green entries rotated out this round, then (c) the oldest
 # r5-green entries.  No entry may reach 2 rounds without a driver row.

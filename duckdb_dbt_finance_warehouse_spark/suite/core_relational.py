@@ -1589,3 +1589,46 @@ def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         exact_sum("l_extendedprice", scale=4).alias("revenue"),
     )
+
+
+@query(
+    "x_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+    src AS (
+      SELECT o_orderkey, o_orderdate,
+             o_totalprice + 1.0 AS o_totalprice, o_orderstatus,
+             (o_orderstatus = 'F') AS is_delete
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+    SELECT t.o_orderkey, t.o_orderdate, t.o_totalprice, t.o_orderstatus
+    FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM src s
+                                 WHERE s.o_orderkey = t.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_orderdate, o_totalprice, o_orderstatus
+    FROM src WHERE NOT is_delete
+    """,
+)
+def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic MERGE (upsert + matched-delete) as one declarative plan
+    (sources/tables.merge_upsert — the dbt incremental merge strategy
+    the reference's delete+insert approximates,
+    fct_subscription_month.sql:1-5): a restatement batch (orders from
+    1996 on, repriced, 'F' rows deleted) merges into the pre-1997
+    target. One key-partitioned anti join + union — no windows, no
+    full-outer; at 100 TB the keys shuffle once (zero with a bucketed
+    target) and the union is a metadata concat."""
+    from ..sources.tables import merge_upsert
+
+    o = T(spark, sf_dir, "orders")["orders"]
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"]
+    target = o.filter(F.col("o_orderdate") < "1997-01-01").select(*cols)
+    source = o.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderstatus",
+        (F.col("o_orderstatus") == "F").alias("is_delete"),
+    )
+    return merge_upsert(target, source, ["o_orderkey"], delete_col="is_delete")

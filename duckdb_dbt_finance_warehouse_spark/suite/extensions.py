@@ -2359,3 +2359,197 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free bigint dot product, one exact double division for the
     logit, one explode + one doc-keyed agg."""
     return text.quality_classifier(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: span dedup, slice overlap, Zipf, batching, projection,
+# fertility
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_substring_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    w AS (SELECT DISTINCT doc_id,
+                 md5(substr(t, CAST(i AS INT), 40)) AS wh
+          FROM t, unnest(generate_series(1, greatest(length(t) - 39, 1), 10))
+               AS u(i)),
+    c AS (SELECT wh, CAST(count(*) AS BIGINT) AS n_docs FROM w GROUP BY 1)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (WHERE c.n_docs >= 2) AS BIGINT) AS n_dup_windows,
+           round(CAST(count(*) FILTER (WHERE c.n_docs >= 2) AS DOUBLE)
+                 / count(*), 6) AS dup_fraction
+    FROM w JOIN c USING (wh) GROUP BY 1
+    """,
+)
+def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (duplicated span) detection: md5 over 40-char
+    windows every 10 chars; spans seen in >=2 docs are duplicated
+    (operators/text.substring_dup_spans — the cut-the-boilerplate
+    complement to whole-doc near-dup)."""
+    return text.substring_dup_spans(
+        _docs(spark, sf_dir), "doc_id", "text", window=40, stride=10
+    )
+
+
+def _dataset_overlap_oracle(k: int = 5, n_hashes: int = 64) -> str:
+    from ..operators.dedup import PORTABLE_PRIME, portable_hash_params
+
+    seeds = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in ((j, portable_hash_params(j)) for j in range(n_hashes))
+    )
+    return f"""
+    WITH t AS (SELECT source, {_NORM} AS t FROM documents),
+    sh AS (
+      SELECT source, substr(t, CAST(i AS INT), {k}) AS shingle
+      FROM t, unnest(generate_series(1, greatest(length(t) - {k - 1}, 1))) AS u(i)),
+    hx AS (SELECT source, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x FROM sh),
+    seeds(i, a, b) AS (VALUES {seeds}),
+    sigs AS (
+      SELECT source, i, min((a * x + b) % {PORTABLE_PRIME}) AS mh
+      FROM hx CROSS JOIN seeds GROUP BY 1, 2)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                / {float(n_hashes)} AS DOUBLE) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.i = b.i AND a.source < b.source
+    GROUP BY 1, 2
+    """
+
+
+@query("x_dataset_overlap", oracle=_dataset_overlap_oracle())
+def x_dataset_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-slice Jaccard overlap via group-level MinHash
+    (operators/dedup.dataset_overlap): one corpus scan, G^2/2 signature
+    comparisons — the dataset-contamination / mixture-drift estimator."""
+    return dedup.dataset_overlap(
+        _docs(spark, sf_dir), "source", "text", k=5, n_hashes=64
+    )
+
+
+@query(
+    "x_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+          FROM toks WHERE tok != '' GROUP BY 1, 2),
+    r AS (SELECT source, tok, freq,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, tok) AS rank
+          FROM f),
+    k AS (SELECT source, freq, rank, freq * rank AS fr
+          FROM r WHERE rank <= 100),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+                 CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq,
+                 CAST(sum(fr) AS BIGINT) AS sum_fr
+          FROM k GROUP BY 1),
+    d AS (SELECT k.source,
+                 CAST(sum(abs(k.fr * a.n_ranks - a.sum_fr)) AS BIGINT) AS dev
+          FROM k JOIN a USING (source) GROUP BY 1)
+    SELECT a.source, a.n_ranks, a.top_freq, a.sum_fr,
+           round(CAST(d.dev AS DOUBLE)
+                 / CAST(a.n_ranks * a.sum_fr AS DOUBLE), 6) AS zipf_dev
+    FROM a JOIN d USING (source)
+    """,
+)
+def x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law conformance per source in exact integer arithmetic
+    (operators/text.zipf_rank_stats): normalized mean absolute deviation
+    of freq*rank over the top-100 terms — ln-free, so the oracle replays
+    bit-for-bit."""
+    return text.zipf_rank_stats(
+        _docs(spark, sf_dir), "source", "doc_id", "text", top_ranks=100
+    )
+
+
+@query(
+    "x_length_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    n AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok FROM t),
+    b AS (SELECT n_tok,
+                 CASE {" ".join(f"WHEN n_tok <= {c} THEN {c}" for c in packing.LENGTH_BUCKET_CAPS)}
+                      ELSE {packing.LENGTH_BUCKET_CAPS[-1]} END AS bucket_cap,
+                 (n_tok > {packing.LENGTH_BUCKET_CAPS[-1]}) AS overflow
+          FROM n WHERE n_tok > 0)
+    SELECT CAST(bucket_cap AS INT) AS bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(sum(least(n_tok, bucket_cap)) AS BIGINT) AS kept_tokens,
+           CAST(count(*) FILTER (WHERE overflow) AS BIGINT) AS n_overflow,
+           CAST(bucket_cap * count(*) AS BIGINT) AS padded_tokens,
+           CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches,
+           round(CAST(sum(least(n_tok, bucket_cap)) AS DOUBLE)
+                 / (bucket_cap * count(*)), 6) AS fill_rate
+    FROM b GROUP BY bucket_cap
+    """,
+)
+def x_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching profile: power-of-two buckets by
+    whitespace token count, padding waste + batch counts per bucket
+    (operators/packing.length_bucket_stats over text.token_counts).
+    One scan + one dozen-group agg."""
+    docs = _docs(spark, sf_dir)
+    tc = text.token_counts(docs, "doc_id", "text")
+    return packing.length_bucket_stats(tc, "doc_id", "n_ws_tokens", batch_size=32)
+
+
+@query(
+    "x_random_projection",
+    oracle="SELECT * FROM "
+    + similarity.random_project_oracle_sql("embeddings")
+    + " AS p",
+)
+def x_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed (±1) random projection 64d -> 16d, quantized-exact
+    (operators/similarity.random_project): one Arrow map stage,
+    broadcast literal sign matrix, zero shuffles; oracle replays the
+    same integer dots."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.random_project(emb, "vec_id", "embedding", out_dim=16, dim=64)
+
+
+@query(
+    "x_tokenizer_fertility",
+    oracle=f"""
+    WITH sw(pred_lang, tok) AS (VALUES {_STOPWORD_VALUES}),
+    toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    votes AS (SELECT doc_id, pred_lang, CAST(count(*) AS BIGINT) AS votes
+              FROM toks JOIN sw USING (tok) GROUP BY 1, 2),
+    best AS (SELECT doc_id, pred_lang,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY votes DESC, pred_lang) AS rn
+             FROM votes),
+    lang AS (SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang
+             FROM documents d
+             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+    t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    tc AS (SELECT doc_id,
+                  CAST(len(string_split(t, ' ')) AS BIGINT) AS n_ws,
+                  CAST(list_sum(list_transform(string_split(t, ' '),
+                       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe,
+                  CAST(length(t) AS BIGINT) AS n_chars
+           FROM t)
+    SELECT lang.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tc.n_ws) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum(tc.n_bpe) AS BIGINT) AS sum_bpe_tokens,
+           CAST(sum(tc.n_chars) AS BIGINT) AS sum_chars,
+           round(CAST(sum(tc.n_ws) AS BIGINT) * CAST(100 AS DOUBLE)
+                 / CAST(sum(tc.n_chars) AS BIGINT), 6) AS ws_tokens_per_100_chars,
+           round(CAST(sum(tc.n_bpe) AS BIGINT)
+                 / CAST(CAST(sum(tc.n_ws) AS BIGINT) AS DOUBLE), 6)
+             AS bpe_per_ws_token
+    FROM lang JOIN tc USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by PREDICTED language
+    (operators/text.fertility_by_lang): language_id ⋈ token_counts,
+    lang-keyed agg — whitespace/BPE-ish tokens per 100 normalized
+    chars, the under-served-language detector for mixture design."""
+    return text.fertility_by_lang(_docs(spark, sf_dir), "doc_id", "text")

@@ -1203,3 +1203,133 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
     got = sorted((r["rank"], r["cand_id"], r["cand_label"]) for r in out.collect())
     assert all(lbl != 0 for _, _, lbl in got)  # anchor 0 has label 0
     assert got[0][1] == 29  # the planted near-copy is the hardest negative
+
+
+# ---------------------------------------------------------------------------
+# round-5: substring dedup, dataset overlap, zipf, length buckets,
+# random projection, fertility, merge upsert
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dup_spans_flags_shared_boilerplate(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.text import substring_dup_spans
+
+    boiler = "this exact boilerplate sentence is repeated verbatim across documents "
+    df = spark.createDataFrame(
+        [
+            (1, boiler * 3),
+            (2, boiler * 3),  # identical -> every window duplicated
+            (3, "a completely unique document with no repeated spans at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in substring_dup_spans(df, "doc_id", "text").collect()}
+    assert out[1]["dup_fraction"] == 1.0 and out[2]["dup_fraction"] == 1.0
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_dataset_overlap_identical_vs_disjoint_sources(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import dataset_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", "the quick brown fox jumps over the lazy dog"),
+            ("c", "zq xv wk jm completely disjoint shingle material pq rz"),
+        ],
+        ["source", "text"],
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r["est_jaccard"]
+        for r in dataset_overlap(df, "source", "text").collect()
+    }
+    assert out[("a", "b")] == 1.0  # identical slices -> identical signatures
+    assert out[("a", "c")] < 0.3 and out[("b", "c")] < 0.3
+
+
+def test_zipf_rank_stats_perfect_zipf_has_zero_dev(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.text import zipf_rank_stats
+
+    # freq(rank r) = 12/r for terms a(12), b(6), c(4), d(3): fr constant=12
+    words = ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    df = spark.createDataFrame([("s", 1, " ".join(words))], ["source", "doc_id", "text"])
+    row = zipf_rank_stats(df, "source", "doc_id", "text", top_ranks=4).collect()[0]
+    assert row["n_ranks"] == 4 and row["top_freq"] == 12
+    assert row["sum_fr"] == 48 and row["zipf_dev"] == 0.0
+
+
+def test_length_bucket_stats_boundaries_and_overflow(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.packing import (
+        LENGTH_BUCKET_CAPS,
+        length_bucket_stats,
+    )
+
+    top = LENGTH_BUCKET_CAPS[-1]
+    df = spark.createDataFrame(
+        [(1, 16), (2, 17), (3, 32), (4, top + 100), (5, 0)],
+        ["doc_id", "n_tok"],
+    )
+    out = {r["bucket_cap"]: r for r in length_bucket_stats(df, "doc_id", "n_tok").collect()}
+    assert out[16]["n_docs"] == 1          # exact power stays in its bucket
+    assert out[32]["n_docs"] == 2          # 17 rounds up; 32 stays
+    assert out[top]["n_overflow"] == 1     # clamp + flag, kept_tokens truncates
+    assert out[top]["kept_tokens"] == top and out[top]["fill_rate"] == 1.0
+    assert 0 not in out and sum(r["n_docs"] for r in out.values()) == 4  # zero-len dropped
+
+
+def test_random_project_matches_numpy_and_is_shuffle_free(spark):
+    import numpy as np
+
+    from duckdb_dbt_finance_warehouse_spark.operators.similarity import (
+        QUANT_SCALE,
+        _np_quant,
+        projection_signs,
+        random_project,
+    )
+
+    rng = [[((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(8)] for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, rng[i]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    out = random_project(df, "vec_id", "embedding", out_dim=4, dim=8)
+    rows = {(r["vec_id"], r["out_i"]): r["component"] for r in out.collect()}
+    assert len(rows) == 20
+    S = np.array(projection_signs(4, 8), dtype=np.float64)
+    Y = _np_quant(np.array(rng)) @ S.T / QUANT_SCALE
+    for i in range(5):
+        for o in range(4):
+            assert rows[(i, o)] == Y[i, o]
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fertility_by_lang_groups_by_predicted_language(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.text import fertility_by_lang
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat with the mat in the sun"),
+            (2, "el gato es la casa de los perros con una manana"),
+            (3, "zz yy xx ww vv"),  # no stopwords -> und
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["pred_lang"]: r for r in fertility_by_lang(df, "doc_id", "text").collect()}
+    assert set(out) == {"en", "es", "und"}
+    en = out["en"]
+    assert en["n_docs"] == 1 and en["sum_ws_tokens"] == 12
+    assert en["ws_tokens_per_100_chars"] > 0
+
+
+def test_merge_upsert_semantics(spark):
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [(2, "new2", False), (3, "gone", True), (4, "new4", False)],
+        ["k", "v", "is_delete"],
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"], "is_delete").collect()}
+    assert out == {1: "old1", 2: "new2", 4: "new4"}  # 3 deleted, 2 updated, 4 inserted
+    assert "is_delete" not in merge_upsert(target, source, ["k"], "is_delete").columns
