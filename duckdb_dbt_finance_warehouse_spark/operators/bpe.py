@@ -148,7 +148,15 @@ def bpe_segment(
             .crossJoin(F.broadcast(mt))
             .select("word", F.explode(F.expr(apply_all)).alias("token"))
         )
-        pairs = words.join(seg, "word").select(id_col, "token")
+        # seg is VOCAB-volume by construction (distinct words x their
+        # tokens) — pin it as the broadcast build side. Left to size
+        # estimates Catalyst has no stats below the fold-explode and at
+        # sf1 picked BuildLeft: it broadcast the exploded CORPUS (doc,
+        # word) rows — 15.7 s for a 310-word vocab, and a driver-OOM at
+        # real scale. The hint is unconditional (never size-demoted);
+        # that is correct here because a tokenizer vocab is bounded
+        # (~100k entries), unlike the corpus side it replaces.
+        pairs = words.join(F.broadcast(seg), "word").select(id_col, "token")
     else:
         pairs = (
             words.crossJoin(F.broadcast(mt))

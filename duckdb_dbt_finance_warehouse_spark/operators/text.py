@@ -614,11 +614,14 @@ def substring_dup_spans(
 
     Shape: one explode (~len/stride rows per doc, window-hash payload
     only — the text itself never shuffles), a (doc, hash) distinct,
-    one hash-keyed count, and a hash-keyed join back + doc-keyed agg.
-    The window table feeds both the corpus count and the join probe,
-    so it is localCheckpointed (CLAUDE.md subtree rule — recomputed
-    per run, not stored state). Window hashes are high-entropy md5 —
-    every shuffle key is skew-free by construction."""
+    then the per-hash doc count as ``count() OVER (PARTITION BY wh)``
+    — a keyed window, NOT a count-aggregate + join back: the count
+    table is distinct-window volume (~corpus/stride), so the join
+    would either broadcast an unbounded side (the defect the bpe
+    vocab join hit) or pay an extra wh shuffle of every window row.
+    The window form gets n_docs onto each row inside the single wh
+    exchange. Finishes with one doc-keyed agg. Window hashes are
+    high-entropy md5 — every shuffle key is skew-free."""
     norm = normalize_text(text_col)
     wins = (
         df.select(F.col(id_col), norm.alias("_t"))
@@ -633,11 +636,10 @@ def substring_dup_spans(
         )
         .select(id_col, F.md5("win").alias("wh"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    counts = wins.groupBy("wh").agg(F.count("*").alias("n_docs"))
+    wh_win = Window.partitionBy("wh")
     return (
-        wins.join(counts, "wh")
+        wins.withColumn("n_docs", F.count("*").over(wh_win))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_windows"),

@@ -226,3 +226,37 @@ def test_compaction_window_is_bucket_partitioned(spark):
         # partitionless spec starts directly with the order expression;
         # partitioned spec leads with the _bucket partition column
         assert "_bucket" in spec.split(",")[0]
+
+
+def test_bpe_segment_broadcasts_vocab_not_corpus(spark):
+    # the (word -> token) table is vocab-volume and must be the
+    # broadcast BUILD side; left to size estimates Catalyst broadcast
+    # the exploded CORPUS at sf1 (15.7 s / driver-OOM shape)
+    p = plan_of(spark, "x_bpe_segment")
+    assert "BroadcastHashJoin Inner BuildRight" in p
+    assert "BroadcastHashJoin Inner BuildLeft" not in p
+
+
+def test_random_projection_is_single_map_stage(spark):
+    # pure projection: one Arrow stage, zero shuffles
+    p = plan_of(spark, "x_random_projection")
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_merge_upsert_is_single_key_shuffle_no_window(spark):
+    p = plan_of(spark, "x_merge_upsert")
+    assert "Window" not in p and "SortMergeJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_dedup_is_joinless_keyed_window(spark):
+    # per-hash doc counts come from count() OVER (PARTITION BY wh) —
+    # no join (a count-table join would broadcast an unbounded side or
+    # pay an extra wh shuffle), window keyed (never global), and the
+    # only wide exchanges key on the hash / the doc id
+    df = REGISTRY["x_substring_dedup"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    assert "Window [" in p or "Window(" in p
+    assert "hashpartitioning(wh" in p and "hashpartitioning(doc_id" in p
