@@ -103,6 +103,10 @@ HEADLINE = [
     "x_random_projection",        # ±1 JL projection, Arrow map stage
     "x_tokenizer_fertility",      # tokens-per-char by predicted lang
     "x_merge_upsert",             # generic MERGE anti-join + union
+    "x_event_transitions",        # Markov transition matrix
+    "x_inverted_index",           # block-partitioned posting lists
+    "x_hll_merge",                # incremental HLL register merge
+    "sql5_correlated_agg_q17_style",  # correlated scalar agg decorrelation
 ]
 
 

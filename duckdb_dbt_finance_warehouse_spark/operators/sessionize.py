@@ -252,3 +252,39 @@ def json_props(df: DataFrame, props_col: str = "props", key: str = "k") -> DataF
     return df.withColumn(
         f"prop_{key}", F.get_json_object(F.col(props_col), f"$.{key}").cast("int")
     )
+
+
+def event_transitions(df: DataFrame, min_count: int = 1) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-sequence prep step (next-event
+    prediction features, funnel-drop analysis): for each user, order
+    events by (ts, event_id) and pair every event type with its
+    successor via lead(); count the (from, to) matrix and the row-
+    normalized transition probability.
+
+    Shape: ONE user-keyed shuffle feeds the lead window; the matrix
+    agg is |event_types|^2 groups (map-side combined) and the row
+    normalization is a window over that already-tiny frame. p is a
+    single double division of two exact bigints, rounded — the DuckDB
+    oracle replays it bit-for-bit. At 100 TB only the per-user window
+    exchange is data-sized; everything after is matrix-sized."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        df.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row_w = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(row_w))
+        .filter(F.col("n") >= min_count)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "row_total",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
+        )
+    )

@@ -387,3 +387,109 @@ def hll_by_oracle_sql(src: str, group_col: str, col: str) -> str:
            n_present AS buckets_used
     FROM est
     """
+
+
+def _estimate_from_regs(regs: DataFrame, group_col: str) -> DataFrame:
+    """(group, hll_estimate, buckets_used) from a (group, bucket,
+    max_rank) register table — the estimate side of the sketch, shared
+    by the direct and the merge paths (same exact-arithmetic formula as
+    ``hll_distinct``)."""
+    agg = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {MAX_RANK} - max_rank)")
+        ).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    intsum = F.col("s_present") + (F.lit(M) - F.col("n_present")) * F.lit(
+        1 << MAX_RANK
+    ).cast("long")
+    raw = F.lit(float(EST_NUM)) / intsum
+    zeros = (F.lit(M) - F.col("n_present")).cast("long")
+    est = F.when(
+        (raw <= F.lit(2.5 * M)) & (zeros > 0),
+        F.lit(float(M)) * F.log(F.lit(float(M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(group_col),
+        F.round(est, 4).alias("hll_estimate"),
+        F.col("n_present").cast("long").alias("buckets_used"),
+    )
+
+
+def hll_incremental_estimate(
+    df: DataFrame, col: str, batch_col: str
+) -> DataFrame:
+    """Incremental sketch-state maintenance: per-BATCH HLL register
+    tables (the stored state an ingest pipeline appends per batch) plus
+    the union estimate computed by MERGING those registers bucket-wise
+    — the data is scanned once and never rescanned for the union;
+    that's HLL's defining property and the reason sketch state beats
+    count-distinct state at 100 TB (a 256-row max-merge per batch vs a
+    re-shuffle of all history).
+
+    Output: one (part, hll_estimate, buckets_used) row per batch value
+    (cast to string) + one 'merged' row. The register frame feeds both
+    the per-batch estimates and the merge, so it is localCheckpointed
+    (CLAUDE.md subtree rule; in production it IS a stored table)."""
+    h = _hash60(col)
+    base = df.filter(F.col(col).isNotNull()).select(
+        F.col(batch_col).cast("string").alias("part"),
+        F.pmod(h, F.lit(M)).alias("bucket"),
+        F.shiftrightunsigned(h, B_BITS).alias("_rest"),
+    )
+    rank = F.when(F.col("_rest") == 0, F.lit(MAX_RANK)).otherwise(
+        F.lit(MAX_RANK) - F.length(F.expr("bin(_rest)"))
+    )
+    regs = (
+        base.select("part", "bucket", rank.alias("rank"))
+        .groupBy("part", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+        .localCheckpoint(eager=False)
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select(F.lit("merged").alias("part"), "bucket", "max_rank")
+    )
+    return _estimate_from_regs(regs, "part").unionByName(
+        _estimate_from_regs(merged, "part")
+    )
+
+
+def hll_incremental_oracle_sql(src: str, col: str, batch_expr: str) -> str:
+    """DuckDB replay of ``hll_incremental_estimate``: the same per-batch
+    register CTE feeds both the per-batch and the merged estimates."""
+    est_body = f"""
+      SELECT part,
+             CAST(SUM(CAST(1 AS BIGINT) << ({MAX_RANK} - max_rank)) AS BIGINT)
+               AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present"""
+    est_tail = f"""
+      SELECT part, n_present,
+             {EST_NUM} / (s_present + ({M} - n_present)
+               * (CAST(1 AS BIGINT) << {MAX_RANK})) AS raw,
+             CAST({M} - n_present AS BIGINT) AS zeros"""
+    final = f"""
+      SELECT part,
+             round(CASE WHEN raw <= {2.5 * M} AND zeros > 0
+                        THEN {float(M)} * ln({float(M)} / zeros)
+                        ELSE raw END, 4) AS hll_estimate,
+             n_present AS buckets_used"""
+    return f"""
+    WITH h AS (
+      SELECT CAST({batch_expr} AS VARCHAR) AS part,
+             ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {src} WHERE {col} IS NOT NULL),
+    r AS (
+      SELECT part, h % {M} AS bucket,
+             CASE WHEN (h >> {B_BITS}) = 0 THEN {MAX_RANK}
+                  ELSE {MAX_RANK} - length(bin(h >> {B_BITS})) END AS rank
+      FROM h),
+    regs AS (SELECT part, bucket, max(rank) AS max_rank FROM r GROUP BY 1, 2),
+    mregs AS (SELECT 'merged' AS part, bucket, max(max_rank) AS max_rank
+              FROM regs GROUP BY 2),
+    allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM mregs),
+    agg AS ({est_body} FROM allregs GROUP BY 1),
+    est AS ({est_tail} FROM agg)
+    {final} FROM est
+    """

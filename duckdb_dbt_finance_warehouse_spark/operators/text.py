@@ -757,3 +757,33 @@ def fertility_by_lang(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("bpe_per_ws_token"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame, id_col: str, text_col: str, block_size: int = 1024
+) -> DataFrame:
+    """Materialize a BLOCK-PARTITIONED inverted index: for every term,
+    the sorted posting list of documents containing it, split into
+    doc-id blocks of ``block_size`` — the search-index build step.
+    Blocking is the scale decision: an unblocked
+    ``collect_list(doc_id)`` per term is unbounded state for stopword-
+    grade terms (every doc in one array in one task); with blocks no
+    array exceeds ``block_size`` entries and a term's postings spread
+    across tasks. Serving intersects/unions per block and only touches
+    the blocks a doc-id range query needs.
+
+    Shape: token explode -> distinct (doc, term) -> one (term, block)
+    aggregation; ``sort_array`` makes each array deterministic. The
+    (term, block) key fans stopword postings across blocks, so the
+    worst aggregation group is block_size rows — skew-capped by
+    construction."""
+    toks = tokens(df, id_col, text_col).filter(F.col("tok") != "").distinct()
+    return (
+        toks.withColumn("block", F.expr(f"{id_col} div {block_size}"))
+        .groupBy("tok", "block")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+            F.count("*").alias("n_docs"),
+        )
+        .select("tok", "block", "n_docs", "postings")
+    )

@@ -1632,3 +1632,34 @@ def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").alias("is_delete"),
     )
     return merge_upsert(target, source, ["o_orderkey"], delete_col="is_delete")
+
+
+_SQL5 = """
+    SELECT CAST(CAST(SUM(CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT))
+             AS DOUBLE) / CAST(70000 AS DOUBLE) AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#19' AND p.p_size <= 10
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+                      / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("sql5_correlated_agg_q17_style", oracle=_SQL5)
+def sql5_correlated_agg_q17_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q17 shape: a CORRELATED SCALAR AGGREGATE
+    subquery (per-part average quantity threshold). Catalyst
+    decorrelates it into a grouped aggregate over lineitem joined back
+    on l_partkey — the per-part averages table is partkey-sized, so at
+    any SF the rewrite is one extra keyed aggregation, never a per-row
+    subquery execution. Exactness: the threshold is built from an
+    exact bigint quantity sum (quantities are integral) and the
+    revenue from the scaled-integer floor trick — both engines compute
+    identical doubles. The brand/size filters prune part BEFORE the
+    join (pushdown), so the probe side is ~4% of lineitem."""
+    for n, df in T(spark, sf_dir, "lineitem", "part").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_SQL5)

@@ -2553,3 +2553,65 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-keyed agg — whitespace/BPE-ish tokens per 100 normalized
     chars, the under-served-language detector for mixture design."""
     return text.fertility_by_lang(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "x_event_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    m AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+                      AS row_total FROM m)
+    SELECT from_type, to_type, n, row_total,
+           round(CAST(n AS DOUBLE) / row_total, 6) AS p
+    FROM r
+    """,
+)
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/sessionize.event_transitions): one user-keyed
+    window shuffle, matrix-sized everything after."""
+    return sessionize.event_transitions(_events(spark, sf_dir))
+
+
+@query(
+    "x_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents),
+    b AS (SELECT tok, doc_id, doc_id // 1024 AS block
+          FROM toks WHERE tok != '')
+    SELECT tok, CAST(block AS BIGINT) AS block,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM b GROUP BY tok, block
+    """,
+)
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-partitioned inverted-index build
+    (operators/text.inverted_index): sorted posting lists per (term,
+    1024-doc block) — state capped at block_size entries per array, so
+    stopword-grade terms never concentrate in one task."""
+    return text.inverted_index(_docs(spark, sf_dir), "doc_id", "text", block_size=1024)
+
+
+@query(
+    "x_hll_merge",
+    oracle=sketch.hll_incremental_oracle_sql("events", "user_id", "event_id % 4"),
+)
+def x_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL state maintenance
+    (operators/sketch.hll_incremental_estimate): per-ingest-batch
+    register tables (event_id % 4 models four ingest batches) plus the
+    union estimate via bucket-wise register max — history is never
+    rescanned; the merge is 256 rows per batch."""
+    e = _events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("event_id"), F.lit(4))
+    )
+    return sketch.hll_incremental_estimate(e, "user_id", "batch")

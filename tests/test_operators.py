@@ -1333,3 +1333,58 @@ def test_merge_upsert_semantics(spark):
     out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"], "is_delete").collect()}
     assert out == {1: "old1", 2: "new2", 4: "new4"}  # 3 deleted, 2 updated, 4 inserted
     assert "is_delete" not in merge_upsert(target, source, ["k"], "is_delete").columns
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.sessionize import event_transitions
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 0, i), 10, t)
+        for i, t in enumerate(["view", "view", "click", "view", "click", "purchase"])
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t) for i, (ignored, ts, u, t) in enumerate(rows)],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    out = {(r["from_type"], r["to_type"]): r for r in event_transitions(df).collect()}
+    # sequence: view->view->click->view->click->purchase
+    assert out[("view", "view")]["n"] == 1
+    assert out[("view", "click")]["n"] == 2
+    assert out[("click", "view")]["n"] == 1
+    assert out[("click", "purchase")]["n"] == 1
+    assert out[("view", "click")]["row_total"] == 3
+    assert out[("view", "click")]["p"] == round(2 / 3, 6)
+
+
+def test_inverted_index_blocks_cap_posting_arrays(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(i, "common " + ("rare" if i == 7 else "filler")) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = inverted_index(df, "doc_id", "text", block_size=4).collect()
+    common = sorted(
+        [r for r in out if r["tok"] == "common"], key=lambda r: r["block"]
+    )
+    assert [r["block"] for r in common] == [0, 1, 2]
+    assert common[0]["postings"] == [0, 1, 2, 3]  # capped at block_size
+    assert common[2]["postings"] == [8, 9]
+    rare = [r for r in out if r["tok"] == "rare"]
+    assert len(rare) == 1 and rare[0]["postings"] == [7]
+
+
+def test_hll_merge_equals_direct_estimate_of_union(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import sketch
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS user_id", "id % 4 AS batch"
+    )
+    inc = {
+        r["part"]: r for r in sketch.hll_incremental_estimate(df, "user_id", "batch").collect()
+    }
+    direct = sketch.hll_distinct(df, "user_id").collect()[0]
+    # register max-merge across batches == registers of the full data
+    assert inc["merged"]["hll_estimate"] == direct["hll_estimate"]
+    assert inc["merged"]["buckets_used"] == direct["buckets_used"]
+    assert set(inc) == {"0", "1", "2", "3", "merged"}

@@ -260,3 +260,20 @@ def test_substring_dedup_is_joinless_keyed_window(spark):
     assert "Join" not in p
     assert "Window [" in p or "Window(" in p
     assert "hashpartitioning(wh" in p and "hashpartitioning(doc_id" in p
+
+
+def test_q17_correlated_subquery_decorrelates(spark):
+    # the scalar correlated agg must become a grouped aggregate + join
+    # (never a per-row subquery); no BNLJ/cartesian anywhere
+    p = plan_of(spark, "sql5_correlated_agg_q17_style")
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_event_transitions_single_event_shuffle(spark):
+    # one user-keyed exchange feeds the lead window; the matrix agg and
+    # row normalization run at matrix volume
+    df = REGISTRY["x_event_transitions"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "Join" not in p
