@@ -330,15 +330,15 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the per-doc join, so it is localCheckpointed (CLAUDE.md subtree
     rule — recomputed per run, not a stored table).
 
-    Scale: two shuffles at gram volume keyed on the high-cardinality
-    gram/unigram strings (map-side combined counts), one doc-keyed
-    aggregation; no vocabulary ships to the driver (V is a 1-row
+    Scale: the per-gram log-prob TABLE is assembled first at VOCAB
+    volume (distinct grams ⋈ unigram counts — both already reduced by
+    map-side combine), so the corpus-volume (doc, gram) frame pays
+    exactly ONE wide join, on the high-cardinality gram key (the
+    earlier two-join form shuffled the full gram stream twice — its
+    sf1 growth was 3.9× vs ~linear work); then one doc-keyed
+    aggregation. No vocabulary ships to the driver (V is a 1-row
     broadcast)."""
-    grams = (
-        word_ngrams_all(df, id_col, text_col, 2)
-        .withColumn("w1", F.split(F.col("gram"), " ")[0])
-        .localCheckpoint(eager=False)
-    )
+    grams = word_ngrams_all(df, id_col, text_col, 2).localCheckpoint(eager=False)
     c2 = grams.groupBy("gram").agg(F.count("*").alias("c2"))
     toks = tokens(df, id_col, text_col)
     c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
@@ -347,11 +347,21 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
     )
     q = F.floor(lnp * 1000000 + F.lit(0.5)).cast("bigint")
-    return (
-        grams.join(c2, "gram")
+    qtable = (
+        c2.withColumn("w1", F.split(F.col("gram"), " ")[0])
         .join(c1.withColumnRenamed("tok", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
-        .select(F.col(id_col), q.alias("q"))
+        .select("gram", q.alias("q"))
+    )
+    # qtable is distinct-gram volume — pin it as the broadcast build
+    # side (the checkpointed corpus frame has no stats; left to AQE the
+    # planner broadcast the CORPUS grams, the same BuildLeft defect the
+    # bpe vocab join hit — 9 s at sf1). For an open-vocabulary web
+    # corpus whose bigram table outgrows broadcast, drop the hint and
+    # take the two-sided gram-keyed shuffle join instead.
+    return (
+        grams.join(F.broadcast(qtable), "gram")
+        .select(F.col(id_col), "q")
         .groupBy(id_col)
         .agg(F.sum("q").alias("sum_logprob_q"), F.count("*").alias("n_bigrams"))
         .select(

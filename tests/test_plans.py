@@ -277,3 +277,13 @@ def test_event_transitions_single_event_shuffle(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("hashpartitioning(user_id") == 1
     assert "Join" not in p
+
+
+def test_bigram_lm_broadcasts_qtable_not_corpus(spark):
+    # the per-gram log-prob table (vocab volume) must be the broadcast
+    # build side; the stat-less checkpointed corpus gram frame must not
+    # enter a BroadcastExchange (AQE picked exactly that at sf1)
+    df = REGISTRY["x_lm_bigram_score"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    nexts = re.findall(r"BroadcastExchange [^\n]*\n([^\n]*)", p)
+    assert nexts and all("ExistingRDD" not in n for n in nexts), p
