@@ -107,6 +107,8 @@ HEADLINE = [
     "x_inverted_index",           # block-partitioned posting lists
     "x_hll_merge",                # incremental HLL register merge
     "sql5_correlated_agg_q17_style",  # correlated scalar agg decorrelation
+    "x_fuzzy_join",               # n-gram set-similarity entity join
+    "x_corr_matrix",              # exact-sum Pearson matrix, one pass
 ]
 
 

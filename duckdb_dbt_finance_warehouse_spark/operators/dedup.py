@@ -736,3 +736,93 @@ def dataset_overlap(
             ).alias("est_jaccard")
         )
     )
+
+
+def fuzzy_string_join(
+    probes: DataFrame,
+    corpus: DataFrame,
+    probe_id: str,
+    probe_str: str,
+    corpus_id: str,
+    corpus_str: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Set-similarity (fuzzy string) join — entity resolution: match
+    probe strings to corpus strings whose character n-gram Jaccard
+    clears ``threshold``, without a cross join. Candidate pairs come
+    from an n-gram equi-join; the exact Jaccard then verifies each
+    candidate from the FULL gram sets.
+
+    ``max_gram_df`` is the scale lever: grams occurring in more than
+    that many corpus strings ('the'-grade trigrams) are dropped from
+    CANDIDATE GENERATION only — verification still uses every gram, so
+    scores are exact; only pairs sharing nothing but ubiquitous grams
+    can be missed (documented recall trade, the standard ssjoin
+    frequency filter). Without it a viral gram pairs every probe with
+    every corpus row containing it — the quadratic blowup this
+    operator exists to avoid.
+
+    Shape: two gram explodes, one gram-keyed candidate join (skew
+    capped by the df filter), and a candidate-volume verification join
+    — corpus strings never cross-join probes. The corpus gram table
+    feeds candidate generation and verification, so it is
+    localCheckpointed."""
+    pg = (
+        probes.select(F.col(probe_id), normalize_text(probe_str).alias("_t"))
+        .select(
+            probe_id,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_t) - {n - 1}, 1)),"
+                    f" i -> substring(_t, i, {n}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cg = (
+        corpus.select(F.col(corpus_id), normalize_text(corpus_str).alias("_t"))
+        .select(
+            corpus_id,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_t) - {n - 1}, 1),"
+                    f" 1), i -> substring(_t, i, {n}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand_cg = cg
+    if max_gram_df is not None:
+        gram_df = cg.groupBy("gram").agg(F.count("*").alias("_df"))
+        cand_cg = cg.join(
+            gram_df.filter(F.col("_df") <= max_gram_df).select("gram"), "gram"
+        )
+    cands = pg.join(cand_cg, "gram").select(probe_id, corpus_id).distinct()
+    p_sizes = pg.groupBy(probe_id).agg(F.count("*").alias("_np"))
+    c_sizes = cg.groupBy(corpus_id).agg(F.count("*").alias("_nc"))
+    inter = (
+        cands.join(pg, probe_id)
+        .join(cg, [corpus_id, "gram"])
+        .groupBy(probe_id, corpus_id)
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(p_sizes, probe_id)
+        .join(c_sizes, corpus_id)
+        .select(
+            probe_id,
+            corpus_id,
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_np") + F.col("_nc") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -29,6 +29,7 @@ from ..operators import (
     sessionize,
     similarity,
     sketch,
+    stats,
     text,
 )
 from ..sources.tables import load_testdata
@@ -2615,3 +2616,78 @@ def x_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch", F.pmod(F.col("event_id"), F.lit(4))
     )
     return sketch.hll_incremental_estimate(e, "user_id", "batch")
+
+
+_FUZZY_NORM_P = "trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "x_fuzzy_join",
+    oracle=f"""
+    WITH probes AS (
+      SELECT doc_id AS probe_id,
+             concat(substr(text, 1, 4), substr(text, 7, 30)) AS s
+      FROM documents WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id AS corpus_id, substr(text, 1, 36) AS s
+               FROM documents),
+    pg AS (SELECT DISTINCT probe_id, substr(t, CAST(i AS INT), 3) AS gram
+           FROM (SELECT probe_id, {_FUZZY_NORM_P} AS t FROM probes),
+                unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)),
+    cg AS (SELECT DISTINCT corpus_id, substr(t, CAST(i AS INT), 3) AS gram
+           FROM (SELECT corpus_id, {_FUZZY_NORM_P} AS t FROM corpus),
+                unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)),
+    gdf AS (SELECT gram, count(*) AS _df FROM cg GROUP BY 1),
+    cand AS (SELECT DISTINCT pg.probe_id, c.corpus_id
+             FROM pg JOIN (SELECT cg.* FROM cg JOIN gdf USING (gram)
+                           WHERE _df <= 100) c USING (gram)),
+    psz AS (SELECT probe_id, count(*) AS _np FROM pg GROUP BY 1),
+    csz AS (SELECT corpus_id, count(*) AS _nc FROM cg GROUP BY 1),
+    inter AS (
+      SELECT cand.probe_id, cand.corpus_id, count(*) AS _inter
+      FROM cand
+      JOIN pg ON pg.probe_id = cand.probe_id
+      JOIN cg ON cg.corpus_id = cand.corpus_id AND cg.gram = pg.gram
+      GROUP BY 1, 2)
+    SELECT i.probe_id, i.corpus_id,
+           round(CAST(_inter AS DOUBLE) / (_np + _nc - _inter), 6) AS jaccard
+    FROM inter i JOIN psz USING (probe_id) JOIN csz USING (corpus_id)
+    WHERE round(CAST(_inter AS DOUBLE) / (_np + _nc - _inter), 6) >= 0.4
+    """,
+)
+def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity (fuzzy string) join / entity resolution
+    (operators/dedup.fuzzy_string_join): perturbed document titles
+    (chars 5-6 dropped) match back to their sources by exact 3-gram
+    Jaccard >= 0.4; candidates from an n-gram equi-join with the
+    df<=100 frequency filter (never a cross join)."""
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.expr("concat(substring(text, 1, 4), substring(text, 7, 30))").alias("s"),
+    )
+    corpus = docs.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.expr("substring(text, 1, 36)").alias("s"),
+    )
+    return dedup.fuzzy_string_join(
+        probes, corpus, "probe_id", "s", "corpus_id", "s",
+        n=3, threshold=0.4, max_gram_df=100,
+    )
+
+
+_CORR_COLS = [("l_quantity", 1), ("l_extendedprice", 1), ("l_discount", 100), ("l_tax", 100)]
+
+
+@query(
+    "x_corr_matrix",
+    oracle=stats.corr_matrix_oracle_sql("lineitem", _CORR_COLS),
+)
+def x_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns (operators/stats.corr_matrix): every moment an exact int64
+    sum of scaled-integer products in ONE grouped pass, the final
+    expression fixed IEEE doubles — bit-identical to the oracle. The
+    feature-correlation screen a training pipeline runs before model
+    fitting."""
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return stats.corr_matrix(li, _CORR_COLS)

@@ -1388,3 +1388,58 @@ def test_hll_merge_equals_direct_estimate_of_union(spark):
     assert inc["merged"]["hll_estimate"] == direct["hll_estimate"]
     assert inc["merged"]["buckets_used"] == direct["buckets_used"]
     assert set(inc) == {"0", "1", "2", "3", "merged"}
+
+
+def test_fuzzy_string_join_matches_perturbed_to_source(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import fuzzy_string_join
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "a completely different sentence here"),
+            (3, "spark shuffles partition data fast"),
+        ],
+        ["corpus_id", "s"],
+    )
+    probes = spark.createDataFrame(
+        [(10, "the quck brown fox jumps over")],  # one char dropped
+        ["probe_id", "s"],
+    )
+    out = fuzzy_string_join(
+        probes, corpus, "probe_id", "s", "corpus_id", "s", n=3, threshold=0.4
+    ).collect()
+    assert [(r["probe_id"], r["corpus_id"]) for r in out] == [(10, 1)]
+    assert out[0]["jaccard"] > 0.7
+
+
+def test_fuzzy_join_gram_df_cap_prunes_viral_grams(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import fuzzy_string_join
+
+    # every corpus string shares the viral token; with the cap at 1 the
+    # only candidates come from rarer grams, but scores stay exact
+    corpus = spark.createDataFrame(
+        [(i, f"common prefix unique{i}") for i in range(5)], ["corpus_id", "s"]
+    )
+    probes = spark.createDataFrame([(0, "common prefix unique3")], ["probe_id", "s"])
+    out = fuzzy_string_join(
+        probes, corpus, "probe_id", "s", "corpus_id", "s",
+        n=3, threshold=0.9, max_gram_df=1,
+    ).collect()
+    assert len(out) == 1 and out[0]["corpus_id"] == 3 and out[0]["jaccard"] == 1.0
+
+
+def test_corr_matrix_exact_endpoints(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import corr_matrix
+
+    df = spark.range(1, 101).selectExpr(
+        "CAST(id AS DOUBLE) AS x",
+        "CAST(2 * id + 3 AS DOUBLE) AS y",   # perfectly linear -> 1.0
+        "CAST(-id AS DOUBLE) AS z",          # anti-correlated -> -1.0
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in corr_matrix(df, [("x", 1), ("y", 1), ("z", 1)]).collect()
+    }
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
