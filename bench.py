@@ -109,6 +109,9 @@ HEADLINE = [
     "sql5_correlated_agg_q17_style",  # correlated scalar agg decorrelation
     "x_fuzzy_join",               # n-gram set-similarity entity join
     "x_corr_matrix",              # exact-sum Pearson matrix, one pass
+    "x_event_anomaly",            # trailing-window z-score flags
+    "sql6_lateral_topk",          # correlated LATERAL LIMIT decorrelation
+    "a13_cube",                   # full CUBE grouping sets
 ]
 
 

@@ -103,3 +103,67 @@ def corr_matrix_oracle_sql(
         f"m AS (SELECT {', '.join(sums)} FROM q)\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 10,
+    min_points: int = 5,
+    z_threshold: float = 3.0,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Streaming-shaped anomaly detection: each value is z-scored
+    against the TRAILING ``window`` observations of its key (current
+    row excluded — a spike must not dilute its own baseline); |z| >=
+    ``z_threshold`` flags the anomaly, and keys with fewer than
+    ``min_points`` trailing observations emit z = NULL (cold start).
+
+    Exactness: values quantize to ``scale`` ints, the frame sums
+    (Σv, Σv²) are exact longs over a deterministic ROWS frame, and
+    z = (v − μ)/σ evaluates as one fixed IEEE expression over those
+    exact ints — bit-identical in the DuckDB oracle (pick ``scale``
+    so window·max(v·scale)² < 2^63).
+
+    Shape: ONE key-partitioned window exchange computes both frame
+    sums; everything else is a narrow projection. At 100 TB this is
+    the same single shuffle the sessionizer pays, keyed on the entity
+    id."""
+    from pyspark.sql import Window as W
+
+    vq = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("long")
+    frame = (
+        W.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-window, -1)
+    )
+    base = df.withColumn("_vq", vq).select(
+        key_col,
+        *order_cols,
+        F.col(value_col),
+        "_vq",
+        F.count("_vq").over(frame).alias("_n"),
+        F.sum("_vq").over(frame).alias("_s"),
+        F.sum(F.col("_vq") * F.col("_vq")).over(frame).alias("_ss"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * n)
+    z = F.when(
+        (F.col("_n") >= min_points) & ((n * ss - s * s) > 0),
+        F.round((F.col("_vq").cast("double") - mean) / F.sqrt(var), 6),
+    )
+    return base.select(
+        key_col,
+        *order_cols,
+        value_col,
+        F.col("_n").alias("n_trailing"),
+        z.alias("z"),
+        F.when(z.isNull(), F.lit(False)).otherwise(
+            F.abs(z) >= F.lit(z_threshold)
+        ).alias("is_anomaly"),
+    )

@@ -1663,3 +1663,52 @@ def sql5_correlated_agg_q17_style(spark: SparkSession, sf_dir: str) -> DataFrame
     for n, df in T(spark, sf_dir, "lineitem", "part").items():
         df.createOrReplaceTempView(n)
     return spark.sql(_SQL5)
+
+
+_SQL6 = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey % 10 = 0
+"""
+
+
+@query("sql6_lateral_topk", oracle=_SQL6)
+def sql6_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface: correlated LATERAL subquery with ORDER BY +
+    LIMIT (top-2 orders per customer). Catalyst DECORRELATES the
+    lateral into a per-key ranking over one orders shuffle — never a
+    per-customer subquery execution; the deterministic tie-break
+    (o_orderkey) makes the top-2 unique, so the oracle replays
+    row-for-row. The SQL twin of p9_topk_per_group's DataFrame window."""
+    for n, df in T(spark, sf_dir, "customer", "orders").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_SQL6)
+
+
+@query(
+    "a13_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS grouping_level
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (beyond-reference coverage): full CUBE — all four grouping
+    sets in one pass (Spark expands the sets; partial aggregation
+    still applies), with grouping() flags disambiguating real NULLs
+    from subtotal rows — the OLAP completion of a9's ROLLUP."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        exact_sum("l_quantity").alias("sum_qty"),
+        (
+            F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+        ).cast("bigint").alias("grouping_level"),
+    )

@@ -2691,3 +2691,51 @@ def x_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitting."""
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
     return stats.corr_matrix(li, _CORR_COLS)
+
+
+@query(
+    "x_event_anomaly",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+      FROM events),
+    w AS (
+      SELECT *, CAST(count(vq) OVER f AS BIGINT) AS n,
+             CAST(sum(vq) OVER f AS BIGINT) AS s,
+             CAST(sum(vq * vq) OVER f AS BIGINT) AS ss
+      FROM b
+      WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, ts, event_id, value, n AS n_trailing,
+           CASE WHEN n >= 5
+                 AND (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0
+                THEN round((CAST(vq AS DOUBLE)
+                            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+           END AS z,
+           CASE WHEN (CASE WHEN n >= 5
+                            AND (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0
+                           THEN 1 END) IS NULL THEN FALSE
+                ELSE abs(round((CAST(vq AS DOUBLE)
+                            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)) >= 3.0
+           END AS is_anomaly
+    FROM w
+    """,
+)
+def x_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags over the event stream
+    (operators/stats.rolling_zscore_anomalies): each value scored
+    against its user's previous <=10 observations, exact scaled-int
+    frame sums, one user-keyed window exchange."""
+    return stats.rolling_zscore_anomalies(
+        _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value",
+        window=10, min_points=5, z_threshold=3.0, scale=10_000,
+    )

@@ -1443,3 +1443,24 @@ def test_corr_matrix_exact_endpoints(spark):
     assert out[("x", "y")] == 1.0
     assert out[("x", "z")] == -1.0
     assert out[("y", "z")] == -1.0
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import (
+        rolling_zscore_anomalies,
+    )
+
+    # steady 10.0 +- 0.2 baseline, then a 100.0 spike at i=12
+    rows = [
+        (1, i, 100.0 if i == 12 else 10.0 + (0.2 if i % 2 else -0.2))
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "seq", "value"])
+    out = {r["seq"]: r for r in rolling_zscore_anomalies(
+        df, "user_id", ["seq"], "value", window=10, min_points=5
+    ).collect()}
+    assert out[12]["is_anomaly"] is True and abs(out[12]["z"]) > 100
+    assert out[3]["z"] is None and out[3]["is_anomaly"] is False  # cold start
+    assert out[11]["is_anomaly"] is False
+    # the spike then inflates the NEXT row's baseline but must not flag it
+    assert out[13]["is_anomaly"] is False

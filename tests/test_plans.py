@@ -287,3 +287,13 @@ def test_bigram_lm_broadcasts_qtable_not_corpus(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     nexts = re.findall(r"BroadcastExchange [^\n]*\n([^\n]*)", p)
     assert nexts and all("ExistingRDD" not in n for n in nexts), p
+
+
+def test_lateral_limit_decorrelates_to_window_group_limit(spark):
+    # the correlated LATERAL ... ORDER BY ... LIMIT must plan as a
+    # per-key ranked window with the group-limit pushdown + ONE join —
+    # never a per-outer-row subquery loop
+    df = REGISTRY["sql6_lateral_topk"].fn(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p
+    assert p.count("Join") == 1
