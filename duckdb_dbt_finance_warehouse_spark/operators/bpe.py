@@ -33,7 +33,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
+from .dedup import normalize_text, spread_input
 
 END_MARKER = "</w>"
 
@@ -61,7 +61,8 @@ _PAIRS = (
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """(word, wc) corpus word frequencies — the one corpus-volume step."""
     return (
-        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("word"))
+        spread_input(df)
+        .select(F.explode(F.split(normalize_text(text_col), " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
     )
@@ -137,7 +138,7 @@ def bpe_segment(
         "THEN concat(slice(a, 1, size(a) - 1), array(concat(m.lhs, m.rhs))) "
         "ELSE concat(a, array(x)) END))" % END_MARKER
     )
-    words = df.select(
+    words = spread_input(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("word"),
     )

@@ -46,6 +46,26 @@ def release_persisted() -> None:
         _PERSISTED.pop().unpersist()
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Pre-explode parallelism guard. A scan's split count comes from
+    input BYTES (``maxPartitionBytes``), but explode-heavy operators
+    multiply rows 50-100x — so a byte-compact input (one small parquet
+    file; the r5 finding: the whole sf0.1 documents table is a single
+    128 MB-rule split, serializing every shingle/token expansion on ONE
+    core and leaving its wall time at the mercy of single-core load)
+    must be spread BEFORE the explode. Repartitions to the cluster's
+    default parallelism only when the input is clearly under-split
+    (< 1/4 of cores); on production inputs with thousands of splits
+    this is a no-op and costs no shuffle. The shuffle it does add moves
+    raw doc bytes — strictly smaller than the exploded stream every
+    operator here produces."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(c) -> F.Column:
     """Canonical text form: lowercase, collapse whitespace, trim."""
     col = F.col(c) if isinstance(c, str) else c
@@ -85,7 +105,7 @@ def shingles(
     per (doc, partition) — bit-identical results, one exchange of
     shingle-volume data removed."""
     norm = normalize_text(text_col)
-    out = df.select(F.col(id_col), norm.alias("_t")).select(
+    out = spread_input(df).select(F.col(id_col), norm.alias("_t")).select(
         id_col,
         F.explode(
             F.expr(f"transform(sequence(1, greatest(length(_t) - {k - 1}, 1)), i -> substring(_t, i, {k}))")
@@ -193,7 +213,7 @@ def simhash(
     of md5 — portable across engines, so the fingerprint is
     oracle-verifiable. ``'xxhash64'`` (<=64 bits) is the faster
     JVM-native variant."""
-    toks = df.select(
+    toks = spread_input(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     )
@@ -770,7 +790,7 @@ def fuzzy_string_join(
     feeds candidate generation and verification, so it is
     localCheckpointed."""
     pg = (
-        probes.select(F.col(probe_id), normalize_text(probe_str).alias("_t"))
+        spread_input(probes).select(F.col(probe_id), normalize_text(probe_str).alias("_t"))
         .select(
             probe_id,
             F.explode(
@@ -784,7 +804,7 @@ def fuzzy_string_join(
         .localCheckpoint(eager=False)
     )
     cg = (
-        corpus.select(F.col(corpus_id), normalize_text(corpus_str).alias("_t"))
+        spread_input(corpus).select(F.col(corpus_id), normalize_text(corpus_str).alias("_t"))
         .select(
             corpus_id,
             F.explode(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
+from .dedup import normalize_text, spread_input
 
 # tiny per-language stopword inventories for the n-gram/stopword heuristic
 STOPWORDS: dict[str, list[str]] = {
@@ -22,7 +22,7 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+    return spread_input(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     )
@@ -229,8 +229,9 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_ngrams_all(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """ALL word n-grams per document (space-joined token windows,
-    duplicates kept) — no shuffle, just the explode."""
-    return df.select(
+    duplicates kept) — just the explode (plus the spread_input guard
+    when the scan is under-split)."""
+    return spread_input(df).select(
         F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t")
     ).select(
         id_col,
@@ -634,7 +635,7 @@ def substring_dup_spans(
     high-entropy md5 — every shuffle key is skew-free."""
     norm = normalize_text(text_col)
     wins = (
-        df.select(F.col(id_col), norm.alias("_t"))
+        spread_input(df).select(F.col(id_col), norm.alias("_t"))
         .select(
             id_col,
             F.explode(

@@ -1464,3 +1464,14 @@ def test_rolling_zscore_flags_planted_spike(spark):
     assert out[11]["is_anomaly"] is False
     # the spike then inflates the NEXT row's baseline but must not flag it
     assert out[13]["is_anomaly"] is False
+
+
+def test_spread_input_guard(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import spread_input
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.range(100).coalesce(1)
+    assert spread_input(one).rdd.getNumPartitions() == target
+    wide = spark.range(100).repartition(target)
+    # well-partitioned input: no-op, no extra shuffle inserted
+    assert spread_input(wide) is wide
