@@ -112,6 +112,7 @@ HEADLINE = [
     "x_event_anomaly",            # trailing-window z-score flags
     "sql6_lateral_topk",          # correlated LATERAL LIMIT decorrelation
     "a13_cube",                   # full CUBE grouping sets
+    "x_pagerank",                 # integer-exact fixed-round PageRank
 ]
 
 

@@ -20,6 +20,7 @@ from ..operators import (
     bloom,
     bpe,
     dedup,
+    graph,
     intervals,
     kmeans,
     maintenance,
@@ -2739,3 +2740,32 @@ def x_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events(spark, sf_dir), "user_id", ["ts", "event_id"], "value",
         window=10, min_points=5, z_threshold=3.0, scale=10_000,
     )
+
+
+_PR_EDGES_SQL = """
+    SELECT doc_id AS src, (doc_id * 37 + 11) % 1000 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 91 + 3) % 1000 AS dst FROM documents
+"""
+
+
+@query(
+    "x_pagerank",
+    oracle=graph.pagerank_oracle_sql(_PR_EDGES_SQL, iterations=3),
+)
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact fixed-round PageRank (operators/graph.pagerank):
+    3 unrolled rounds of edges⋈ranks + dst-keyed aggregation over a
+    deterministic synthetic citation graph (each doc points at two
+    arithmetic hub ids) — the third iterative house pattern, floor-div
+    arithmetic replayed bit-for-bit by the oracle."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 37 + 11) % 1000).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 91 + 3) % 1000).alias("dst"),
+    )
+    return graph.pagerank(e1.unionByName(e2), iterations=3)

@@ -1475,3 +1475,19 @@ def test_spread_input_guard(spark):
     wide = spark.range(100).repartition(target)
     # well-partitioned input: no-op, no extra shuffle inserted
     assert spread_input(wide) is wide
+
+
+def test_pagerank_hub_ranks_highest_and_is_deterministic(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.graph import PR_SCALE, pagerank
+
+    # star: 1..5 -> 0, plus 0 -> 1 so the hub has an out-edge
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in pagerank(edges, iterations=3).collect()}
+    hub = out[0]["rank_q"]
+    assert hub > out[1]["rank_q"] > out[2]["rank_q"]  # 1 gets the hub's mass
+    assert out[2]["rank_q"] == out[5]["rank_q"]       # leaves tie exactly
+    assert all(0 < r["rank_q"] < PR_SCALE for r in out.values())
+    again = {r["node"]: r["rank_q"] for r in pagerank(edges, iterations=3).collect()}
+    assert again == {k: v["rank_q"] for k, v in out.items()}
