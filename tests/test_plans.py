@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "x_bpe_train",  # 1-row argmax winning pair per merge round
     "x_bpe_segment",  # same argmax rows + 1-row merge-table broadcast
     "x_hard_negatives",  # 10-row broadcast anchor set (probe-query bound)
+    "x_pagerank",  # 1-row node-count bound crossed into every rank row
 }
 
 
