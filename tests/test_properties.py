@@ -1,0 +1,153 @@
+"""Property-based invariants (hypothesis) for the composable operators —
+the reference's test strategy (SURVEY §5) extended with generated
+inputs: conservation laws, idempotence, and distributed-vs-sequential
+agreement that example fixtures can miss.
+
+Each property runs a Spark job per example, so example counts stay
+small and data tiny; deadline is disabled (JVM scheduling jitter)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=64),
+)
+@PROP
+def test_pack_sequences_conserves_tokens(spark, toks, budget):
+    from duckdb_dbt_finance_warehouse_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(toks)), ["doc_id", "n_tok"])
+    pieces = pack_sequences(df, "doc_id", "n_tok", budget=budget, n_streams=4).collect()
+    # conservation: every positive token lands in exactly one piece
+    assert sum(r["piece_tokens"] for r in pieces) == sum(t for t in toks if t > 0)
+    # no piece exceeds the budget; every sequence fills to budget except
+    # each stream's last
+    per_seq = {}
+    for r in pieces:
+        assert 0 < r["piece_tokens"] <= budget
+        per_seq.setdefault((r["stream"], r["seq_id"]), 0)
+        per_seq[(r["stream"], r["seq_id"])] += r["piece_tokens"]
+    for (stream, seq), tot in per_seq.items():
+        last = max(s for (st_, s) in per_seq if st_ == stream)
+        assert tot == budget or seq == last
+
+
+@given(
+    tgt=st.dictionaries(st.integers(0, 20), st.integers(0, 5), max_size=12),
+    src=st.dictionaries(st.integers(0, 20), st.integers(0, 5), max_size=12),
+    dels=st.sets(st.integers(0, 20), max_size=6),
+)
+@PROP
+def test_merge_upsert_keyset_and_idempotence(spark, tgt, src, dels):
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import merge_upsert
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(99, 0)], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [(k, v, k in dels) for k, v in src.items()] or [(98, 0, False)],
+        ["k", "v", "is_delete"],
+    )
+    out1 = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"], "is_delete").collect()}
+    # key set law: target keys not in source, plus source keys not deleted
+    t = {k: v for k, v in (tgt.items() or [(99, 0)])} if tgt else {99: 0}
+    s = src if src else {98: 0}
+    expected = {k: v for k, v in t.items() if k not in s}
+    expected.update({k: v for k, v in s.items() if k not in dels})
+    assert out1 == expected
+    # idempotence: re-merging the same source changes nothing
+    merged_df = spark.createDataFrame(
+        [(k, v) for k, v in out1.items()] or [(97, 0)], ["k", "v"]
+    )
+    out2 = {r["k"]: r["v"] for r in merge_upsert(merged_df, source, ["k"], "is_delete").collect()}
+    if out1:
+        assert out2 == out1
+
+
+@given(
+    vals=st.lists(st.integers(0, 500), min_size=1, max_size=80),
+    mod=st.integers(2, 5),
+)
+@PROP
+def test_hll_merge_invariant_under_batching(spark, vals, mod):
+    from duckdb_dbt_finance_warehouse_spark.operators import sketch
+
+    df = spark.createDataFrame([(v, v % mod) for v in vals], ["x", "batch"])
+    inc = {
+        r["part"]: r["hll_estimate"]
+        for r in sketch.hll_incremental_estimate(df, "x", "batch").collect()
+    }
+    direct = sketch.hll_distinct(df, "x").collect()[0]["hll_estimate"]
+    assert inc["merged"] == direct  # batch boundaries can't change the sketch
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=60
+    )
+)
+@PROP
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    from duckdb_dbt_finance_warehouse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    salted = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("sum", F.count("*")), "sum_v": ("sum", F.sum("v"))},
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert salted == plain
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=25
+    )
+)
+@PROP
+def test_dedup_clusters_match_sequential_union_find(spark, edges):
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import dedup_clusters
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        pairs = [(0, 1)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["member_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        want[n] = find(n)
+    assert got == want
