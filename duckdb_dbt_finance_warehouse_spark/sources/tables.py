@@ -220,3 +220,32 @@ def merge_upsert(
         ).drop(delete_col)
     survivors = target.join(source.select(*keys).distinct(), keys, "left_anti")
     return survivors.unionByName(merged_src)
+
+
+def purge_keys(
+    wh: "Warehouse",
+    schema: str,
+    table: str,
+    key_col: str,
+    keys: DataFrame,
+) -> int:
+    """Right-to-be-forgotten delete: remove every row of
+    ``schema.table`` whose ``key_col`` appears in ``keys`` (a
+    one-column DataFrame — arrives as a table, never an IN-list, per
+    the bitmap/no-literal-lists invariant) and rewrite via the
+    crash-safe staged swap, so a failure mid-purge leaves the original
+    intact rather than half-deleted. Returns the number of rows
+    removed (the audit number a deletion request must report).
+
+    Scale: one anti join keyed on ``key_col`` (broadcast when the key
+    list is small — Catalyst's choice) + the staged rewrite. For a
+    partitioned table, restrict the rewrite blast radius by filtering
+    ``keys`` per partition and using dynamic partition overwrite
+    instead (S11 machinery); this whole-table form is the general
+    fallback."""
+    cur = wh.read(schema, table)
+    k = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+    kept = cur.join(k, key_col, "left_anti")
+    before = cur.count()
+    wh.write_staged(kept, schema, table)
+    return before - wh.read(schema, table).count()

@@ -265,3 +265,22 @@ def test_catalog_registration(spark, wh):
     finally:
         for db in {n.split(".")[0] for n in names}:
             spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+
+
+def test_purge_keys_right_to_be_forgotten(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import purge_keys
+
+    root = str(tmp_path_factory.mktemp("purge_wh"))
+    w = Warehouse(spark, root)
+    df = spark.range(0, 100).selectExpr("id AS account_id", "id * 2 AS v")
+    w.write(df, "stg", "accounts_like")
+    keys = spark.createDataFrame([(3,), (7,), (999,)], ["account_id"])  # 999 absent
+    removed = purge_keys(w, "stg", "accounts_like", "account_id", keys)
+    assert removed == 2
+    left = w.read("stg", "accounts_like")
+    assert left.count() == 98
+    assert left.filter(F.col("account_id").isin(3, 7)).count() == 0
+    # idempotent: purging again removes nothing
+    assert purge_keys(w, "stg", "accounts_like", "account_id", keys) == 0
