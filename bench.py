@@ -113,6 +113,7 @@ HEADLINE = [
     "sql6_lateral_topk",          # correlated LATERAL LIMIT decorrelation
     "a13_cube",                   # full CUBE grouping sets
     "x_pagerank",                 # integer-exact fixed-round PageRank
+    "x_embed_quantize",           # int8 quantization audit, no shuffle
 ]
 
 

@@ -1188,3 +1188,48 @@ def random_project_oracle_sql(
             f" CAST({dot} / {qs} AS DOUBLE) AS component FROM {src}"
         )
     return "(" + "\nUNION ALL\n".join(selects) + ")"
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit — the 4x storage
+    cut a 100 TB embedding store takes before ANN indexing: scale =
+    max|x_j|, q_j = round(x_j / scale * 127), and the summary a
+    quantization rollout reviews per vector: the scale, the exact
+    integer code sum (a cheap content fingerprint of the codes), and
+    the worst reconstruction error max|x_j − q_j·scale/127|.
+
+    Determinism: float components widen to double identically in both
+    engines, every expression tree is spelled identically in the
+    oracle, and round() is half-away-from-zero in both. Zero vectors
+    quantize to all-zero codes (scale 0 guarded). Higher-order
+    functions are acceptable here — per-element maps with no BLAS
+    shape, output is one row per vector, and the op is audit-grade,
+    not a scoring hot path (those use the broadcast-numpy kernels
+    above).
+
+    Shape: narrow single scan, no shuffle at any corpus size."""
+    x = F.expr(f"transform({vec_col}, v -> CAST(v AS DOUBLE))")
+    scale = F.array_max(F.expr(f"transform({vec_col}, v -> abs(CAST(v AS DOUBLE)))"))
+    base = df.select(
+        F.col(id_col), x.alias("_x"), scale.alias("scale")
+    )
+    q = F.expr(
+        "CASE WHEN scale = 0 THEN transform(_x, v -> CAST(0 AS BIGINT)) "
+        "ELSE transform(_x, v -> CAST(round(v / scale * 127) AS BIGINT)) END"
+    )
+    withq = base.withColumn("_q", q)
+    recon_err = F.expr(
+        "CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        "array_max(zip_with(_x, _q, (v, c) -> abs(v - c * scale / 127))) END"
+    )
+    return withq.select(
+        id_col,
+        F.size("_x").alias("n_dims"),
+        F.col("scale"),
+        F.expr(
+            "aggregate(_q, CAST(0 AS BIGINT), (a, c) -> a + c)"
+        ).alias("sum_q"),
+        F.round(recon_err, 9).alias("max_abs_err"),
+    )

@@ -2769,3 +2769,38 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 91 + 3) % 1000).alias("dst"),
     )
     return graph.pagerank(e1.unionByName(e2), iterations=3)
+
+
+@query(
+    "x_embed_quantize",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+             list_max(list_transform(embedding,
+                                     v -> abs(CAST(v AS DOUBLE)))) AS scale
+      FROM embeddings),
+    q AS (
+      SELECT *, CASE WHEN scale = 0
+                     THEN list_transform(x, v -> CAST(0 AS BIGINT))
+                     ELSE list_transform(x, v -> CAST(round(v / scale * 127)
+                                                      AS BIGINT)) END AS qc
+      FROM b)
+    SELECT vec_id,
+           CAST(len(x) AS INT) AS n_dims,
+           scale,
+           CAST(list_sum(qc) AS BIGINT) AS sum_q,
+           round(CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE list_max(list_transform(list_zip(x, qc),
+                           z -> abs(CAST(z[1] AS DOUBLE)
+                                    - CAST(z[2] AS BIGINT) * scale / 127)))
+                 END, 9) AS max_abs_err
+    FROM q
+    """,
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit
+    (operators/similarity.quantize_embeddings): scale, exact code-sum
+    fingerprint, worst reconstruction error — narrow scan, no shuffle."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.quantize_embeddings(emb, "vec_id", "embedding")

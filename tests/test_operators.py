@@ -1491,3 +1491,25 @@ def test_pagerank_hub_ranks_highest_and_is_deterministic(spark):
     assert all(0 < r["rank_q"] < PR_SCALE for r in out.values())
     again = {r["node"]: r["rank_q"] for r in pagerank(edges, iterations=3).collect()}
     assert again == {k: v["rank_q"] for k, v in out.items()}
+
+
+def test_quantize_embeddings_known_values_and_zero_vector(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, codes 0
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert r1["scale"] == 1.0 and r1["n_dims"] == 4
+    # codes: 127, -64 (round(-63.5) away from zero), 32, 0
+    assert r1["sum_q"] == 127 - 64 + 32 + 0
+    assert 0 < r1["max_abs_err"] < 1.0 / 127
+    r2 = out[2]
+    assert r2["scale"] == 0.0 and r2["sum_q"] == 0 and r2["max_abs_err"] == 0.0
