@@ -454,3 +454,90 @@ def stream_funnel(
         .start()
     )
     q.awaitTermination()
+
+
+ANOMALY_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_trailing", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+_ANOMALY_STATE_SCHEMA = T.StructType(
+    [T.StructField("window_vq", T.ArrayType(T.LongType()))]
+)
+
+
+def stream_anomaly_flags(
+    events: DataFrame,
+    window: int = 10,
+    min_points: int = 5,
+    z_threshold: float = 3.0,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Streaming twin of ``operators.stats.rolling_zscore_anomalies``:
+    per-user trailing-window z-scores computed continuously, the last
+    ``window`` quantized values carried in the state store across
+    micro-batches — so a spike arriving in batch N is scored against
+    baseline observations from batches N-1, N-2, ... exactly as the
+    batch operator scores it over the full history (pinned by
+    tests/test_streaming: split the stream anywhere and the flags are
+    identical).
+
+    Arithmetic is the SAME exact-int recipe: values quantize to longs,
+    frame sums are exact, z is a fixed IEEE double expression with
+    half-away-from-zero rounding (Python floats ARE IEEE doubles — the
+    ops match the JVM expression bit-for-bit). State is bounded:
+    ``window`` longs per user, sharded by the grouping key."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        buf = list(state.get[0]) if state.exists else []
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            import math
+
+            for ev, val in zip(pdf["event_id"].tolist(), pdf["value"].tolist()):
+                v = 0.0 if val is None or val != val else float(val)
+                # identical quantization to the batch op: floor(v*scale+0.5)
+                vq = int(math.floor(v * scale + 0.5))
+                n = len(buf)
+                z = None
+                flag = False
+                if n >= min_points:
+                    s = float(sum(buf))
+                    ss = float(sum(b * b for b in buf))
+                    nd = float(n)
+                    disc = nd * ss - s * s
+                    if disc > 0:
+                        mean = s / nd
+                        var = disc / (nd * nd)
+                        raw = (float(vq) - mean) / math.sqrt(var)
+                        z = math.copysign(
+                            math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw
+                        )
+                        flag = abs(z) >= z_threshold
+                out_rows.append((key[0], ev, v, len(buf), z, flag))
+                buf.append(vq)
+                if len(buf) > window:
+                    buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "user_id", "event_id", "value", "n_trailing", "z", "is_anomaly",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_OUT_SCHEMA,
+        stateStructType=_ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -308,3 +308,41 @@ def test_stream_funnel_matches_batch(spark, tmp_path_factory):
     for k in want:
         assert got[k].asDict() == want[k].asDict()
     shutil.rmtree(str(base), ignore_errors=True)
+
+
+def test_stream_anomaly_matches_batch_across_batch_split(spark, tmp_path_factory):
+    """Split the event stream into two files at a time boundary; the
+    stateful streaming detector must emit exactly the batch operator's
+    flags — state carries each user's trailing window across the
+    micro-batch boundary."""
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import (
+        rolling_zscore_anomalies,
+    )
+
+    d = str(tmp_path_factory.mktemp("anomaly_stream"))
+    events = load_testdata(spark, SF, "events")["events"].filter(
+        F.col("user_id") < 50
+    )
+    cut = events.selectExpr("percentile(cast(ts as double), 0.5) p").collect()[0]["p"]
+    events.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.parquet(
+        os.path.join(d, "b1")
+    )
+    events.filter(F.col("ts").cast("double") > cut).coalesce(1).write.parquet(
+        os.path.join(d, "b2")
+    )
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "b*"))
+    )
+    got = _mem(
+        spark, streaming.pipeline.stream_anomaly_flags(src), "anomaly"
+    ).collect()
+    want = rolling_zscore_anomalies(
+        events, "user_id", ["ts", "event_id"], "value"
+    ).collect()
+    gk = {(r["user_id"], r["event_id"]): (r["n_trailing"], r["z"], r["is_anomaly"]) for r in got}
+    wk = {(r["user_id"], r["event_id"]): (r["n_trailing"], r["z"], r["is_anomaly"]) for r in want}
+    assert gk == wk and len(gk) > 0
