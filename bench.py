@@ -114,6 +114,9 @@ HEADLINE = [
     "a13_cube",                   # full CUBE grouping sets
     "x_pagerank",                 # integer-exact fixed-round PageRank
     "x_embed_quantize",           # int8 quantization audit, no shuffle
+    "o4_null_ordering",           # NULLS FIRST/LAST TakeOrdered parity
+    "w7_value_kit",               # first/last/nth_value IGNORE NULLS
+    "x_edit_distance",            # levenshtein pair verification
 ]
 
 

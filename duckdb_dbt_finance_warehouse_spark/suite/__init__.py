@@ -37,7 +37,8 @@ from . import extensions  # noqa: E402,F401
 # x_merge_upsert, x_event_transitions, x_inverted_index, x_hll_merge,
 # sql5_correlated_agg_q17_style, x_fuzzy_join, x_corr_matrix,
 # x_event_anomaly, sql6_lateral_topk, a13_cube, x_pagerank,
-# x_embed_quantize — all
+# x_embed_quantize, o4_null_ordering, w7_value_kit, x_edit_distance —
+# all
 # green in
 # tools/check_correctness.py, the driver-identical local gate), then
 # (b) the r4-green entries rotated out this round, then (c) the oldest

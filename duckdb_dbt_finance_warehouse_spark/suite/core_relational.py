@@ -1712,3 +1712,75 @@ def a13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
         ).cast("bigint").alias("grouping_level"),
     )
+
+
+@query(
+    "o4_null_ordering",
+    oracle="""
+    (SELECT 'nf' AS ordering, o_orderkey,
+            nullif(o_orderstatus, 'O') AS st
+     FROM orders ORDER BY st NULLS FIRST, o_orderkey LIMIT 25)
+    UNION ALL
+    (SELECT 'nl' AS ordering, o_orderkey,
+            nullif(o_orderstatus, 'O') AS st
+     FROM orders ORDER BY st NULLS LAST, o_orderkey LIMIT 25)
+    """,
+)
+def o4_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (beyond-reference coverage): explicit NULLS FIRST / NULLS
+    LAST ordering parity. The engines DISAGREE by default (Spark ASC =
+    nulls first, DuckDB ASC = nulls last), so portable ordered output
+    must always spell the null placement — this query locks both
+    directions with a deterministic tiebreak. TakeOrdered both ways,
+    no full sort."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    st = F.expr("nullif(o_orderstatus, 'O')").alias("st")
+    nf = (
+        o.select(F.lit("nf").alias("ordering"), "o_orderkey", st)
+        .orderBy(F.col("st").asc_nulls_first(), "o_orderkey")
+        .limit(25)
+    )
+    nl = (
+        o.select(F.lit("nl").alias("ordering"), "o_orderkey", st)
+        .orderBy(F.col("st").asc_nulls_last(), "o_orderkey")
+        .limit(25)
+    )
+    return nf.unionByName(nl)
+
+
+@query(
+    "w7_value_kit",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(st IGNORE NULLS) OVER w AS first_nonnull_status,
+           last_value(st IGNORE NULLS) OVER w AS last_nonnull_status,
+           nth_value(st, 2 IGNORE NULLS) OVER w AS second_nonnull_status
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 nullif(o_orderstatus, 'O') AS st
+          FROM orders WHERE o_custkey < 200) t
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w7_value_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 (beyond-reference coverage): first_value / last_value /
+    nth_value with IGNORE NULLS over a full-partition frame — the
+    value-function completion of the w5/w6 ranking and frame kits.
+    One customer-keyed window exchange."""
+    o = T(spark, sf_dir, "orders")["orders"]
+    t = o.filter(F.col("o_custkey") < 200).select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.expr("nullif(o_orderstatus, 'O')").alias("st"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("st", ignorenulls=True).over(w).alias("first_nonnull_status"),
+        F.last("st", ignorenulls=True).over(w).alias("last_nonnull_status"),
+        F.nth_value("st", 2, ignoreNulls=True).over(w).alias("second_nonnull_status"),
+    )

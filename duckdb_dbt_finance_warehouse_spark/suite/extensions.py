@@ -2804,3 +2804,46 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint, worst reconstruction error — narrow scan, no shuffle."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.quantize_embeddings(emb, "vec_id", "embedding")
+
+
+@query(
+    "x_edit_distance",
+    oracle="""
+    WITH t AS (SELECT doc_id, substr(text, 1, 32) AS s
+               FROM documents WHERE doc_id < 200),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.s AS s_a, b.s AS s_b
+          FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+    SELECT id_a, id_b,
+           CAST(levenshtein(s_a, s_b) AS INT) AS lev,
+           round(1.0 - CAST(levenshtein(s_a, s_b) AS DOUBLE)
+                 / greatest(length(s_a), length(s_b)), 6) AS sim_ratio
+    FROM p
+    """,
+)
+def x_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance + similarity ratio for candidate pairs
+    (consecutive doc titles) — the character-level verification stage
+    of an entity-resolution pipeline (integer DP, identical in both
+    engines; pair it with x_fuzzy_join's n-gram candidate generation).
+    One equi join at candidate volume, never all-pairs."""
+    docs = _docs(spark, sf_dir)
+    t = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.expr("substring(text, 1, 32)").alias("s")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = t.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    lev = F.levenshtein("s_a", "s_b")
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("int").alias("lev"),
+            F.round(
+                F.lit(1.0)
+                - lev.cast("double") / F.greatest(F.length("s_a"), F.length("s_b")),
+                6,
+            ).alias("sim_ratio"),
+        )
+    )
