@@ -76,6 +76,49 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    df: DataFrame,
+    ts_col: str = "ts",
+    size_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: each event lands in
+    ``size/slide`` overlapping windows (batch twin of streaming
+    ``window(ts, '60 minutes', '15 minutes')``).
+
+    Uses Spark's native ``F.window`` with a slide: the TimeWindow rule
+    expands each row into size/slide window rows (a projection, no
+    join), then ONE shuffle with map-side partial aggregation on
+    (window_start, event_type). Window starts are epoch-aligned
+    multiples of the slide, so the expansion is pure arithmetic and the
+    same grid is reproducible in any engine. At 100 TB the cost is the
+    4x row expansion feeding a partial agg — rows collapse to
+    ~(windows x types) before the exchange; no per-window scans.
+
+    ``size_minutes`` must be a multiple of ``slide_minutes`` (Spark
+    allows non-divisible slides; the oracle replay grid assumes the
+    divisible case, which is also the only shape the streaming twin
+    supports)."""
+    if size_minutes % slide_minutes:
+        raise ValueError("size_minutes must be a multiple of slide_minutes")
+    w = F.window(
+        F.col(ts_col), f"{size_minutes} minutes", f"{slide_minutes} minutes"
+    )
+    return (
+        df.groupBy(w, F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
 def resample_locf(
     df: DataFrame,
     user_col: str = "user_id",

@@ -1688,6 +1688,37 @@ def sql6_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL6)
 
 
+_SQL7 = """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(coalesce(oc.n, 0) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderstatus <> 'F'
+        GROUP BY o_custkey) oc
+      ON oc.o_custkey = c.c_custkey)
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+"""
+
+
+@query("sql7_outer_join_histogram_q13_style", oracle=_SQL7)
+def sql7_outer_join_histogram_q13_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q13 shape: customer-order-count distribution
+    via LEFT OUTER join + double aggregation. Written in the
+    scale-correct form — the per-custkey count is pushed BELOW the
+    join (TPC-H's literal phrasing joins raw orders to customer first,
+    shuffling every order row on the join key; the pushed form reduces
+    orders to one row per customer before any join, which Catalyst
+    does not do automatically for outer joins). At 100 TB: orders
+    collapses ~10:1 in a map-side-combined agg, the outer join is
+    keyed one-row-per-side, and the histogram agg's input is
+    customer-sized. coalesce(n, 0) keeps zero-order customers in the
+    distribution — the semantics the outer join exists for."""
+    for n, df in T(spark, sf_dir, "customer", "orders").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_SQL7)
+
+
 @query(
     "a13_cube",
     oracle="""

@@ -1033,6 +1033,41 @@ def x_event_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_event_hopping_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, user_id,
+             make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+               AS last_ws
+      FROM events),
+    x AS (
+      SELECT event_type, user_id,
+             unnest(generate_series(last_ws - INTERVAL 45 MINUTE,
+                                    last_ws, INTERVAL 15 MINUTE))
+               AS window_start
+      FROM e)
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM x GROUP BY 1, 2
+    """,
+)
+def x_event_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 60-min/15-min event-time windows
+    (operators/sessionize.hopping_window): Spark's native sliding
+    ``F.window`` expands each event into its 4 containing epoch-aligned
+    windows (a projection, not a join), then ONE map-side-combined
+    shuffle aggregates (window_start, event_type). The oracle rebuilds
+    the identical grid with integer epoch-microsecond floor division +
+    generate_series — window starts are exact multiples of the slide in
+    both engines, so the replay is bit-identical. Batch twin of the
+    streaming sliding-window aggregate."""
+    return sessionize.hopping_window(
+        _events(spark, sf_dir), size_minutes=60, slide_minutes=15
+    )
+
+
+@query(
     "x_json_props",
     oracle="""
     SELECT event_type,
@@ -2497,6 +2532,56 @@ def x_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tc = text.token_counts(docs, "doc_id", "text")
     return packing.length_bucket_stats(tc, "doc_id", "n_ws_tokens", batch_size=32)
+
+
+@query(
+    "x_corpus_profile",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_chars,
+           CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+             / CAST((SELECT total FROM t) AS DOUBLE) AS corpus_share
+    FROM documents GROUP BY source, lang
+    """,
+)
+def x_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card corpus profile: per (source, lang) doc counts,
+    char volume, min/max/avg length, and each slice's share of the
+    whole corpus — the summary a mixture-weighting or curation step
+    reads before sampling (pairs with x_sample_mixture /
+    x_sample_temperature). ONE map-side-combined shuffle on the
+    (source, lang) key; the corpus total is a 1-row broadcast crossed
+    into the slice rows (j6 scalar-subquery pattern — constant-size
+    build side at any corpus scale). avg/share are double divisions of
+    exact bigints, bit-identical across engines."""
+    docs = _docs(spark, sf_dir)
+    total = docs.groupBy().agg(F.count("*").alias("_total"))
+    prof = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return prof.join(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "min_chars",
+        "max_chars",
+        (
+            F.col("sum_chars").cast("double") / F.col("n_docs").cast("double")
+        ).alias("avg_chars"),
+        (
+            F.col("n_docs").cast("double") / F.col("_total").cast("double")
+        ).alias("corpus_share"),
+    )
 
 
 @query(

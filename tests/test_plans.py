@@ -89,6 +89,7 @@ BNLJ_ALLOWED = {
     "x_bpe_segment",  # same argmax rows + 1-row merge-table broadcast
     "x_hard_negatives",  # 10-row broadcast anchor set (probe-query bound)
     "x_pagerank",  # 1-row node-count bound crossed into every rank row
+    "x_corpus_profile",  # 1-row corpus-total bound crossed into slice rows
 }
 
 

@@ -58,3 +58,43 @@ def test_json_reader_prunes_and_filters(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
     assert q.count() == docs.filter("doc_id < 100").count()
+
+
+def test_jsonl_ingest_quarantines_corrupt_lines(spark, tmp_path):
+    """ingest_jsonl splits a dirty JSONL batch: parseable, type-clean
+    lines land in raw.<table> with lineage; malformed JSON AND
+    type-drift lines land in raw.<table>__quarantine verbatim. Blank
+    lines are skipped entirely."""
+    from duckdb_dbt_finance_warehouse_spark.sources.jsonl import (
+        DOCUMENT_SCHEMA,
+        ingest_jsonl,
+    )
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import Warehouse
+
+    good_lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7}',
+    ]
+    bad_lines = [
+        '{"doc_id": 3, "text": "truncated',  # malformed JSON
+        '{"doc_id": "not-a-number", "text": "drift", "lang": "en", "source": "web", "n_chars": 5}',
+        "<html>leaked markup</html>",
+    ]
+    p = tmp_path / "batch.jsonl"
+    p.write_text("\n".join(good_lines + ["", bad_lines[0], bad_lines[1], "  ", bad_lines[2]]) + "\n")
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    good, quar = ingest_jsonl(wh, str(p), "documents", DOCUMENT_SCHEMA)
+
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2]
+    assert set(good.columns) == {
+        "doc_id", "text", "lang", "source", "n_chars", "ingested_at", "source_file",
+    }
+    assert {r.source_file for r in good.collect()} == {"batch.jsonl"}
+    qrows = quar.collect()
+    assert sorted(r.raw_line for r in qrows) == sorted(bad_lines)
+
+    # append mode accumulates both sides
+    ingest_jsonl(wh, str(p), "documents", DOCUMENT_SCHEMA, mode="append")
+    assert wh.read("raw", "documents").count() == 4
+    assert wh.read("raw", "documents__quarantine").count() == 6
