@@ -117,6 +117,10 @@ HEADLINE = [
     "o4_null_ordering",           # NULLS FIRST/LAST TakeOrdered parity
     "w7_value_kit",               # first/last/nth_value IGNORE NULLS
     "x_edit_distance",            # levenshtein pair verification
+    "x_event_hopping_window",     # sliding 60/15-min window aggregate
+    "sql7_outer_join_histogram_q13_style",  # Q13 outer-join histogram
+    "x_corpus_profile",           # dataset-card per-slice volume/share
+    "sql8_correlated_min_q2_style",  # Q2 correlated-min decorrelation
 ]
 
 

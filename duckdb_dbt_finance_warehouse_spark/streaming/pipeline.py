@@ -141,14 +141,25 @@ def stream_attribution_join(
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event_type. The watermark
     bounds state: windows older than max(event time) - watermark finalize
-    and evict — the streaming answer to the batch restatement window."""
+    and evict — the streaming answer to the batch restatement window.
+
+    Pass ``slide`` for HOPPING windows (batch twin:
+    operators/sessionize.hopping_window): each event updates its
+    window/slide overlapping window states; state stays
+    watermark-bounded because every one of those windows still closes
+    when the watermark passes its end — the state footprint is
+    (window/slide)x the tumbling case, not unbounded."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.approx_count_distinct("user_id").alias("n_users_approx"))
         .select(
             F.col("w.start").alias("window_start"),

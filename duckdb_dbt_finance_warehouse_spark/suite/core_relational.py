@@ -1719,6 +1719,41 @@ def sql7_outer_join_histogram_q13_style(spark: SparkSession, sf_dir: str) -> Dat
     return spark.sql(_SQL7)
 
 
+_SQL8 = """
+    SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           l.l_extendedprice AS best_price
+    FROM part p, lineitem l, supplier s, nation n, region r
+    WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE' AND p.p_size <= 5
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2, supplier s2, nation n2, region r2
+        WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE')
+"""
+
+
+@query("sql8_correlated_min_q2_style", oracle=_SQL8)
+def sql8_correlated_min_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q2 shape: min-cost-supplier lookup via a
+    CORRELATED scalar MIN whose subquery is itself a multi-table join
+    (the hardest decorrelation pattern in TPC-H). Catalyst rewrites it
+    to a per-partkey min aggregate over the region-filtered
+    lineitem⋈supplier⋈nation⋈region subtree joined back on
+    (l_partkey, price) — one extra keyed aggregation at any SF, never
+    per-row re-execution; the region/nation dims broadcast. Equality
+    on the min DOUBLE is exact (no arithmetic, same stored value both
+    sides), and DISTINCT collapses tie multiplicity identically in
+    both engines."""
+    for n, df in T(
+        spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
+    ).items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_SQL8)
+
+
 @query(
     "a13_cube",
     oracle="""

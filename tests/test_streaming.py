@@ -77,6 +77,46 @@ def test_windowed_counts_match_batch_tumbling(spark, events_dir):
     assert all(got[k] == want[k] for k in got)
 
 
+def test_hopping_counts_match_batch_hopping(spark, events_dir):
+    """Sliding-window streaming aggregate == batch hopping_window on
+    every closed window (same caveat as the tumbling test: windows
+    still inside the watermark of max event time stay open in append
+    mode). n_events only — the streaming side's distinct-user count is
+    approximate by necessity."""
+    src = streaming.pipeline.read_event_stream(spark, events_dir)
+    out = _mem(
+        spark,
+        streaming.windowed_event_counts(src, window="1 hour", slide="15 minutes"),
+        "hop",
+    )
+    batch = sessionize.hopping_window(
+        load_testdata(spark, SF, "events")["events"],
+        size_minutes=60,
+        slide_minutes=15,
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    from datetime import timedelta
+    import pyspark.sql.functions as SF_
+
+    # append mode emits a window once the watermark (max event time - 2h)
+    # passes its END; a 60-min window may legitimately be withheld when
+    # window_start > max_ts - 2h - 60min
+    max_ts = (
+        load_testdata(spark, SF, "events")["events"]
+        .agg(SF_.max("ts"))
+        .first()[0]
+    )
+    horizon = max_ts - timedelta(hours=3)
+    missing = set(want) - set(got)
+    assert all(w > horizon for w, _ in missing), f"closed windows missing: {missing}"
+    assert got and all(got[k] == want[k] for k in got)
+
+
 def test_stream_to_warehouse_exactly_once(spark, tmp_path_factory):
     src_dir = str(tmp_path_factory.mktemp("src"))
     out = str(tmp_path_factory.mktemp("out"))
