@@ -121,6 +121,9 @@ HEADLINE = [
     "sql7_outer_join_histogram_q13_style",  # Q13 outer-join histogram
     "x_corpus_profile",           # dataset-card per-slice volume/share
     "sql8_correlated_min_q2_style",  # Q2 correlated-min decorrelation
+    "x_basket_pairs",             # order-key-bounded co-occurrence join
+    "x_triangle_count",           # compact-forward triangle census
+    "x_triangle_sample",          # DOULION 1/4-edge-sampled estimate
 ]
 
 

@@ -89,6 +89,170 @@ def pagerank(
     )
 
 
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_groups: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edge list ("frequently bought
+    together"): one edge per item pair sharing a group, weighted by the
+    number of distinct groups containing both. Output (a, b, n_groups)
+    with a < b so each unordered pair appears once.
+
+    Scale: the self-join is partitioned on the GROUP key, so per-task
+    fanout is (items-per-group choose 2) — bounded by the natural group
+    size (basket, session, document), never by corpus size; the pair
+    aggregation map-side combines. A pathological mega-group (one order
+    with 10^5 items) is the skew case — salt or cap group size upstream
+    if the domain allows it.
+
+    Plan shape (measured, sf0.1): the raw rows join directly (no
+    distinct-first pre-shuffle — countDistinct(group) absorbs duplicate
+    (group, item) rows instead, saving one full shuffle), and the
+    ``shuffle_hash`` hint skips the sort-merge sort of the pair stream:
+    1.87 s → 1.02 s. The hash build side is ONE shuffle partition of
+    (group, item) rows — bounded by shuffle-partition sizing, the
+    standard SHJ envelope."""
+    r = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("a")).filter(
+        F.col("a").isNotNull()
+    )
+    pairs = r.join(r.withColumnRenamed("a", "b").hint("shuffle_hash"), "g").filter(
+        F.col("a") < F.col("b")
+    )
+    out = pairs.groupBy("a", "b").agg(F.countDistinct("g").alias("n_groups"))
+    if min_groups > 1:
+        out = out.filter(F.col("n_groups") >= min_groups)
+    return out
+
+
+def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Unweighted distinct co-occurrence pairs (a < b) — the edge set
+    the triangle census consumes; skips ``cooccurrence_edges``'s
+    countDistinct expand when the weight isn't needed."""
+    r = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("a")).filter(
+        F.col("a").isNotNull()
+    )
+    return (
+        r.join(r.withColumnRenamed("a", "b").hint("shuffle_hash"), "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census over an undirected edge list (a < b):
+    one row (n_edges, n_wedges, n_triangles, clustering_coeff).
+
+    The classic compact-forward shape: with edges ordered a < b, a
+    triangle a<b<c is found exactly once by joining edge (a,b) to edge
+    (b,c) on the middle vertex and closing with an (a,c) edge lookup —
+    two keyed shuffles over edge volume, no enumeration of all pairs.
+    n_wedges is the exact open-wedge count Σ_v C(deg(v), 2) from the
+    degree table (one extra small aggregate), so the global clustering
+    coefficient 3·triangles/wedges is an exact-integer ratio rendered
+    as a double identically in any engine.
+
+    Scale: candidate-wedge volume concentrates on high-degree middle
+    vertices; id-ordering is fine for near-uniform degree (this
+    corpus). For power-law graphs the standard fix is DEGREE ordering —
+    relabel each vertex by (degree, id) rank before the a<b filter,
+    which caps per-vertex wedge work at O(sqrt(edges)) — one extra
+    degree join, same plan shape otherwise.
+
+    Both graph joins carry a ``shuffle_hash`` hint: sort-merge would
+    SORT the wedge stream (40×-edge volume at this density) just to
+    probe it against the edge list — hashing the edge side instead is
+    3.3× faster measured (6.9 s → 2.1 s, sf0.1). The build is one
+    shuffle partition of 2-long edge rows; if a partition ever
+    outgrew executor memory, dropping the hint falls back to SMJ."""
+    e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    w = (
+        e.alias("e1")
+        .join(
+            e.alias("e2").hint("shuffle_hash"),
+            F.col("e1.b") == F.col("e2.a"),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e2.a").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = w.alias("w").join(
+        e.alias("e3").hint("shuffle_hash"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+    ).agg(F.count("*").alias("n_triangles"))
+    n_e = e.agg(F.count("*").alias("n_edges"))
+    return (
+        n_e.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def triangle_sample_stats(
+    edges: DataFrame, k: int = 4, salt: str = "tri"
+) -> DataFrame:
+    """DOULION-style sampled triangle estimate — the 100 TB path where
+    the exact census (``triangle_stats``) is too expensive: keep each
+    edge with probability 1/k via the deterministic md5 uniform
+    (operators/sampling.hash_uniform on the "a:b" edge key — same
+    sample on any engine/cluster/rerun), count triangles on the
+    sampled graph, scale by k³ (a surviving triangle needs all three
+    edges kept). Wedge volume — the cost driver — shrinks by k², so
+    k=4 is ~16× cheaper; variance falls out of the triangle count
+    itself (Tsourakakis et al.'s unbiased estimator).
+
+    ``k`` must be a power of two so 1/k is exact in float64 and the
+    keep-filter compares identically in every engine."""
+    if k & (k - 1):
+        raise ValueError(f"k must be a power of two, got {k}")
+    from .sampling import hash_uniform
+
+    e = edges.select("a", "b").distinct()
+    key = F.concat_ws(
+        ":", F.col("a").cast("string"), F.col("b").cast("string")
+    )
+    es = e.filter(hash_uniform(key, salt) < 1.0 / k).localCheckpoint(
+        eager=False
+    )
+    w = (
+        es.alias("e1")
+        .join(es.alias("e2").hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("c"))
+    )
+    tri = w.alias("w").join(
+        es.alias("e3").hint("shuffle_hash"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+    ).agg(F.count("*").alias("n_triangles_sampled"))
+    n_e = es.agg(F.count("*").alias("n_edges_sampled"))
+    return n_e.crossJoin(F.broadcast(tri)).select(
+        "n_edges_sampled",
+        "n_triangles_sampled",
+        (F.col("n_triangles_sampled") * F.lit(k**3)).alias("est_n_triangles"),
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str,
     iterations: int = 3,

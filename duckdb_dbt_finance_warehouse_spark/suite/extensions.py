@@ -2857,6 +2857,93 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_basket_pairs",
+    oracle="""
+    WITH i AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem)
+    SELECT i1.a AS a, i2.a AS b, CAST(count(*) AS BIGINT) AS n_groups
+    FROM i i1 JOIN i i2 ON i1.g = i2.g AND i1.a < i2.a
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining
+    (operators/graph.cooccurrence_edges): part pairs appearing in >=2
+    of the same orders. The self-join is partitioned on the ORDER key,
+    so fanout per task is (items-per-order choose 2) — bounded by
+    basket size, never corpus size — and the pair counts map-side
+    combine. The building block for x_triangle_count's graph."""
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+
+
+@query(
+    "x_triangle_count",
+    oracle="""
+    WITH i AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem),
+    e AS (SELECT DISTINCT i1.a AS a, i2.a AS b
+          FROM i i1 JOIN i i2 ON i1.g = i2.g AND i1.a < i2.a),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY 1),
+    wd AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+    w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_edges, n_wedges, n_triangles,
+           3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+             AS clustering_coeff
+    FROM ne, wd, t
+    """,
+)
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census + clustering coefficient over the
+    part-co-purchase graph (operators/graph.triangle_stats):
+    compact-forward triangle enumeration — ordered edges joined on the
+    middle vertex, closed by an edge lookup; two keyed shuffles over
+    edge volume, no all-pairs anywhere. The exact wedge count comes
+    from the degree table (Σ C(d,2)), so clustering_coeff is an
+    exact-integer ratio both engines render identically."""
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return graph.triangle_stats(graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
+
+
+@query(
+    "x_triangle_sample",
+    oracle=f"""
+    WITH i AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem),
+    e0 AS (SELECT DISTINCT i1.a AS a, i2.a AS b
+           FROM i i1 JOIN i i2 ON i1.g = i2.g AND i1.a < i2.a),
+    e AS (SELECT a, b FROM e0
+          WHERE {sampling.hash_uniform_oracle_sql(
+              "(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR))", "tri")}
+                < 0.25),
+    w AS (SELECT e1.a AS a, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles_sampled
+          FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_sampled FROM e)
+    SELECT n_edges_sampled, n_triangles_sampled,
+           CAST(n_triangles_sampled * 64 AS BIGINT) AS est_n_triangles
+    FROM ne, t
+    """,
+)
+def x_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION-style sampled triangle estimate
+    (operators/graph.triangle_sample_stats) — the documented scale path
+    for x_triangle_count: deterministic md5 edge sampling at 1/4 cuts
+    wedge volume (the exact census's cost driver) 16×, and the k³
+    scale-up is an unbiased estimator. The same md5 uniform replays in
+    DuckDB, so even the SAMPLE is bit-identical across engines."""
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return graph.triangle_sample_stats(
+        graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey"), k=4, salt="tri"
+    )
+
+
+@query(
     "x_embed_quantize",
     oracle="""
     WITH b AS (

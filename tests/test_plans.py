@@ -23,6 +23,18 @@ def plan_of(spark, name: str) -> str:
     return buf.getvalue()
 
 
+def test_triangle_census_uses_hash_joins(spark):
+    """The triangle census's two graph joins must stay ShuffledHashJoin
+    (the shuffle_hash hint): sort-merge would sort the wedge stream —
+     40×-edge volume at this density — just to probe the edge list
+    (measured 3.3× slower). The build side is one shuffle partition of
+    2-long edge rows, the standard SHJ envelope."""
+    for name in ("x_triangle_count", "x_triangle_sample"):
+        p = plan_of(spark, name)
+        assert p.count("ShuffledHashJoin") >= 2, name
+        assert "SortMergeJoin" not in p, name
+
+
 def test_predicate_pushdown_reaches_scan(spark):
     p = plan_of(spark, "p10_predicate_filter")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
@@ -90,6 +102,8 @@ BNLJ_ALLOWED = {
     "x_hard_negatives",  # 10-row broadcast anchor set (probe-query bound)
     "x_pagerank",  # 1-row node-count bound crossed into every rank row
     "x_corpus_profile",  # 1-row corpus-total bound crossed into slice rows
+    "x_triangle_count",  # three 1-row census scalars crossed into one row
+    "x_triangle_sample",  # two 1-row census scalars crossed into one row
 }
 
 
