@@ -37,9 +37,11 @@ from . import extensions  # noqa: E402,F401
 # x_merge_upsert, x_event_transitions, x_inverted_index, x_hll_merge,
 # sql5_correlated_agg_q17_style, x_fuzzy_join, x_corr_matrix,
 # x_event_anomaly, sql6_lateral_topk, a13_cube, x_pagerank,
-# x_embed_quantize, o4_null_ordering, w7_value_kit, x_edit_distance —
-# all
-# green in
+# x_embed_quantize, o4_null_ordering, w7_value_kit, x_edit_distance,
+# and the end-of-round additions x_event_hopping_window,
+# sql7_outer_join_histogram_q13_style, sql8_correlated_min_q2_style,
+# x_corpus_profile, x_basket_pairs, x_triangle_count,
+# x_triangle_sample — all green in
 # tools/check_correctness.py, the driver-identical local gate), then
 # (b) the r4-green entries rotated out this round, then (c) the oldest
 # r5-green entries.  No entry may reach 2 rounds without a driver row.

@@ -1513,3 +1513,95 @@ def test_quantize_embeddings_known_values_and_zero_vector(spark):
     assert 0 < r1["max_abs_err"] < 1.0 / 127
     r2 = out[2]
     assert r2["scale"] == 0.0 and r2["sum_q"] == 0 and r2["max_abs_err"] == 0.0
+
+
+def test_cooccurrence_and_triangles_known_graph(spark):
+    """Hand-computed fixture: baskets {A,B,C}, {A,B,C,D}, {B,C} give
+    edges AB, AC, BC, AD, BD, CD (AB/AC/BC support 2, others 1).
+    The full edge set is K4 = 4 triangles; wedges = 4*C(3,2) = 12;
+    clustering = 3*4/12 = 1.0. The support>=2 subgraph is the single
+    triangle ABC."""
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+
+    rows = [(1, x) for x in "ABC"] + [(2, x) for x in "ABCD"] + [(3, x) for x in "BC"]
+    df = spark.createDataFrame(rows, ["g", "item"])
+
+    edges = graph.cooccurrence_edges(df, "g", "item")
+    got = {(r["a"], r["b"]): r["n_groups"] for r in edges.collect()}
+    assert got == {
+        ("A", "B"): 2, ("A", "C"): 2, ("B", "C"): 3,
+        ("A", "D"): 1, ("B", "D"): 1, ("C", "D"): 1,
+    }
+
+    pairs = graph.cooccurrence_pairs(df, "g", "item")
+    assert sorted(map(tuple, pairs.collect())) == sorted(got)
+
+    full = graph.triangle_stats(pairs).first()
+    assert full["n_edges"] == 6 and full["n_triangles"] == 4
+    assert full["n_wedges"] == 12 and full["clustering_coeff"] == 1.0
+
+    sup2 = graph.triangle_stats(
+        graph.cooccurrence_edges(df, "g", "item", min_groups=2).select("a", "b")
+    ).first()
+    assert sup2["n_edges"] == 3 and sup2["n_triangles"] == 1
+
+
+def test_triangle_sample_unbiased_form_and_determinism(spark):
+    """k=1 sampling keeps every edge — the estimate must equal the
+    exact census scaled by 1; k must be a power of two; the k=4 sample
+    is deterministic across invocations."""
+    import pytest as _pytest
+
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+
+    rows = [(1, x) for x in "ABCDE"] + [(2, x) for x in "ABC"]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    pairs = graph.cooccurrence_pairs(df, "g", "item")
+
+    exact = graph.triangle_stats(pairs).first()
+    k1 = graph.triangle_sample_stats(pairs, k=1).first()
+    assert k1["n_triangles_sampled"] == exact["n_triangles"]
+    assert k1["est_n_triangles"] == exact["n_triangles"]
+
+    s1 = graph.triangle_sample_stats(pairs, k=4).first()
+    s2 = graph.triangle_sample_stats(pairs, k=4).first()
+    assert s1 == s2
+
+    with _pytest.raises(ValueError, match="power of two"):
+        graph.triangle_sample_stats(pairs, k=3)
+
+
+def test_hopping_window_known_counts(spark):
+    """Events at :05, :20, :50 of one hour land in the epoch-aligned
+    60/15 windows covering them: each event is in exactly 4 windows;
+    counts per window are hand-checked."""
+    from datetime import datetime as dt
+
+    from duckdb_dbt_finance_warehouse_spark.operators import sessionize
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 5), 100, "click"),
+        (2, dt(2024, 1, 1, 10, 20), 100, "click"),
+        (3, dt(2024, 1, 1, 10, 50), 200, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        r["window_start"]: (r["n_events"], r["n_users"])
+        for r in sessionize.hopping_window(df, size_minutes=60, slide_minutes=15).collect()
+    }
+    # event@10:05 -> windows starting 09:15..10:00; @10:20 -> 09:30..10:15;
+    # @10:50 -> 10:00..10:45
+    assert out[dt(2024, 1, 1, 9, 15)] == (1, 1)
+    assert out[dt(2024, 1, 1, 9, 30)] == (2, 1)
+    assert out[dt(2024, 1, 1, 10, 0)] == (3, 2)
+    assert out[dt(2024, 1, 1, 10, 15)] == (2, 2)
+    assert out[dt(2024, 1, 1, 10, 45)] == (1, 1)
+    assert len(out) == 7  # 09:15..10:45 inclusive on the 15-min grid
+    with _raises_value_error():
+        sessionize.hopping_window(df, size_minutes=50, slide_minutes=15)
+
+
+def _raises_value_error():
+    import pytest as _pytest
+
+    return _pytest.raises(ValueError)
