@@ -124,6 +124,7 @@ HEADLINE = [
     "x_basket_pairs",             # order-key-bounded co-occurrence join
     "x_triangle_count",           # compact-forward triangle census
     "x_triangle_sample",          # DOULION 1/4-edge-sampled estimate
+    "x_table_fingerprint",        # order-independent table checksum
 ]
 
 

@@ -252,3 +252,32 @@ def incremental_rollup(
         df.filter(d >= cutoff), key_cols, d, value_col, scale
     )
     return merge_agg_states(stored.unionByName(fresh), key_cols, scale)
+
+
+def table_fingerprint(df: DataFrame, cols: list | None = None) -> DataFrame:
+    """Order-independent table checksum: one row
+    (n_rows, h1_sum, h2_sum) where h1/h2 are the sums of the first and
+    second 32-bit words of each row's md5 record hash
+    (functions/cleaning.record_hash — the caller canonicalizes doubles
+    through DECIMAL in ``cols`` when cross-engine parity matters).
+
+    The anti-entropy primitive: two tables are (almost surely) equal as
+    MULTISETS iff their fingerprints match — compare replicas, verify a
+    migration, or check a restated partition without moving any data.
+    Commutative sums make it partition-order- and engine-independent,
+    and mergeable: fingerprint partitions separately and add.
+
+    Scale: one narrow scan + a map-side-combined scalar agg — no
+    shuffle beyond the 1-row fold. 32-bit words summed as longs
+    overflow bigint only past ~2^31 rows PER AGGREGATED GROUP; shard by
+    partition and merge (the mergeable property above) before that."""
+    from ..functions.cleaning import record_hash
+
+    h = record_hash(cols if cols is not None else df.columns)
+    w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(w1).alias("h1_sum"),
+        F.sum(w2).alias("h2_sum"),
+    )

@@ -2156,6 +2156,48 @@ def x_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_table_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT md5(concat_ws('|',
+          coalesce(CAST(o_orderkey AS VARCHAR), ''),
+          coalesce(CAST(o_custkey AS VARCHAR), ''),
+          coalesce(o_orderstatus, ''),
+          coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), ''),
+          coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), ''),
+          coalesce(o_orderpriority, ''))) AS rh
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(rh, 1, 8))::BIGINT) AS BIGINT) AS h1_sum,
+           CAST(sum(('0x' || substr(rh, 9, 8))::BIGINT) AS BIGINT) AS h2_sum
+    FROM h
+    """,
+)
+def x_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum
+    (operators/maintenance.table_fingerprint): commutative sums of the
+    two 32-bit md5 words per row — the anti-entropy primitive for
+    comparing replicas / verifying migrations without moving data,
+    mergeable across shards. One narrow scan + a map-side-combined
+    scalar agg; the fingerprint here IS the cross-engine proof: DuckDB
+    computes the identical three numbers from its own scan. Doubles
+    canonicalized through DECIMAL(18,4), dates through DATE (the p6
+    record-hash parity rules)."""
+    o = load_testdata(spark, sf_dir, "orders")["orders"]
+    return maintenance.table_fingerprint(
+        o,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,4)"),
+            F.col("o_orderdate").cast("date"),
+            F.col("o_orderpriority"),
+        ],
+    )
+
+
+@query(
     "x_snapshot_diff",
     oracle="""
     WITH old_s AS (

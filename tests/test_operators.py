@@ -1605,3 +1605,26 @@ def _raises_value_error():
     import pytest as _pytest
 
     return _pytest.raises(ValueError)
+
+
+def test_table_fingerprint_order_independent_and_mergeable(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import maintenance
+
+    rows = [(1, "a"), (2, "b"), (3, None), (4, "d")]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    full = maintenance.table_fingerprint(df).first()
+    # row order / partitioning must not matter
+    shuffled = maintenance.table_fingerprint(
+        df.orderBy(F.desc("k")).repartition(7)
+    ).first()
+    assert full == shuffled
+    # shard fingerprints add up to the whole (the merge property)
+    a = maintenance.table_fingerprint(df.filter("k <= 2")).first()
+    b = maintenance.table_fingerprint(df.filter("k > 2")).first()
+    assert (a["n_rows"] + b["n_rows"], a["h1_sum"] + b["h1_sum"],
+            a["h2_sum"] + b["h2_sum"]) == tuple(full)
+    # any single-row change flips the fingerprint
+    changed = maintenance.table_fingerprint(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, None), (4, "D")], ["k", "v"])
+    ).first()
+    assert (changed["h1_sum"], changed["h2_sum"]) != (full["h1_sum"], full["h2_sum"])
