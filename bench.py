@@ -125,6 +125,7 @@ HEADLINE = [
     "x_triangle_count",           # compact-forward triangle census
     "x_triangle_sample",          # DOULION 1/4-edge-sampled estimate
     "x_table_fingerprint",        # order-independent table checksum
+    "x_multimodal_frames",        # strided frame sampling, codegen-only
 ]
 
 

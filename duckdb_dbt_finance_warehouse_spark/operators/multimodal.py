@@ -77,3 +77,48 @@ def extract_features(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return blobs.select(id_col, "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    frame_chars: int = 64,
+    stride: int = 48,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Deterministic frame sampling: slice each payload into up to
+    ``max_frames`` overlapping frames (``frame_chars`` wide, ``stride``
+    apart) and emit one row per frame with its byte length + md5
+    fingerprint — the video/audio frame-sample plumbing (strided
+    keyframe extraction) exercised end to end.
+
+    Pure built-in expressions: sequence + substring + md5 all run in
+    whole-stage codegen — a per-row explode with NO shuffle and no
+    Python; payload bytes never leave the scan task. A real video
+    decoder replaces the substring slicer with a mapInPandas stage
+    (same output schema, same no-shuffle shape — see
+    ``extract_features`` for that pattern); frames here are CHARACTER
+    slices of the text stand-in payload because the DuckDB oracle has
+    no BLOB substring — on the Spark side ``substring`` works on
+    ``binary`` directly, so the production form is the same expression
+    over the payload column."""
+    n = F.length(F.col(content_col))
+    frames = df.filter(n > 0).select(
+        F.col(id_col),
+        F.col(content_col),
+        F.explode(
+            F.expr(
+                f"sequence(CAST(0 AS BIGINT), least(CAST({max_frames - 1} AS BIGINT),"
+                f" CAST(floor((length({content_col}) - 1) / {stride}) AS BIGINT)))"
+            )
+        ).alias("frame_idx"),
+    )
+    slice_ = F.expr(f"substring({content_col}, CAST(1 + frame_idx * {stride} AS INT), {frame_chars})")
+    return frames.select(
+        id_col,
+        "frame_idx",
+        (F.lit(1) + F.col("frame_idx") * stride).cast("bigint").alias("frame_start"),
+        F.length(F.encode(slice_, "utf-8")).cast("bigint").alias("frame_n_bytes"),
+        F.md5(slice_).alias("frame_md5"),
+    )

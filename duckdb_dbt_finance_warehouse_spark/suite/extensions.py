@@ -1368,6 +1368,39 @@ def x_multimodal_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_multimodal_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(CAST(0 AS BIGINT),
+                    least(CAST(3 AS BIGINT),
+                          CAST(floor((length(text) - 1) / 48) AS BIGINT))))
+               AS frame_idx
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, frame_idx,
+           CAST(1 + frame_idx * 48 AS BIGINT) AS frame_start,
+           CAST(octet_length(encode(substring(text, CAST(1 + frame_idx * 48 AS INT), 64)))
+             AS BIGINT) AS frame_n_bytes,
+           md5(substring(text, CAST(1 + frame_idx * 48 AS INT), 64)) AS frame_md5
+    FROM f
+    """,
+)
+def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling over multimodal payloads
+    (operators/multimodal.frame_sample): up to 4 overlapping 64-wide
+    frames per document at stride 48, each with byte length + md5
+    fingerprint — the keyframe-extraction plumbing, entirely in
+    whole-stage codegen (sequence + substring + md5, per-row explode,
+    NO shuffle; payload bytes never leave the scan task). The oracle
+    replays the identical grid and fingerprints, proving the slicing
+    arithmetic and hashes byte-for-byte."""
+    return multimodal.frame_sample(
+        _docs(spark, sf_dir), "doc_id", "text",
+        frame_chars=64, stride=48, max_frames=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketches & join filters (count-min heavy hitters, bloom semi-join)
 # ---------------------------------------------------------------------------
