@@ -201,10 +201,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            (
+            # NULL (not NaN / ANSI error) when the graph has no wedges
+            # at all — e.g. a perfect matching (every degree <= 1)
+            F.when(
+                F.col("n_wedges") > 0,
                 F.lit(3.0)
                 * F.col("n_triangles").cast("double")
-                / F.col("n_wedges").cast("double")
+                / F.col("n_wedges").cast("double"),
             ).alias("clustering_coeff"),
         )
     )

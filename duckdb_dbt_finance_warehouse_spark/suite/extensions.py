@@ -2968,8 +2968,9 @@ def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
     ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
     SELECT n_edges, n_wedges, n_triangles,
-           3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
-             AS clustering_coeff
+           CASE WHEN n_wedges > 0
+                THEN 3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+           END AS clustering_coeff
     FROM ne, wd, t
     """,
 )

@@ -151,3 +151,43 @@ def test_dedup_clusters_match_sequential_union_find(spark, edges):
     for n in parent:
         want[n] = find(n)
     assert got == want
+
+
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@PROP
+def test_triangle_census_matches_bruteforce(spark, raw):
+    """triangle_stats == brute-force enumeration on every small random
+    graph: edge count, exact wedge count Σ C(d,2), triangle count, and
+    the clustering ratio."""
+    import itertools
+
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+
+    es = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not es:
+        return
+    eset = set(es)
+    nodes = sorted({v for e in es for v in e})
+    tri = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    deg: dict[int, int] = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    got = graph.triangle_stats(spark.createDataFrame(es, ["a", "b"])).first()
+    assert got["n_edges"] == len(es)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tri
+    if wedges:
+        assert got["clustering_coeff"] == 3.0 * tri / wedges
