@@ -7,6 +7,7 @@
                           [--select model1,model2]
   python runner.py test   --warehouse WH
   python runner.py dag    [--select model1,model2]   # build-order listing
+  python runner.py fingerprint --warehouse WH [--table mart.mart_mrr_waterfall_month]
 """
 
 from __future__ import annotations
@@ -105,12 +106,43 @@ def cmd_dag(args) -> int:
     return 0
 
 
+def cmd_fingerprint(args) -> int:
+    """Order-independent checksum of warehouse tables
+    (operators/maintenance.table_fingerprint) — compare two warehouses
+    or a table before/after a migration without moving data. One line
+    per table: schema.table n_rows h1_sum h2_sum."""
+    from duckdb_dbt_finance_warehouse_spark.operators.maintenance import (
+        table_fingerprint,
+    )
+
+    spark = get_spark("fingerprint")
+    wh = Warehouse(spark, args.warehouse)
+    targets = []
+    if args.table:
+        for t in args.table.split(","):
+            schema, name = t.split(".", 1)
+            targets.append((schema, name))
+    else:
+        root = args.warehouse
+        for schema in sorted(os.listdir(root)):
+            sdir = os.path.join(root, schema)
+            if not os.path.isdir(sdir):
+                continue
+            for name in sorted(os.listdir(sdir)):
+                if not name.startswith("_trash_") and wh.exists(schema, name):
+                    targets.append((schema, name))
+    for schema, name in targets:
+        r = table_fingerprint(wh.read(schema, name)).first()
+        print(f"{schema}.{name}  n_rows={r['n_rows']}  h1={r['h1_sum']}  h2={r['h2_sum']}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     dag = sub.add_parser("dag")
     dag.add_argument("--select", default=None)
-    for name in ("ingest", "build", "test", "query"):
+    for name in ("ingest", "build", "test", "query", "fingerprint"):
         s = sub.add_parser(name)
         s.add_argument("--warehouse", required=True)
         if name == "ingest":
@@ -124,6 +156,8 @@ def main() -> int:
         if name == "query":
             s.add_argument("sql")
             s.add_argument("--rows", type=int, default=50)
+        if name == "fingerprint":
+            s.add_argument("--table", default=None, help="schema.table[,schema.table...]; default: all")
     args = ap.parse_args()
     return {
         "ingest": cmd_ingest,
@@ -131,6 +165,7 @@ def main() -> int:
         "test": cmd_test,
         "query": cmd_query,
         "dag": cmd_dag,
+        "fingerprint": cmd_fingerprint,
     }[args.cmd](args)
 
 
