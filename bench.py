@@ -126,6 +126,7 @@ HEADLINE = [
     "x_triangle_sample",          # DOULION 1/4-edge-sampled estimate
     "x_table_fingerprint",        # order-independent table checksum
     "x_multimodal_frames",        # strided frame sampling, codegen-only
+    "x_kfold_split",              # deterministic k-fold CV assignment
 ]
 
 

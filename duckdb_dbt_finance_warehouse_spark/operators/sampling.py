@@ -112,6 +112,49 @@ def leakage_safe_split(
     )
 
 
+def kfold_split(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "fold0",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation:
+    ``fold = floor(u * k)`` where u is the md5 hash uniform — stable
+    across engines, reruns, and repartitionings, and uniform across
+    folds in expectation.
+
+    With ``pairs`` (a near-dup edge list), the fold unit becomes the
+    connected-component cluster exactly as in ``leakage_safe_split`` —
+    every near-duplicate lands in the same fold, so no CV fold
+    evaluates on a near-copy of another fold's training data. Without
+    ``pairs`` it is a plain per-id k-fold.
+
+    Exactness: u = m/2^32 with m < 2^32, so u*k is exact in float64
+    for any k < 2^20 and floor(u*k) replays identically in any engine.
+    Scale: a narrow map (plus the pair-volume cluster join when
+    leakage-aware)."""
+    if k < 2:
+        raise ValueError(f"kfold_split: k must be >= 2, got {k}")
+    if pairs is not None:
+        from .dedup import dedup_clusters
+
+        clusters = dedup_clusters(pairs).withColumnRenamed("member_id", id_col)
+        group = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+        out = (
+            df.join(clusters, id_col, "left")
+            .withColumn("fold_group", group)
+            .withColumn(
+                "fold", F.floor(hash_uniform(F.col("fold_group"), salt) * k).cast("int")
+            )
+            .drop("cluster_id")
+        )
+        return out
+    return df.withColumn(
+        "fold", F.floor(hash_uniform(id_col, salt) * k).cast("int")
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     id_col: str,

@@ -41,7 +41,8 @@ from . import extensions  # noqa: E402,F401
 # and the end-of-round additions x_event_hopping_window,
 # sql7_outer_join_histogram_q13_style, sql8_correlated_min_q2_style,
 # x_corpus_profile, x_basket_pairs, x_triangle_count,
-# x_triangle_sample, x_table_fingerprint, x_multimodal_frames — all
+# x_triangle_sample, x_table_fingerprint, x_multimodal_frames,
+# x_kfold_split — all
 # green in
 # tools/check_correctness.py, the driver-identical local gate), then
 # (b) the r4-green entries rotated out this round, then (c) the oldest

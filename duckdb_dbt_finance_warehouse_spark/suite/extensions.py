@@ -336,6 +336,37 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_kfold_split",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, source,
+             CAST(floor({sampling.hash_uniform_oracle_sql("doc_id", "fold0")} * 5)
+               AS INT) AS fold
+      FROM documents)
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc
+    FROM a GROUP BY fold
+    """,
+)
+def x_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold CV assignment (operators/sampling.
+    kfold_split, k=5): fold = floor(md5-uniform * k), exact in float64
+    and engine-portable, summarized per fold. The leakage-aware variant
+    (pairs= near-dup edges -> every cluster member shares a fold) is
+    pinned by pytest — its recursive-closure oracle would duplicate
+    x_leakage_safe_split's structural-outlier cost in the DuckDB
+    baseline for no extra coverage. A narrow map + one 5-group agg."""
+    docs = _docs(spark, sf_dir)
+    f = sampling.kfold_split(docs, "doc_id", k=5, salt="fold0")
+    return f.groupBy("fold").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum("doc_id").alias("sum_doc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

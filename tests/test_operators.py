@@ -1628,3 +1628,28 @@ def test_table_fingerprint_order_independent_and_mergeable(spark):
         spark.createDataFrame([(1, "a"), (2, "b"), (3, None), (4, "D")], ["k", "v"])
     ).first()
     assert (changed["h1_sum"], changed["h2_sum"]) != (full["h1_sum"], full["h2_sum"])
+
+
+def test_kfold_split_cluster_coherent_and_uniform(spark):
+    """Leakage-aware k-fold: every member of a near-dup cluster lands in
+    the SAME fold; folds are deterministic and cover [0, k)."""
+    from duckdb_dbt_finance_warehouse_spark.operators import sampling
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    # chain 0-1-2 one cluster; 10-11 another
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"]
+    )
+    out = sampling.kfold_split(docs, "doc_id", k=4, pairs=pairs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["fold"] == rows[1]["fold"] == rows[2]["fold"]
+    assert rows[10]["fold"] == rows[11]["fold"]
+    folds = {r["fold"] for r in rows.values()}
+    assert folds == {0, 1, 2, 3}
+    # deterministic across invocations
+    again = {r["doc_id"]: r["fold"] for r in
+             sampling.kfold_split(docs, "doc_id", k=4, pairs=pairs).collect()}
+    assert again == {d: r["fold"] for d, r in rows.items()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        sampling.kfold_split(docs, "doc_id", k=1)
