@@ -191,3 +191,69 @@ def test_triangle_census_matches_bruteforce(spark, raw):
     assert got["n_triangles"] == tri
     if wedges:
         assert got["clustering_coeff"] == 3.0 * tri / wedges
+
+
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=60 * 60 * 24 - 1), min_size=1, max_size=30
+    )
+)
+@PROP
+def test_hopping_equals_tumbling_when_slide_is_size(spark, offsets):
+    """window(size, slide=size) degenerates to the tumbling window —
+    the two operators must agree on any event set."""
+    from datetime import datetime, timedelta
+
+    from duckdb_dbt_finance_warehouse_spark.operators import sessionize
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (i, base + timedelta(seconds=o), i % 3, "click" if o % 2 else "view")
+        for i, o in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    hop = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["n_users"])
+        for r in sessionize.hopping_window(df, size_minutes=60, slide_minutes=60).collect()
+    }
+    tum = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["n_users"])
+        for r in sessionize.tumbling_window(df, unit="hour").collect()
+    }
+    assert hop == tum
+
+
+@given(
+    lines=st.lists(
+        st.one_of(
+            st.builds(
+                lambda i, t: f'{{"doc_id": {i}, "text": "{t}", "lang": "en", "source": "w", "n_chars": {len(t)}}}',
+                st.integers(min_value=0, max_value=99),
+                st.text(alphabet="abc xyz", max_size=10),
+            ),
+            st.sampled_from(
+                ['{"doc_id": "x"}', "not json at all", "{", "  ", "", "[1,2,3]"]
+            ),
+        ),
+        max_size=12,
+    )
+)
+@PROP
+def test_jsonl_parse_partitions_every_line(spark, tmp_path_factory, lines):
+    """good + quarantined must exactly partition the non-blank lines:
+    nothing dropped, nothing duplicated, regardless of how malformed
+    the batch is."""
+    from duckdb_dbt_finance_warehouse_spark.sources.jsonl import (
+        DOCUMENT_SCHEMA,
+        parse_jsonl,
+    )
+
+    d = tmp_path_factory.mktemp("jsonl_prop")
+    p = d / "batch.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    good, quar = parse_jsonl(spark, str(p), DOCUMENT_SCHEMA)
+    n_nonblank = sum(1 for l in lines if l.strip())
+    assert good.count() + quar.count() == n_nonblank
+    # every good row is one of the well-formed inputs
+    for r in good.collect():
+        assert r["doc_id"] is not None and r["lang"] == "en"
