@@ -8,6 +8,8 @@
   python runner.py test   --warehouse WH
   python runner.py dag    [--select model1,model2]   # build-order listing
   python runner.py fingerprint --warehouse WH [--table mart.mart_mrr_waterfall_month]
+  python runner.py curate --warehouse WH --docs-dir /root/testdata/sf0.001
+                          [--val-fraction 0.2] [--min-quality 0.7] [--pack-budget 512]
 """
 
 from __future__ import annotations
@@ -106,6 +108,71 @@ def cmd_dag(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end corpus curation (the LLM-data analog of `build`):
+    documents -> per-doc audit (language, quality, exact-dup, PII
+    counts) -> near-dup pairs -> leakage-safe cluster-coherent
+    train/val split -> token counts -> packed training sequences.
+    Writes curated.document_audit, curated.documents (with split),
+    curated.train_pieces. Every stage is an oracle-verified operator;
+    this command just composes them into warehouse tables."""
+    from duckdb_dbt_finance_warehouse_spark.operators import dedup as ddp
+    from duckdb_dbt_finance_warehouse_spark.operators import packing, sampling, text
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+    from pyspark.sql import functions as F
+
+    spark = get_spark("curate")
+    wh = Warehouse(spark, args.warehouse)
+    docs = load_testdata(spark, args.docs_dir, "documents")["documents"]
+
+    lang = text.language_id(docs, "doc_id", "text").select("doc_id", "pred_lang")
+    qual = text.quality_score(docs, "doc_id", "text").select("doc_id", "quality_score")
+    dup = ddp.exact_dedup(docs, "doc_id", "text").select("doc_id", "is_duplicate")
+    pii = text.scrub_pii(docs, "doc_id", "text").select(
+        "doc_id", "n_emails", "n_phones"
+    )
+    audit = (
+        docs.select("doc_id", "source", "lang")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(dup, "doc_id")
+        .join(pii, "doc_id")
+        .withColumn(
+            "keep",
+            ~F.col("is_duplicate") & (F.col("quality_score") >= args.min_quality),
+        )
+    )
+    wh.write(audit, "curated", "document_audit")
+    audit = wh.read("curated", "document_audit")
+
+    kept = docs.join(audit.filter("keep").select("doc_id"), "doc_id")
+    pairs = ddp.minhash_lsh_dedup_portable(
+        kept, "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
+    )
+    split = sampling.leakage_safe_split(
+        kept, pairs, "doc_id", args.val_fraction
+    ).select("doc_id", "text", "lang", "source", "n_chars", "split_group", "split")
+    wh.write(split, "curated", "documents")
+    ddp.release_persisted()
+    split = wh.read("curated", "documents")
+
+    toks = text.token_counts(split.filter("split = 'train'"), "doc_id", "text")
+    pieces = packing.pack_sequences(
+        toks, "doc_id", "n_ws_tokens", budget=args.pack_budget, n_streams=8
+    )
+    wh.write(pieces, "curated", "train_pieces")
+
+    n_docs = docs.count()
+    n_kept = split.count()
+    n_val = split.filter("split = 'val'").count()
+    n_pieces = wh.read("curated", "train_pieces").count()
+    print(
+        f"curated: {n_docs} docs -> {n_kept} kept "
+        f"({n_val} val / {n_kept - n_val} train) -> {n_pieces} packed pieces"
+    )
+    return 0
+
+
 def cmd_fingerprint(args) -> int:
     """Order-independent checksum of warehouse tables
     (operators/maintenance.table_fingerprint) — compare two warehouses
@@ -142,7 +209,7 @@ def main() -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     dag = sub.add_parser("dag")
     dag.add_argument("--select", default=None)
-    for name in ("ingest", "build", "test", "query", "fingerprint"):
+    for name in ("ingest", "build", "test", "query", "fingerprint", "curate"):
         s = sub.add_parser(name)
         s.add_argument("--warehouse", required=True)
         if name == "ingest":
@@ -158,6 +225,11 @@ def main() -> int:
             s.add_argument("--rows", type=int, default=50)
         if name == "fingerprint":
             s.add_argument("--table", default=None, help="schema.table[,schema.table...]; default: all")
+        if name == "curate":
+            s.add_argument("--docs-dir", required=True)
+            s.add_argument("--val-fraction", type=float, default=0.2)
+            s.add_argument("--min-quality", type=float, default=0.7)
+            s.add_argument("--pack-budget", type=int, default=512)
     args = ap.parse_args()
     return {
         "ingest": cmd_ingest,
@@ -166,6 +238,7 @@ def main() -> int:
         "query": cmd_query,
         "dag": cmd_dag,
         "fingerprint": cmd_fingerprint,
+        "curate": cmd_curate,
     }[args.cmd](args)
 
 
