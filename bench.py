@@ -127,6 +127,7 @@ HEADLINE = [
     "x_table_fingerprint",        # order-independent table checksum
     "x_multimodal_frames",        # strided frame sampling, codegen-only
     "x_kfold_split",              # deterministic k-fold CV assignment
+    "sql9_global_avg_anti_join_q22_style",  # Q22 scalar-avg + anti join
 ]
 
 

@@ -1735,6 +1735,42 @@ _SQL8 = """
 """
 
 
+_SQL9 = """
+    WITH stats AS (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c
+    WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) * (SELECT n FROM stats)
+            > (SELECT total_cents FROM stats)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+"""
+
+
+@query("sql9_global_avg_anti_join_q22_style", oracle=_SQL9)
+def sql9_global_avg_anti_join_q22_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q22 shape: a GLOBAL-AVERAGE scalar subquery
+    gating an ANTI-JOINED aggregate (above-average-balance customers
+    with no urgent orders). Catalyst plans the scalar stats as a 1-row
+    broadcast and the NOT EXISTS as a broadcast/shuffled anti join —
+    no per-row subquery execution at any SF. Exactness: avg(double) is
+    ORDER-DEPENDENT across engines, so the threshold is the integer
+    cross-multiplication cents·n > total_cents over exact scaled sums
+    — same rows selected in both engines by construction (the
+    functions/money.exact_sum discipline applied to a predicate)."""
+    for n, df in T(spark, sf_dir, "customer", "orders").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_SQL9)
+
+
 @query("sql8_correlated_min_q2_style", oracle=_SQL8)
 def sql8_correlated_min_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-API surface, Q2 shape: min-cost-supplier lookup via a
