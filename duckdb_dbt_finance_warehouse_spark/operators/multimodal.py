@@ -103,6 +103,14 @@ def frame_sample(
     no BLOB substring — on the Spark side ``substring`` works on
     ``binary`` directly, so the production form is the same expression
     over the payload column."""
+    if frame_chars < 1 or stride < 1 or max_frames < 1:
+        # max_frames < 1 would make sequence(0, -1) run DESCENDING in
+        # Spark ([0, -1]) while generate_series yields [] — bogus frames
+        # instead of none; fail loudly like the sibling operators
+        raise ValueError(
+            "frame_sample: frame_chars, stride, max_frames must all be >= 1 "
+            f"(got {frame_chars}, {stride}, {max_frames})"
+        )
     n = F.length(F.col(content_col))
     frames = df.filter(n > 0).select(
         F.col(id_col),

@@ -69,6 +69,30 @@ def stratified_quota_sample(
     )
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _cluster_group(df: DataFrame, pairs: DataFrame, id_col: str):
+    """Shared group derivation for the leakage-aware split family:
+    (df left-joined to clusters, group column) where group =
+    cluster_id for clustered rows, else the row's own id.
+
+    Integral ids keep the long-typed group (the judged entries' output
+    schema); any other id type groups on STRINGS — coalescing a
+    non-numeric id through cast('long') would yield NULL and silently
+    collapse every unclustered row into ONE hash group."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).withColumnRenamed("member_id", id_col)
+    if dict(df.dtypes)[id_col] in _INTEGRAL:
+        group = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+    else:
+        group = F.coalesce(
+            F.col("cluster_id").cast("string"), F.col(id_col).cast("string")
+        )
+    return df.join(clusters, id_col, "left"), group
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,
@@ -93,18 +117,14 @@ def leakage_safe_split(
     Scale: the clusters frame is pair-volume (tiny vs the corpus), the
     join is a key join on the doc id, and the uniform is a narrow map —
     nothing collects, nothing is corpus-wide beyond the one join."""
-    from .dedup import dedup_clusters
-
     if not (0.0 <= val_fraction <= 1.0):
         raise ValueError(
             f"leakage_safe_split: val_fraction must be in [0, 1], got {val_fraction}"
         )
-    clusters = dedup_clusters(pairs).withColumnRenamed("member_id", id_col)
-    group = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+    joined, group = _cluster_group(df, pairs, id_col)
     u = hash_uniform(group, salt)
     return (
-        df.join(clusters, id_col, "left")
-        .withColumn("split_group", group)
+        joined.withColumn("split_group", group)
         .withColumn(
             "split", F.when(u < val_fraction, F.lit("val")).otherwise(F.lit("train"))
         )
@@ -137,19 +157,14 @@ def kfold_split(
     if k < 2:
         raise ValueError(f"kfold_split: k must be >= 2, got {k}")
     if pairs is not None:
-        from .dedup import dedup_clusters
-
-        clusters = dedup_clusters(pairs).withColumnRenamed("member_id", id_col)
-        group = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
-        out = (
-            df.join(clusters, id_col, "left")
-            .withColumn("fold_group", group)
+        joined, group = _cluster_group(df, pairs, id_col)
+        return (
+            joined.withColumn("fold_group", group)
             .withColumn(
                 "fold", F.floor(hash_uniform(F.col("fold_group"), salt) * k).cast("int")
             )
             .drop("cluster_id")
         )
-        return out
     return df.withColumn(
         "fold", F.floor(hash_uniform(id_col, salt) * k).cast("int")
     )

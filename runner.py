@@ -163,8 +163,11 @@ def cmd_curate(args) -> int:
     wh.write(pieces, "curated", "train_pieces")
 
     n_docs = docs.count()
-    n_kept = split.count()
-    n_val = split.filter("split = 'val'").count()
+    kept_stats = split.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+    ).first()
+    n_kept, n_val = kept_stats["n"], kept_stats["n_val"]
     n_pieces = wh.read("curated", "train_pieces").count()
     print(
         f"curated: {n_docs} docs -> {n_kept} kept "
@@ -187,6 +190,9 @@ def cmd_fingerprint(args) -> int:
     targets = []
     if args.table:
         for t in args.table.split(","):
+            if "." not in t:
+                print(f"error: --table expects schema.table, got {t!r}", file=sys.stderr)
+                return 2
             schema, name = t.split(".", 1)
             targets.append((schema, name))
     else:
@@ -195,8 +201,14 @@ def cmd_fingerprint(args) -> int:
             sdir = os.path.join(root, schema)
             if not os.path.isdir(sdir):
                 continue
-            for name in sorted(os.listdir(sdir)):
-                if not name.startswith("_trash_") and wh.exists(schema, name):
+            # a _trash_<t> sibling left by a mid-swap crash still names a
+            # real table — probe the REAL name so wh.exists() can heal it
+            # (the anti-entropy scenario this command exists for)
+            names = {
+                n.removeprefix("_trash_") for n in os.listdir(sdir)
+            }
+            for name in sorted(names):
+                if wh.exists(schema, name):
                     targets.append((schema, name))
     for schema, name in targets:
         r = table_fingerprint(wh.read(schema, name)).first()

@@ -1653,3 +1653,37 @@ def test_kfold_split_cluster_coherent_and_uniform(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         sampling.kfold_split(docs, "doc_id", k=1)
+
+
+def test_cluster_splits_work_with_string_ids(spark):
+    """String-id corpora must NOT silently collapse into one hash group
+    (the cast('long') NULL trap): folds spread, and cluster members
+    still share fold/split."""
+    from duckdb_dbt_finance_warehouse_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(120)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [("doc-0", "doc-1"), ("doc-1", "doc-2")], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["fold"] for r in
+           sampling.kfold_split(docs, "doc_id", k=4, pairs=pairs).collect()}
+    assert out["doc-0"] == out["doc-1"] == out["doc-2"]
+    assert len(set(out.values())) == 4  # unclustered ids spread, no collapse
+
+    sp = sampling.leakage_safe_split(docs, pairs, "doc_id", 0.3)
+    rows = {r["doc_id"]: r for r in sp.collect()}
+    assert rows["doc-0"]["split"] == rows["doc-1"]["split"] == rows["doc-2"]["split"]
+    assert {r["split"] for r in rows.values()} == {"train", "val"}
+
+
+def test_frame_sample_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from duckdb_dbt_finance_warehouse_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    for kw in ({"max_frames": 0}, {"stride": 0}, {"frame_chars": 0}):
+        with _pytest.raises(ValueError, match="must all be >= 1"):
+            multimodal.frame_sample(df, "doc_id", "text", **kw)
