@@ -128,6 +128,9 @@ HEADLINE = [
     "x_multimodal_frames",        # strided frame sampling, codegen-only
     "x_kfold_split",              # deterministic k-fold CV assignment
     "sql9_global_avg_anti_join_q22_style",  # Q22 scalar-avg + anti join
+    "x_auc_quality",              # exact ROC-AUC, two-pass prefix sum
+    "x_ks_drift",                 # exact KS drift, cross-multiplied CDFs
+    "x_shard_rendezvous",         # rendezvous reshard audit, zero-shuffle
 ]
 
 

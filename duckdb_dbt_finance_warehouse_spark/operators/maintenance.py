@@ -281,3 +281,58 @@ def table_fingerprint(df: DataFrame, cols: list | None = None) -> DataFrame:
         F.sum(w1).alias("h1_sum"),
         F.sum(w2).alias("h2_sum"),
     )
+
+
+def rendezvous_shard(key_col, n_shards: int, salt: str = "rv0") -> F.Column:
+    """Rendezvous (highest-random-weight) shard assignment: the shard
+    whose ``md5(key ':' salt ':' shard)`` is lexicographically largest
+    wins. The property that matters at 100 TB: adding shard N+1 moves
+    ONLY the ~1/(N+1) of keys whose new hash beats their old winner —
+    every other key keeps its shard, so a reshard rewrites 1/(N+1) of
+    the data instead of (N)/(N+1) under mod-N hashing.
+
+    Pure per-row expression over an ``n_shards``-element string array —
+    no shuffle, no state, no lookup table to ship; md5 makes it
+    engine-portable (DuckDB: ``list_position(hs, list_max(hs)) - 1``
+    over the identical ``list_transform(generate_series(...))``)."""
+    if n_shards <= 0:
+        raise ValueError(f"rendezvous_shard: n_shards must be positive, got {n_shards}")
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.md5(
+            F.concat(c.cast("string"), F.lit(f":{salt}:"), s.cast("string"))
+        ),
+    )
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def reshard_audit(
+    df: DataFrame, key_col: str, n_before: int, n_after: int, salt: str = "rv0"
+) -> DataFrame:
+    """Reshard movement audit: assign every key under the ``n_before``-
+    and ``n_after``-shard rendezvous layouts in ONE narrow scan and
+    roll up, per destination shard, how many rows land there and how
+    many of those MOVED. Under rendezvous hashing growing N -> N+1
+    moves keys only INTO the new shards (an existing shard can never
+    start beating a hash it already lost to), so ``n_moved`` is 0 for
+    every surviving shard — the invariant pytest pins, and the reason
+    a reshard at 100 TB is an append-shaped copy, not a full rewrite.
+
+    Shape: two per-row array expressions + one tiny groupBy on the
+    shard id (≤ n_after groups); the corpus is scanned once and never
+    shuffled at row width."""
+    before = rendezvous_shard(key_col, n_before, salt)
+    after = rendezvous_shard(key_col, n_after, salt)
+    return (
+        df.select(
+            before.alias("shard_before"), after.alias("shard_after")
+        )
+        .groupBy("shard_after")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("shard_before") != F.col("shard_after"), 1).otherwise(0)
+            ).cast("long").alias("n_moved"),
+        )
+    )

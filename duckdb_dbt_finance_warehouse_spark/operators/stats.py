@@ -167,3 +167,191 @@ def rolling_zscore_anomalies(
             F.abs(z) >= F.lit(z_threshold)
         ).alias("is_anomaly"),
     )
+
+
+def ordered_prefix_sums(
+    df: DataFrame, order_col: str, sum_cols: list[str], buckets: int = 32
+) -> DataFrame:
+    """Inclusive prefix sums of ``sum_cols`` in ``order_col`` order,
+    WITHOUT a global window (the house rule: ``Window.orderBy`` with no
+    partition key funnels every row through one task). Two-pass form,
+    generalized from ``maintenance.compaction_plan``:
+
+    1. range-partition into ``buckets`` ordered buckets,
+    2. bucket-partitioned windows compute LOCAL cumulative sums,
+    3. per-bucket totals collapse to one row and an O(buckets²)
+       higher-order fold produces exclusive bucket offsets,
+    4. a broadcast join adds the offsets back.
+
+    ``order_col`` values must be UNIQUE (aggregate first — callers here
+    all feed a per-distinct-value grouped table); with ties a ROWS
+    running sum would be partition-order-dependent. Appends
+    ``cum_<c>`` (long) per requested column."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _persist
+
+    bucketed = df.repartitionByRange(buckets, F.col(order_col)).withColumn(
+        "_bucket", F.spark_partition_id()
+    )
+    # consumed by the local-cumsum window AND the totals aggregate AND
+    # the final join — persist the (value-grid-bounded) grouped rows
+    bucketed = _persist(bucketed)
+    w = (
+        W.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = bucketed.select(
+        "*", *[F.sum(c).over(w).alias(f"_local_{c}") for c in sum_cols]
+    )
+    totals = bucketed.groupBy("_bucket").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    )
+    offsets = (
+        totals.agg(
+            F.sort_array(
+                F.collect_list(F.struct("_bucket", *[f"_t_{c}" for c in sum_cols]))
+            ).alias("_ts")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(_ts, (t, i) -> struct(t._bucket AS _bucket, "
+                    + ", ".join(
+                        f"aggregate(slice(_ts, 1, i), 0L, (acc, x) -> acc + x._t_{c})"
+                        f" AS _off_{c}"
+                        for c in sum_cols
+                    )
+                    + "))"
+                )
+            ).alias("_o")
+        )
+        .select("_o.*")
+    )
+    out = local.join(F.broadcast(offsets), "_bucket")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_local_{c}") + F.col(f"_off_{c}"))
+    return out.drop(
+        "_bucket", *[f"_local_{c}" for c in sum_cols], *[f"_off_{c}" for c in sum_cols]
+    )
+
+
+def auc_exact(
+    df: DataFrame, score_col: str, label_col: str, buckets: int = 32
+) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney U with the standard half-credit for
+    ties) of an integer score against a boolean label — the evaluation
+    half of the quality-classifier story (train filters with
+    ``text.quality_classifier``-shaped models, then CHECK that the
+    score separates a held-out label before trusting it on 100 TB).
+
+    Identity: 2·U = Σ_s pos_s · (2·neg_below(s) + neg_s) over distinct
+    scores s, AUC = U / (n_pos·n_neg). All sums are exact bigints (one
+    double division at the end), so the DuckDB oracle replays the value
+    bit-for-bit. Valid while n_pos·n_neg < 2^62 (~2·10^9 rows per
+    class) — past that, pre-bucket scores or accept the double path.
+
+    Shape: one groupBy collapses the corpus to its DISTINCT-score grid
+    (bounded by the score quantization, NOT the corpus — map-side
+    combine does the heavy lifting), then the two-pass prefix sum and a
+    single-row aggregate. No global window, nothing driver-side.
+
+    Output (1 row): n_pos, n_neg, n_scores, u2, auc."""
+    lbl = F.col(label_col).cast("boolean")
+    g = df.groupBy(F.col(score_col).cast("long").alias("_score")).agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("_pos"),
+        F.sum(F.when(lbl, 0).otherwise(1)).cast("long").alias("_neg"),
+    )
+    g = ordered_prefix_sums(g, "_score", ["_neg"], buckets)
+    return (
+        g.agg(
+            F.sum("_pos").alias("n_pos"),
+            F.sum("_neg").alias("n_neg"),
+            F.count("*").alias("n_scores"),
+            F.sum(
+                F.col("_pos") * (2 * (F.col("cum__neg") - F.col("_neg")) + F.col("_neg"))
+            ).alias("u2"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "n_scores",
+            "u2",
+            (
+                F.col("u2").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+            ).alias("auc"),
+        )
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    part_a: str,
+    part_b: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of two corpus slices — the
+    distribution-drift gate a pipeline runs before mixing a new crawl
+    snapshot into the training set (did the length/score distribution
+    shift?).
+
+    D = max_v |F_a(v) − F_b(v)| evaluated cross-multiplied in exact
+    bigints: d_num = max |cum_a(v)·n_b − cum_b(v)·n_a|, D = d_num /
+    (n_a·n_b) — one double division at the end, so the oracle replays
+    bit-for-bit. Valid while n_a·n_b < 2^63 (~3·10^9 rows per slice);
+    past that, divide the counts by a common factor first.
+
+    Shape: groupBy collapses both slices to the distinct-value grid in
+    ONE scan, two-pass prefix sums (no global window), a 1-row
+    broadcast of the totals, a 1-row broadcast of the max back onto the
+    grid to recover WHERE the gap peaks (min value on ties —
+    deterministic).
+
+    Output (1 row): n_a, n_b, d_num, ks_at (value of max gap), ks."""
+    from .dedup import _persist
+
+    p = F.col(part_col)
+    g = (
+        df.filter(p.isin(part_a, part_b))
+        .groupBy(F.col(value_col).cast("long").alias("_v"))
+        .agg(
+            F.sum(F.when(p == part_a, 1).otherwise(0)).cast("long").alias("_ca"),
+            F.sum(F.when(p == part_b, 1).otherwise(0)).cast("long").alias("_cb"),
+        )
+    )
+    g = ordered_prefix_sums(g, "_v", ["_ca", "_cb"], buckets)
+    totals = g.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    j = g.join(F.broadcast(totals)).withColumn(
+        "_cross",
+        F.abs(F.col("cum__ca") * F.col("_nb") - F.col("cum__cb") * F.col("_na")),
+    )
+    # consumed by the max aggregate AND the argmax join-back; bounded by
+    # the distinct-value grid, never the corpus
+    j = _persist(j)
+    d = j.agg(F.max("_cross").alias("_dnum"))
+    return (
+        j.join(F.broadcast(d), F.col("_cross") == F.col("_dnum"))
+        .agg(
+            F.min("_na").alias("n_a"),
+            F.min("_nb").alias("n_b"),
+            F.min("_dnum").alias("d_num"),
+            F.min("_v").alias("ks_at"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            "ks_at",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks"),
+        )
+    )

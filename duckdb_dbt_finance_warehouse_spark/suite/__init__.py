@@ -50,7 +50,8 @@ from . import extensions  # noqa: E402,F401
 # sql7_outer_join_histogram_q13_style, sql8_correlated_min_q2_style,
 # x_corpus_profile, x_basket_pairs, x_triangle_count,
 # x_triangle_sample, x_table_fingerprint, x_multimodal_frames,
-# x_kfold_split, sql9_global_avg_anti_join_q22_style — all
+# x_kfold_split, sql9_global_avg_anti_join_q22_style, and the
+# continued-r5 batch x_auc_quality, x_ks_drift, x_shard_rendezvous — all
 # green in
 # tools/check_correctness.py, the driver-identical local gate), then
 # (b) the r4-green entries rotated out this round, then (c) the oldest

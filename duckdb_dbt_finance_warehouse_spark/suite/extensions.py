@@ -3126,3 +3126,130 @@ def x_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# continued round-5: evaluation + drift + placement ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_auc_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    w AS (SELECT doc_id,
+                 ('0x' || substr(md5('qw0' || ':' || tok), 1, 8))::BIGINT % 2001
+                   - 1000 AS wq
+          FROM toks WHERE tok <> ''),
+    s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(wq) AS BIGINT) AS w_sum
+          FROM w GROUP BY 1),
+    sc AS (SELECT ((s.w_sum + s.n_tokens * 1000) * 1000000)
+                    // (s.n_tokens * 1000) AS score_q,
+                  (d.lang = 'en') AS is_en
+           FROM s JOIN documents d USING (doc_id)),
+    g AS (SELECT score_q,
+                 CAST(count(*) FILTER (WHERE is_en) AS BIGINT) AS pos,
+                 CAST(count(*) FILTER (WHERE NOT is_en) AS BIGINT) AS neg
+          FROM sc GROUP BY 1),
+    c AS (SELECT pos, neg,
+                 CAST(sum(neg) OVER (ORDER BY score_q
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - neg AS BIGINT) AS negbelow
+          FROM g)
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS n_scores,
+           CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS u2,
+           CAST(sum(pos * (2 * negbelow + neg)) AS DOUBLE)
+             / CAST(2 * sum(pos) * sum(neg) AS DOUBLE) AS auc
+    FROM c
+    """,
+)
+def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the hashed-feature quality classifier against a
+    held-out label (operators/stats.auc_exact): score the corpus with
+    text.quality_classifier, join the label table (labels live apart
+    from scores in a real eval set — one doc-keyed equi join), quantize
+    the logit to a SHIFTED nonnegative integer grid (shift before the
+    floor-div so Spark's `div` and DuckDB's `//` agree on negatives),
+    then Mann-Whitney U with tie half-credit in exact bigints via the
+    two-pass prefix sum — no global window, corpus collapses to the
+    distinct-score grid before any ordered work."""
+    docs = _docs(spark, sf_dir)
+    qc = text.quality_classifier(docs, "doc_id", "text")
+    scored = qc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.expr("((w_sum + n_tokens * 1000) * 1000000) div (n_tokens * 1000)").alias(
+            "score_q"
+        ),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return stats.auc_exact(scored, "score_q", "is_en")
+
+
+@query(
+    "x_ks_drift",
+    oracle="""
+    WITH g AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                      CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
+                      CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS cb
+               FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1),
+    c AS (SELECT v,
+                 CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER w AS BIGINT) AS cumb
+          FROM g WINDOW w AS (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM g),
+    x AS (SELECT v, abs(cuma * t.nb - cumb * t.na) AS gap FROM c, t),
+    d AS (SELECT CAST(max(gap) AS BIGINT) AS d_num FROM x)
+    SELECT t.na AS n_a, t.nb AS n_b, d.d_num,
+           CAST(min(x.v) AS BIGINT) AS ks_at,
+           CAST(d.d_num AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS ks
+    FROM x, t, d WHERE x.gap = d.d_num
+    GROUP BY t.na, t.nb, d.d_num
+    """,
+)
+def x_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between the
+    en and zh length distributions (operators/stats.ks_drift) — the
+    distribution gate before mixing a new crawl snapshot into training
+    data. Cross-multiplied bigint CDF gap (one double division at the
+    end), distinct-value grid + two-pass prefix sums, 1-row broadcast
+    argmax join-back for WHERE the gap peaks."""
+    return stats.ks_drift(_docs(spark, sf_dir), "n_chars", "lang", "en", "zh")
+
+
+@query(
+    "x_shard_rendezvous",
+    oracle="""
+    WITH h AS (SELECT
+        list_transform(generate_series(0, 7),
+          s -> md5(CAST(doc_id AS VARCHAR) || ':rv0:' || CAST(s AS VARCHAR)))
+          AS hs8,
+        list_transform(generate_series(0, 8),
+          s -> md5(CAST(doc_id AS VARCHAR) || ':rv0:' || CAST(s AS VARCHAR)))
+          AS hs9
+      FROM documents),
+    a AS (SELECT CAST(list_position(hs8, list_max(hs8)) - 1 AS INT)
+                   AS shard_before,
+                 CAST(list_position(hs9, list_max(hs9)) - 1 AS INT)
+                   AS shard_after
+          FROM h)
+    SELECT shard_after, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE shard_before <> shard_after) AS BIGINT)
+             AS n_moved
+    FROM a GROUP BY 1
+    """,
+)
+def x_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash reshard audit, 8 -> 9 shards (operators/
+    maintenance.reshard_audit): highest-random-weight assignment is a
+    pure per-row md5 array expression — zero shuffle at row width, no
+    lookup table to ship — and growing the shard count moves ONLY the
+    ~1/9 of keys claimed by the new shard (n_moved = 0 for shards 0-7,
+    pytest-pinned), so a reshard at 100 TB is an append-shaped copy of
+    1/(N+1) of the data, not the (N)/(N+1) rewrite mod-N hashing
+    forces."""
+    return maintenance.reshard_audit(_docs(spark, sf_dir), "doc_id", 8, 9)

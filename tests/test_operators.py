@@ -1687,3 +1687,113 @@ def test_frame_sample_rejects_bad_params(spark):
     for kw in ({"max_frames": 0}, {"stride": 0}, {"frame_chars": 0}):
         with _pytest.raises(ValueError, match="must all be >= 1"):
             multimodal.frame_sample(df, "doc_id", "text", **kw)
+
+
+# ---------------------------------------------------------------------------
+# stats: exact AUC / KS drift / two-pass prefix sums; maintenance: rendezvous
+# ---------------------------------------------------------------------------
+
+
+def test_ordered_prefix_sums_matches_global_cumsum(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import (
+        ordered_prefix_sums,
+    )
+
+    rows = [(v, v % 7, (v * 3) % 5) for v in range(0, 200, 3)]
+    df = spark.createDataFrame(rows, "v long, a long, b long")
+    got = {
+        r["v"]: (r["cum_a"], r["cum_b"])
+        for r in ordered_prefix_sums(df, "v", ["a", "b"], buckets=5).collect()
+    }
+    ca = cb = 0
+    for v, a, b in sorted(rows):
+        ca, cb = ca + a, cb + b
+        assert got[v] == (ca, cb), v
+
+
+def test_auc_exact_matches_pairwise_bruteforce(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import auc_exact
+
+    # scores with heavy ties across both classes
+    rows = [((i * i) % 13, i % 3 == 0) for i in range(120)]
+    df = spark.createDataFrame(rows, "score long, label boolean")
+    r = auc_exact(df, "score", "label").collect()[0]
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert r["u2"] == u2
+    assert r["auc"] == u2 / (2 * len(pos) * len(neg))
+
+
+def test_auc_exact_perfect_and_random_separation(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import auc_exact
+
+    perfect = spark.createDataFrame(
+        [(i, i >= 50) for i in range(100)], "score long, label boolean"
+    )
+    assert auc_exact(perfect, "score", "label").collect()[0]["auc"] == 1.0
+    constant = spark.createDataFrame(
+        [(7, i % 2 == 0) for i in range(100)], "score long, label boolean"
+    )
+    # all ties -> half credit everywhere -> 0.5
+    assert auc_exact(constant, "score", "label").collect()[0]["auc"] == 0.5
+
+
+def test_ks_drift_matches_ecdf_bruteforce(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import ks_drift
+
+    va = [(v * 7) % 40 for v in range(90)]
+    vb = [(v * 11) % 40 + 5 for v in range(70)]
+    rows = [(v, "a") for v in va] + [(v, "b") for v in vb]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    r = ks_drift(df, "v", "grp", "a", "b").collect()[0]
+    na, nb = len(va), len(vb)
+    grid = sorted(set(va) | set(vb))
+    best, best_at = -1, None
+    for g in grid:
+        gap = abs(sum(1 for v in va if v <= g) * nb - sum(1 for v in vb if v <= g) * na)
+        if gap > best:
+            best, best_at = gap, g
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["d_num"] == best
+    assert r["ks_at"] == best_at
+    assert r["ks"] == best / (na * nb)
+
+
+def test_ks_drift_identical_slices_is_zero(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import ks_drift
+
+    rows = [(v % 20, g) for v in range(80) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    r = ks_drift(df, "v", "grp", "a", "b").collect()[0]
+    assert r["d_num"] == 0 and r["ks"] == 0.0
+
+
+def test_rendezvous_growth_moves_only_into_new_shard(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.maintenance import (
+        rendezvous_shard,
+        reshard_audit,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    audit = {r["shard_after"]: r for r in reshard_audit(df, "k", 8, 9).collect()}
+    assert set(audit) == set(range(9))
+    # rendezvous invariant: growing N -> N+1 moves keys ONLY into the
+    # new shard; every surviving shard keeps all its keys
+    for s in range(8):
+        assert audit[s]["n_moved"] == 0, s
+    assert audit[8]["n_moved"] == audit[8]["n_rows"] > 0
+    # expected movement ~ 1/9 of keys; allow generous spread
+    assert 5000 // 20 < audit[8]["n_rows"] < 5000 // 4
+    # assignment is a pure row expression: stable under repartitioning
+    a1 = df.select("k", rendezvous_shard("k", 8).alias("s")).collect()
+    a2 = (
+        df.repartition(13)
+        .select("k", rendezvous_shard("k", 8).alias("s"))
+        .collect()
+    )
+    assert {r["k"]: r["s"] for r in a1} == {r["k"]: r["s"] for r in a2}
+    # every shard in range
+    assert all(0 <= r["s"] < 8 for r in a1)

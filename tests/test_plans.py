@@ -104,6 +104,7 @@ BNLJ_ALLOWED = {
     "x_corpus_profile",  # 1-row corpus-total bound crossed into slice rows
     "x_triangle_count",  # three 1-row census scalars crossed into one row
     "x_triangle_sample",  # two 1-row census scalars crossed into one row
+    "x_ks_drift",  # 1-row slice-totals bound crossed into the value grid
 }
 
 
@@ -313,3 +314,28 @@ def test_lateral_limit_decorrelates_to_window_group_limit(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p
     assert p.count("Join") == 1
+
+
+@pytest.mark.parametrize("name", ["x_auc_quality", "x_ks_drift"])
+def test_ordered_stats_windows_are_bucket_partitioned(spark, name):
+    """AUC / KS prefix sums must be the two-pass form: every Window in
+    the plan carries the range-bucket partition spec — a global ordered
+    window would funnel the whole distinct-score/value grid (unbounded
+    in corpus terms only via the quantization grid, but 10^6+ rows for
+    fine grids) through one task."""
+    p = plan_of(spark, name)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, f"expected a window in {name}"
+    for spec in specs:
+        assert "_bucket" in spec.split(",")[0], (name, spec)
+
+
+def test_shard_rendezvous_single_scan_no_joins(spark):
+    """Rendezvous assignment is a pure per-row expression: the audit
+    plan is one scan + one tiny shard-keyed aggregate — no joins, no
+    windows, exactly one exchange (the ≤9-group final agg), and the
+    scan reads only the key column."""
+    p = plan_of(spark, "x_shard_rendezvous")
+    assert "Join" not in p and "Window" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "ReadSchema: struct<doc_id:bigint>" in p
