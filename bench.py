@@ -131,6 +131,8 @@ HEADLINE = [
     "x_auc_quality",              # exact ROC-AUC, two-pass prefix sum
     "x_ks_drift",                 # exact KS drift, cross-multiplied CDFs
     "x_shard_rendezvous",         # rendezvous reshard audit, zero-shuffle
+    "x_embed_drift",              # centroid cosine drift, grid-sized exchange
+    "x_lexical_drift",            # chi-square term drift, vocab-bounded
 ]
 
 

@@ -1233,3 +1233,85 @@ def quantize_embeddings(
         ).alias("sum_q"),
         F.round(recon_err, 9).alias("max_abs_err"),
     )
+
+
+def centroid_drift(
+    df: DataFrame, vec_col: str, slice_col, scale: int = int(QUANT_SCALE)
+) -> DataFrame:
+    """Embedding-space drift between two corpus slices: the cosine
+    between the slices' centroid vectors — the numeric complement of
+    the lexical/KS drift gates (a new crawl snapshot whose embedding
+    centroid swings away from the reference slice changes the training
+    distribution even when token stats look stable).
+
+    Exactness: components quantize to the ``scale`` grid (half-up,
+    exact float→double product), per-dim sums are exact bigints, the
+    per-dim MEAN re-lands on the quantized grid via a shift-then-
+    truncate division (numerator made nonnegative first, so Spark's
+    ``div`` and DuckDB's ``//`` agree), and dot/norms over the d-entry
+    mean vectors are exact bigints (bounded by d·(2·scale)² — 2^44 for
+    d=64 at the default grid, independent of corpus size). One IEEE
+    division + sqrt at the end; the oracle replays bit-for-bit at ANY
+    row count (sums stay exact while n·scale < 2^63 — ~3·10^13 rows).
+
+    Shape: ``spread_input`` then ONE posexplode + grouped partial-agg
+    pass — the d× row expansion collapses to the (2·d)-row grid inside
+    the map stage (map-side combine), so the exchange carries ~2·d
+    rows regardless of corpus size; everything after is grid-sized.
+
+    ``slice_col``: boolean Column; False = slice a, True = slice b.
+    Output (1 row): n_a, n_b, n_dims, dot_q, centroid_cosine."""
+    from .dedup import spread_input
+
+    e = spread_input(df.select(slice_col.cast("boolean").alias("_sb"), vec_col))
+    exploded = e.select(
+        "_sb", F.posexplode(vec_col).alias("_pos", "_x")
+    ).select(
+        "_sb",
+        (F.col("_pos") + 1).alias("dim"),
+        F.round(F.col("_x").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("_q"),
+    )
+    per = exploded.groupBy("_sb", "dim").agg(
+        F.sum("_q").alias("_s"), F.count("*").alias("_n")
+    )
+    m = per.select(
+        "_sb",
+        "dim",
+        "_n",
+        F.expr(f"((_s + _n * {scale}L) div _n) - {scale}L").alias("_m"),
+    )
+    a = m.filter(~F.col("_sb")).select(
+        "dim", F.col("_m").alias("_ma"), F.col("_n").alias("_na")
+    )
+    b = m.filter(F.col("_sb")).select(
+        "dim", F.col("_m").alias("_mb"), F.col("_n").alias("_nb")
+    )
+    j = a.join(b, "dim")
+    return (
+        j.agg(
+            F.min("_na").alias("n_a"),
+            F.min("_nb").alias("n_b"),
+            F.count("*").cast("int").alias("n_dims"),
+            F.sum(F.col("_ma") * F.col("_mb")).alias("dot_q"),
+            F.sum(F.col("_ma") * F.col("_ma")).alias("_aa"),
+            F.sum(F.col("_mb") * F.col("_mb")).alias("_bb"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_dims",
+            "dot_q",
+            F.when(
+                (F.col("_aa") > 0) & (F.col("_bb") > 0),
+                F.round(
+                    F.col("dot_q").cast("double")
+                    / F.sqrt(
+                        F.col("_aa").cast("double") * F.col("_bb").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("centroid_cosine"),  # NULL when a centroid is zero
+        )
+    )

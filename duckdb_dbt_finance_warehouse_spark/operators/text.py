@@ -798,3 +798,67 @@ def inverted_index(
         )
         .select("tok", "block", "n_docs", "postings")
     )
+
+
+def lexical_drift(
+    df: DataFrame,
+    text_col: str,
+    slice_col,
+    top_k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k drifting terms between two corpus slices by the 2×2
+    chi-square statistic — the lexical drift gate run next to
+    ``stats.ks_drift`` (numeric) and ``similarity.centroid_drift``
+    (embedding) before a new snapshot joins the training mix: WHICH
+    words does the new slice over/under-use?
+
+    chi² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over per-term token
+    counts a (slice a), b (slice b) and complements c, d. The pivot
+    (ad−bc) = a·n_b − b·n_a is an exact bigint (its square would
+    overflow, so the SQUARING happens in double); every factor is an
+    exact-int-cast double, so the IEEE expression is deterministic and
+    the oracle replays it bit-for-bit.
+
+    Shape: one token explode (``spread_input``-guarded) collapsing to
+    the VOCAB-bounded per-term grid via map-side combine, a 1-row
+    broadcast of the slice totals, and a distributed TakeOrdered for
+    the global top-k (deterministic: score desc, term asc). No joins
+    at corpus volume.
+
+    ``slice_col``: boolean Column; False = a, True = b."""
+    toks = tokens(
+        df.select(slice_col.cast("boolean").alias("_sb"), text_col), "_sb", text_col
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("tok").agg(
+        F.count_if(~F.col("_sb")).alias("n_a"),
+        F.count_if(F.col("_sb")).alias("n_b"),
+    ).filter(F.col("n_a") + F.col("n_b") >= min_count)
+    totals = toks.agg(
+        F.count_if(~F.col("_sb")).alias("_ta"), F.count_if(F.col("_sb")).alias("_tb")
+    )
+    j = per.join(F.broadcast(totals))
+    pivot = F.col("n_a") * F.col("_tb") - F.col("n_b") * F.col("_ta")
+    nd = (F.col("_ta") + F.col("_tb")).cast("double")
+    row = (F.col("n_a") + F.col("n_b")).cast("double")
+    rowc = (
+        (F.col("_ta") - F.col("n_a")) + (F.col("_tb") - F.col("n_b"))
+    ).cast("double")
+    chi2 = F.round(
+        nd
+        * pivot.cast("double")
+        * pivot.cast("double")
+        / (row * rowc * F.col("_ta").cast("double") * F.col("_tb").cast("double")),
+        6,
+    )
+    return (
+        j.select(
+            "tok",
+            "n_a",
+            "n_b",
+            F.when(pivot >= 0, F.lit("a")).otherwise(F.lit("b")).alias("enriched_in"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "tok")
+        .limit(top_k)
+    )

@@ -3253,3 +3253,82 @@ def x_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/(N+1) of the data, not the (N)/(N+1) rewrite mod-N hashing
     forces."""
     return maintenance.reshard_audit(_docs(spark, sf_dir), "doc_id", 8, 9)
+
+
+@query(
+    "x_embed_drift",
+    oracle="""
+    WITH e AS (
+      SELECT (label >= 5) AS sb,
+             unnest(list_transform(embedding,
+               (v, i) -> {'q': CAST(round(CAST(v AS DOUBLE) * 262144.0)
+                                    AS BIGINT),
+                          'ord': i})) AS u
+      FROM embeddings),
+    per AS (SELECT sb, u.ord AS dim, CAST(sum(u.q) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2),
+    m AS (SELECT sb, dim, n, (s + n * 262144) // n - 262144 AS mm FROM per),
+    j AS (SELECT a.mm AS ma, b.mm AS mb, a.n AS na, b.n AS nb
+          FROM m a JOIN m b USING (dim) WHERE NOT a.sb AND b.sb)
+    SELECT CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+           CAST(count(*) AS INT) AS n_dims,
+           CAST(sum(ma * mb) AS BIGINT) AS dot_q,
+           CASE WHEN sum(ma * ma) > 0 AND sum(mb * mb) > 0
+                THEN round(CAST(sum(ma * mb) AS DOUBLE)
+                           / sqrt(CAST(sum(ma * ma) AS DOUBLE)
+                                  * CAST(sum(mb * mb) AS DOUBLE)), 6)
+           END AS centroid_cosine
+    FROM j
+    """,
+)
+def x_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid drift between two corpus slices (operators/
+    similarity.centroid_drift): quantized-exact per-dim sums collapse
+    to the 2·d-row grid inside the map stage (map-side combine — the
+    exchange is grid-sized at any corpus size), shift-then-truncate
+    integer means keep both engines on the same grid, and the centroid
+    cosine is one IEEE expression over exact bigint dot/norms —
+    oracle-replayed bit-for-bit."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.centroid_drift(emb, "embedding", F.col("label") >= 5)
+
+
+@query(
+    "x_lexical_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT (length(source) >= 5) AS sb,
+             unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents),
+    tk AS (SELECT * FROM toks WHERE tok <> ''),
+    per AS (SELECT tok,
+                   CAST(count(*) FILTER (WHERE NOT sb) AS BIGINT) AS n_a,
+                   CAST(count(*) FILTER (WHERE sb) AS BIGINT) AS n_b
+            FROM tk GROUP BY 1 HAVING count(*) >= 5),
+    tot AS (SELECT CAST(count(*) FILTER (WHERE NOT sb) AS BIGINT) AS ta,
+                   CAST(count(*) FILTER (WHERE sb) AS BIGINT) AS tb
+            FROM tk)
+    SELECT tok, n_a, n_b,
+           CASE WHEN n_a * tb - n_b * ta >= 0 THEN 'a' ELSE 'b' END
+             AS enriched_in,
+           round(CAST(ta + tb AS DOUBLE)
+                 * CAST(n_a * tb - n_b * ta AS DOUBLE)
+                 * CAST(n_a * tb - n_b * ta AS DOUBLE)
+                 / (CAST(n_a + n_b AS DOUBLE)
+                    * CAST((ta - n_a) + (tb - n_b) AS DOUBLE)
+                    * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS chi2
+    FROM per, tot
+    ORDER BY chi2 DESC, tok LIMIT 50
+    """,
+)
+def x_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 drifting terms between the first and second half of the
+    source inventory by exact-rational 2×2 chi-square (operators/
+    text.lexical_drift) — WHICH words a new snapshot over/under-uses,
+    the lexical member of the drift-gate trio (ks_drift: numeric,
+    centroid_drift: embedding). Vocab-bounded grid after one guarded
+    explode, 1-row totals broadcast, deterministic TakeOrdered."""
+    return text.lexical_drift(
+        _docs(spark, sf_dir), "text", F.length("source") >= 5
+    )

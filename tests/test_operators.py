@@ -1797,3 +1797,110 @@ def test_rendezvous_growth_moves_only_into_new_shard(spark):
     assert {r["k"]: r["s"] for r in a1} == {r["k"]: r["s"] for r in a2}
     # every shard in range
     assert all(0 <= r["s"] < 8 for r in a1)
+
+
+def test_centroid_drift_identical_slices_cosine_one(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.similarity import (
+        centroid_drift,
+    )
+    from pyspark.sql import functions as F
+
+    # two slices with IDENTICAL vector multisets -> identical centroids
+    # (0.1 offset keeps the centroid away from the zero vector, where
+    # the cosine is defined as NULL)
+    vecs = [[0.1 + 0.25 * ((i + j) % 5 - 2) for j in range(8)] for i in range(40)]
+    rows = [(i, vecs[i % 40]) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    r = centroid_drift(df, "v", F.col("id") % 2 == 1).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_dims"]) == (40, 40, 8)
+    assert r["centroid_cosine"] == 1.0
+
+
+def test_centroid_drift_matches_bruteforce(spark):
+    import math
+
+    from duckdb_dbt_finance_warehouse_spark.operators.similarity import (
+        QUANT_SCALE,
+        centroid_drift,
+    )
+    from pyspark.sql import functions as F
+
+    Q = int(QUANT_SCALE)
+    rows = [
+        (i, [((i * 7 + j * 13) % 11 - 5) / 7.0 for j in range(6)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    r = centroid_drift(df, "v", F.col("id") >= 30).collect()[0]
+
+    import struct as _struct
+
+    def f32(x):  # replicate float storage then double cast
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    def quant(x):  # half away from zero, like SQL round()
+        y = f32(x) * Q
+        return int(math.floor(y + 0.5)) if y >= 0 else -int(math.floor(-y + 0.5))
+
+    a = [v for i, v in rows if i < 30]
+    b = [v for i, v in rows if i >= 30]
+
+    def mean_q(vs, d):
+        s = sum(quant(v[d]) for v in vs)
+        n = len(vs)
+        return (s + n * Q) // n - Q
+
+    ma = [mean_q(a, d) for d in range(6)]
+    mb = [mean_q(b, d) for d in range(6)]
+    dot = sum(x * y for x, y in zip(ma, mb))
+    cos = round(dot / math.sqrt(sum(x * x for x in ma) * sum(y * y for y in mb)), 6)
+    assert (r["n_a"], r["n_b"], r["n_dims"]) == (30, 20, 6)
+    assert r["dot_q"] == dot
+    assert r["centroid_cosine"] == cos
+
+
+def test_lexical_drift_matches_bruteforce(spark):
+    from collections import Counter
+
+    from duckdb_dbt_finance_warehouse_spark.operators.text import lexical_drift
+    from pyspark.sql import functions as F
+
+    docs_a = ["alpha beta gamma alpha", "beta beta delta", "alpha delta delta"]
+    docs_b = ["omega beta omega", "omega gamma gamma omega", "beta omega"]
+    rows = [(t, False) for t in docs_a * 4] + [(t, True) for t in docs_b * 4]
+    df = spark.createDataFrame(rows, "text string, sb boolean")
+    out = lexical_drift(df, "text", F.col("sb"), top_k=10, min_count=1).collect()
+
+    ca = Counter(w for t in docs_a * 4 for w in t.split())
+    cb = Counter(w for t in docs_b * 4 for w in t.split())
+    ta, tb = sum(ca.values()), sum(cb.values())
+    exp = {}
+    for tok in set(ca) | set(cb):
+        a, b = ca[tok], cb[tok]
+        piv = a * tb - b * ta
+        chi2 = round(
+            (ta + tb) * float(piv) * float(piv)
+            / ((a + b) * ((ta - a) + (tb - b)) * ta * tb),
+            6,
+        )
+        exp[tok] = (a, b, "a" if piv >= 0 else "b", chi2)
+    assert len(out) == len(exp)
+    for r in out:
+        assert exp[r["tok"]] == (r["n_a"], r["n_b"], r["enriched_in"], r["chi2"]), r
+    # ordering: chi2 desc then tok asc
+    scores = [(-r["chi2"], r["tok"]) for r in out]
+    assert scores == sorted(scores)
+
+
+def test_centroid_drift_zero_centroid_is_null(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.similarity import (
+        centroid_drift,
+    )
+    from pyspark.sql import functions as F
+
+    # slice a sums to the zero vector -> cosine NULL, counts still real
+    rows = [(0, [1.0, -1.0]), (1, [-1.0, 1.0]), (2, [0.5, 0.25]), (3, [0.5, 0.25])]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    r = centroid_drift(df, "v", F.col("id") >= 2).collect()[0]
+    assert r["centroid_cosine"] is None
+    assert (r["n_a"], r["n_b"]) == (2, 2)

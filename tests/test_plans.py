@@ -105,6 +105,7 @@ BNLJ_ALLOWED = {
     "x_triangle_count",  # three 1-row census scalars crossed into one row
     "x_triangle_sample",  # two 1-row census scalars crossed into one row
     "x_ks_drift",  # 1-row slice-totals bound crossed into the value grid
+    "x_lexical_drift",  # 1-row token-totals bound crossed into the vocab grid
 }
 
 
@@ -339,3 +340,25 @@ def test_shard_rendezvous_single_scan_no_joins(spark):
     assert "Join" not in p and "Window" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_embed_drift_collapses_before_exchange(spark):
+    """centroid_drift's d× posexplode must collapse to the (2·d)-row
+    grid inside the map stage: partial aggregation (partial_sum) below
+    the grid exchange, and no Python anywhere."""
+    df = REGISTRY["x_embed_drift"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    assert "partial_sum" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    fmt = plan_of(spark, "x_embed_drift")
+    assert "Generate" in fmt  # native posexplode, not a UDF
+
+
+def test_lexical_drift_topk_is_take_ordered(spark):
+    """The global top-k must be distributed TakeOrdered, never a global
+    sort; totals ride a 1-row broadcast."""
+    p = plan_of(spark, "x_lexical_drift")
+    assert "TakeOrderedAndProject" in p
