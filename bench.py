@@ -133,6 +133,7 @@ HEADLINE = [
     "x_shard_rendezvous",         # rendezvous reshard audit, zero-shuffle
     "x_embed_drift",              # centroid cosine drift, grid-sized exchange
     "x_lexical_drift",            # chi-square term drift, vocab-bounded
+    "x_importance_resample",      # DSIR-shaped target-distribution resample
 ]
 
 

@@ -328,3 +328,104 @@ def negative_pairs(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "anchor_label", "cand_id", "cand_label", "rank")
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col,
+    n_buckets: int = 16384,
+    scale: int = 4096,
+    cap: int = 4,
+    salt: str = "ir0",
+) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al. 2023, 'Data
+    Selection for Language Models via Importance Resampling'): estimate
+    hashed-unigram distributions for a TARGET slice vs the whole
+    corpus, weight every token bucket by the add-one-smoothed
+    importance ratio, score each document, and keep it with probability
+    proportional to its score — the standard trick for steering a crawl
+    toward a high-quality target distribution without training a model.
+
+    Engine-portable exactness (the deliberate deviation from the
+    paper): DSIR multiplies per-token likelihood ratios (log-sum);
+    floats/logs are summation-order-dependent and unverifiable
+    cross-engine, so this variant scores by the ARITHMETIC mean of
+    QUANTIZED ratios — per-bucket weight
+    ``wq = ((ct+1)·(ns+B)·scale) div ((cs+1)·(nt+B))`` (exact bigint),
+    doc score ``mq = Σwq div n_tokens``, and the keep decision is the
+    exact integer comparison ``u32·scale < mq·(2^32 div cap)`` against
+    the md5 uniform — bit-identical in DuckDB. Swap the weight table
+    for trained log-ratio weights (broadcast join) and the plan is
+    unchanged. Valid while nt·ns·scale < 2^63 — past ~10^12 tokens,
+    estimate the distributions on a hash-sample of the corpus (the
+    paper does exactly that).
+
+    Shape: two token passes (weights, then scoring — production stores
+    the weight table, the second pass is the steady state), each one
+    guarded explode + map-side-combined aggregation; the weight table
+    is B rows and BROADCASTS to the scoring join; nothing driver-side.
+
+    ``target_col``: boolean Column marking the target slice.
+    Output per doc: (id, n_tokens, imp_q, keep)."""
+    from .text import tokens
+
+    b = F.lit(n_buckets)
+    # tokens() keeps only (id, tok) — carry the target flag inside a
+    # struct id so one explode serves both the flagged and plain uses
+    toks = tokens(
+        df.select(
+            F.struct(F.col(id_col).alias("_id"), target_col.cast("boolean").alias("_tgt")).alias("_k"),
+            text_col,
+        ),
+        "_k",
+        text_col,
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("tok"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % b
+    )
+    tb = toks.select(F.col("_k._id").alias("_id"), F.col("_k._tgt").alias("_tgt"), bucket.alias("_bkt"))
+    counts = tb.groupBy("_bkt").agg(
+        F.count("*").alias("_cs"),
+        F.count_if(F.col("_tgt")).alias("_ct"),
+    )
+    totals = counts.agg(F.sum("_cs").alias("_ns"), F.sum("_ct").alias("_nt"))
+    weights = (
+        counts.join(F.broadcast(totals))
+        .select(
+            "_bkt",
+            ((F.col("_ct") + 1) * (F.col("_ns") + b) * F.lit(scale)).alias("_num"),
+            ((F.col("_cs") + 1) * (F.col("_nt") + b)).alias("_den"),
+        )
+        .select("_bkt", F.expr("_num div _den").alias("_wq"))
+    )
+    scored = (
+        tb.join(F.broadcast(weights), "_bkt")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_wq").alias("_ws"))
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.expr("_ws div n_tokens").alias("imp_q"),
+        )
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    thresh = (1 << 32) // cap
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "imp_q",
+        (u32 * F.lit(scale) < F.col("imp_q") * F.lit(thresh)).alias("keep"),
+    )

@@ -52,7 +52,7 @@ from . import extensions  # noqa: E402,F401
 # x_triangle_sample, x_table_fingerprint, x_multimodal_frames,
 # x_kfold_split, sql9_global_avg_anti_join_q22_style, and the
 # continued-r5 batch x_auc_quality, x_ks_drift, x_shard_rendezvous,
-# x_embed_drift, x_lexical_drift — all
+# x_embed_drift, x_lexical_drift, x_importance_resample — all
 # green in
 # tools/check_correctness.py, the driver-identical local gate), then
 # (b) the r4-green entries rotated out this round, then (c) the oldest

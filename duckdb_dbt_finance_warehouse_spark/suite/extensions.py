@@ -3332,3 +3332,46 @@ def x_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lexical_drift(
         _docs(spark, sf_dir), "text", F.length("source") >= 5
     )
+
+
+@query(
+    "x_importance_resample",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, (lang = 'en') AS tgt,
+                         unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents),
+    tk AS (SELECT doc_id, tgt,
+                  ('0x' || substr(md5('ir0' || ':' || tok), 1, 8))::BIGINT
+                    % 16384 AS bkt
+           FROM toks WHERE tok <> ''),
+    counts AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cs,
+                      CAST(count(*) FILTER (WHERE tgt) AS BIGINT) AS ct
+               FROM tk GROUP BY 1),
+    tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns,
+                   CAST(sum(ct) AS BIGINT) AS nt FROM counts),
+    w AS (SELECT bkt,
+                 ((ct + 1) * (ns + 16384) * 4096)
+                   // ((cs + 1) * (nt + 16384)) AS wq
+          FROM counts, tot),
+    s AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(w.wq) AS BIGINT) AS ws
+          FROM tk JOIN w USING (bkt) GROUP BY 1)
+    SELECT doc_id, n_tokens, CAST(ws // n_tokens AS BIGINT) AS imp_q,
+           (('0x' || substr(md5('ir0' || ':' || CAST(doc_id AS VARCHAR)),
+                            1, 8))::BIGINT * 4096
+            < (ws // n_tokens) * 1073741824) AS keep
+    FROM s
+    """,
+)
+def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance resampling toward the en slice
+    (operators/sampling.importance_resample): hashed-unigram target/
+    corpus distribution ratio per 16k-bucket weight table (exact
+    add-one-smoothed bigint ratios), arithmetic-mean doc scores, and an
+    exact-integer keep decision against the md5 uniform — the log-free,
+    oracle-replayable variant of the paper's log-likelihood-ratio
+    scoring (swap in trained weights via the same broadcast join). Two
+    guarded token passes; the B-row weight table broadcasts."""
+    return sampling.importance_resample(
+        _docs(spark, sf_dir), "doc_id", "text", F.col("lang") == "en"
+    )

@@ -1904,3 +1904,54 @@ def test_centroid_drift_zero_centroid_is_null(spark):
     r = centroid_drift(df, "v", F.col("id") >= 2).collect()[0]
     assert r["centroid_cosine"] is None
     assert (r["n_a"], r["n_b"]) == (2, 2)
+
+
+def test_importance_resample_prefers_target_vocabulary(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.sampling import (
+        importance_resample,
+    )
+    from pyspark.sql import functions as F
+
+    # target docs speak "alpha beta", background docs "gamma delta":
+    # target-vocabulary docs must score strictly higher
+    rows = [(i, "alpha beta alpha beta", True) for i in range(20)] + [
+        (i + 100, "gamma delta gamma delta", False) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = importance_resample(df, "doc_id", "text", F.col("tgt")).collect()
+    tgt_scores = {r["imp_q"] for r in out if r["doc_id"] < 100}
+    bg_scores = {r["imp_q"] for r in out if r["doc_id"] >= 100}
+    assert len(tgt_scores) == 1 and len(bg_scores) == 1
+    assert tgt_scores.pop() > bg_scores.pop()
+    # keep decision is the exact integer rule on (id, imp_q): recompute
+    import hashlib
+
+    for r in out:
+        u32 = int(
+            hashlib.md5(f"ir0:{r['doc_id']}".encode()).hexdigest()[:8], 16
+        )
+        assert r["keep"] == (u32 * 4096 < r["imp_q"] * ((1 << 32) // 4)), r
+
+
+def test_importance_resample_stable_under_partitioning(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.sampling import (
+        importance_resample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, f"tok{i % 7} tok{(i * 3) % 11} common word", i % 4 == 0)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    a = {
+        r["doc_id"]: (r["imp_q"], r["keep"])
+        for r in importance_resample(df, "doc_id", "text", F.col("tgt")).collect()
+    }
+    b = {
+        r["doc_id"]: (r["imp_q"], r["keep"])
+        for r in importance_resample(
+            df.repartition(11), "doc_id", "text", F.col("tgt")
+        ).collect()
+    }
+    assert a == b and len(a) == 80

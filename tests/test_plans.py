@@ -106,6 +106,7 @@ BNLJ_ALLOWED = {
     "x_triangle_sample",  # two 1-row census scalars crossed into one row
     "x_ks_drift",  # 1-row slice-totals bound crossed into the value grid
     "x_lexical_drift",  # 1-row token-totals bound crossed into the vocab grid
+    "x_importance_resample",  # 1-row (ns, nt) totals crossed into the bucket grid
 }
 
 
@@ -362,3 +363,13 @@ def test_lexical_drift_topk_is_take_ordered(spark):
     sort; totals ride a 1-row broadcast."""
     p = plan_of(spark, "x_lexical_drift")
     assert "TakeOrderedAndProject" in p
+
+
+def test_importance_resample_broadcasts_weight_table(spark):
+    """The B-row weight table must be the broadcast build side of the
+    scoring join — the corpus token stream streams through it; a
+    sort-merge join would shuffle the whole exploded stream on the
+    bucket key."""
+    p = plan_of(spark, "x_importance_resample")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
