@@ -134,6 +134,8 @@ HEADLINE = [
     "x_embed_drift",              # centroid cosine drift, grid-sized exchange
     "x_lexical_drift",            # chi-square term drift, vocab-bounded
     "x_importance_resample",      # DSIR-shaped target-distribution resample
+    "x_containment_pairs",        # doc-in-doc overlap-coefficient pairs
+    "x_perplexity_buckets",       # CCNet head/middle/tail LM terciles
 ]
 
 

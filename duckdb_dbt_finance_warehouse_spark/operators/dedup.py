@@ -846,3 +846,90 @@ def fuzzy_string_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.5,
+    max_gram_df: int = 100,
+) -> DataFrame:
+    """Doc-in-doc containment detection — the quote / excerpt / wrapped-
+    boilerplate case Jaccard-based near-dup is BLIND to: a 100-word
+    passage reproduced inside a 10k-word article has Jaccard ~0.01 (LSH
+    on Jaccard never surfaces the pair) but overlap-coefficient
+    containment ~1.0. Containment is what a training-data pipeline
+    needs for eval-leak and license-compliance sweeps: "is this doc
+    substantially INSIDE another doc", regardless of the size ratio.
+
+    Definition: over distinct word ``n``-grams, containment(A,B) =
+    |A ∩ B| / min(|A|, |B|) (the overlap coefficient — symmetric, and
+    equal to the directional containment of the smaller doc). Pairs
+    with containment >= ``threshold`` are reported with their exact
+    gram counts and, for contrast, the Jaccard the LSH path would have
+    had to clear.
+
+    Candidate generation mirrors ``fuzzy_string_join``'s ssjoin
+    frequency filter: docs pair only when they share a gram occurring
+    in <= ``max_gram_df`` docs — word 8-grams are high-entropy, so
+    only genuinely duplicated passages (not topic overlap) generate
+    candidates, and a boilerplate gram shared by half the corpus
+    cannot quadratically pair it. Verification then counts ALL shared
+    grams, so reported scores are exact; only pairs sharing nothing
+    but ubiquitous grams can be missed (the documented recall trade).
+
+    Shape: one gram explode (spread_input-guarded, distinct),
+    localCheckpointed — it feeds the df-guard aggregate, both sides of
+    the candidate join, the size aggregate, and both sides of the
+    verification join. The candidate join is gram-keyed with df
+    bounded fan-out (<= max_gram_df² pairs per gram); the verification
+    join is candidate-volume. Nothing is corpus-quadratic, nothing
+    collects."""
+    from .text import word_ngrams
+
+    grams = word_ngrams(df, id_col, text_col, n).localCheckpoint(eager=False)
+    rare = grams.groupBy("gram").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_gram_df
+    ).select("gram")
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    cands = (
+        ga.join(rare, "gram")
+        .join(gb, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("_n"))
+    inter = (
+        cands.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    containment = F.round(
+        F.col("n_inter").cast("double") / F.least("n_a", "n_b").cast("double"), 6
+    )
+    jaccard = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            containment.alias("containment"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -862,3 +862,59 @@ def lexical_drift(
         .orderBy(F.desc("chi2"), "tok")
         .limit(top_k)
     )
+
+
+def perplexity_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """CCNet-style head/middle/tail familiarity bucketing (Wenzek et
+    al. 2020): score every document with the corpus bigram LM
+    (``bigram_lm_scores``), then split the corpus into terciles of the
+    score distribution — 'head' = most familiar (highest avg log-prob),
+    'tail' = most surprising. CCNet keeps head+middle and drops or
+    down-weights tail; the bucket column is the standard mixture knob.
+
+    Exactness: the per-doc score collapses to ``score_q =
+    sum_logprob_q div n_bigrams`` — an exact bigint (Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero, including for these
+    negative log-prob sums). Tercile assignment is the exact integer
+    rule ``least(2, (3·e) div N)`` where e is the doc's score-grid row
+    EXCLUSIVE prefix count — ties share a grid row and therefore a
+    bucket, so the split is deterministic and engine-identical.
+
+    Shape: the LM scoring plan (see ``bigram_lm_scores``), then the
+    corpus collapses to its distinct-score grid (groupBy, map-side
+    combined), the two-pass ``ordered_prefix_sums`` (no global
+    window), a 1-row total broadcast, and the grid broadcasts back
+    onto the scored docs. The grid is bounded by distinct quantized
+    scores, not the corpus; if an open-web corpus pushes it past
+    broadcast size, coarsen the quantization (score_q div Q) or swap
+    the final join to a range-partitioned sort-merge — the rule is
+    unchanged."""
+    from .stats import ordered_prefix_sums
+
+    scored = (
+        bigram_lm_scores(df, id_col, text_col)
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("sum_logprob_q div n_bigrams").alias("score_q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = scored.groupBy("score_q").agg(F.count("*").alias("_c"))
+    g = ordered_prefix_sums(g, "score_q", ["_c"])
+    total = g.agg(F.sum("_c").alias("_n"))
+    grid = (
+        g.join(F.broadcast(total))
+        .select(
+            "score_q",
+            F.expr("least(2L, (3 * (cum__c - _c)) div _n)").alias("_b"),
+        )
+    )
+    label = (
+        F.when(F.col("_b") == 0, F.lit("tail"))
+        .when(F.col("_b") == 1, F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return scored.join(F.broadcast(grid), "score_q").select(
+        id_col, "n_bigrams", "score_q", label.alias("ppl_bucket")
+    )

@@ -1595,6 +1595,54 @@ def x_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(w[CAST(i AS INT) : CAST(i AS INT) + 1], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)),
+    g2 AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM grams),
+    c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY 1),
+    toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+             FROM documents),
+    c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+    q AS (SELECT doc_id,
+                 CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))
+                      * 1000000 + 0.5) AS BIGINT) AS q
+          FROM g2 JOIN c2 USING (gram) JOIN c1 ON c1.tok = g2.w1
+          CROSS JOIN v),
+    s AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS sum_logprob_q,
+                 CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM q GROUP BY 1),
+    sc AS (SELECT doc_id, n_bigrams,
+                  CAST(sum_logprob_q // n_bigrams AS BIGINT) AS score_q
+           FROM s),
+    grid AS (SELECT score_q, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY 1),
+    cum AS (SELECT score_q, c,
+                   CAST(sum(c) OVER (ORDER BY score_q) AS BIGINT) AS cumc
+            FROM grid),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid),
+    b AS (SELECT score_q,
+                 CAST(least(2, (3 * (cumc - c)) // n) AS BIGINT) AS b
+          FROM cum CROSS JOIN tot)
+    SELECT sc.doc_id, sc.n_bigrams, sc.score_q,
+           CASE b.b WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head' END
+             AS ppl_bucket
+    FROM sc JOIN b USING (score_q)
+    """,
+)
+def x_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus bucketing
+    (operators/text.perplexity_buckets): bigram-LM familiarity terciles
+    by exact integer score-grid prefix counts — the LM trains, scores,
+    and buckets in one plan, replayed bit-for-bit by the oracle (the
+    oracle's global window is the two-pass prefix sum's semantics)."""
+    return text.perplexity_buckets(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
     "x_text_repetition",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
@@ -2864,6 +2912,45 @@ def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_string_join(
         probes, corpus, "probe_id", "s", "corpus_id", "s",
         n=3, threshold=0.4, max_gram_df=100,
+    )
+
+
+@query(
+    "x_containment_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS u(i)),
+    rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 100),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN rare USING (gram) JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cands c JOIN grams ga ON ga.doc_id = c.id_a
+                   JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+           round(i.n_inter / least(sa.n, sb.n), 6) AS containment,
+           round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                 JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE round(i.n_inter / least(sa.n, sb.n), 6) >= 0.5
+    """,
+)
+def x_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc containment (overlap-coefficient) detection
+    (operators/dedup.containment_pairs): the quote/excerpt case MinHash
+    LSH is blind to — size-skewed duplication has near-zero Jaccard but
+    containment ~1. Word 5-gram candidates under the ssjoin df<=100
+    frequency filter; exact containment and Jaccard from the full gram
+    sets; pairs kept at containment >= 0.5."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=5, threshold=0.5, max_gram_df=100
     )
 
 

@@ -1955,3 +1955,64 @@ def test_importance_resample_stable_under_partitioning(spark):
         ).collect()
     }
     assert a == b and len(a) == 80
+
+
+def test_containment_pairs_finds_quote_inside_article(spark):
+    # doc 11 is a 6-word excerpt reproduced verbatim inside doc 10's
+    # longer text: Jaccard is low (size skew) but containment is 1.0.
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        (11, "delta epsilon zeta eta theta iota"),
+        (12, "totally unrelated words about warehouses and parquet files here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, max_gram_df=10
+        ).collect()
+    }
+    assert (10, 11) in out
+    r = out[(10, 11)]
+    # every 3-gram of the excerpt (6 words -> 4 grams) is inside doc 10
+    assert r["n_inter"] == r["n_b"] == 4
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.5  # the pair LSH-on-Jaccard would miss
+    assert not any(12 in k for k in out)
+
+
+def test_containment_pairs_frequency_filter_blocks_boilerplate(spark):
+    # the shared gram appears in every doc; with max_gram_df=2 it cannot
+    # generate candidates, so no pairs are reported at all
+    rows = [(i, "common shared boilerplate footer text") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.1, max_gram_df=2
+    ).collect()
+    assert out == []
+
+
+def test_perplexity_buckets_terciles_and_order(spark):
+    # 9 docs: three repeat a common phrase (familiar -> head), three are
+    # mixed, three use each-unique vocabulary (surprising -> tail)
+    rows = (
+        [(i, "the cat sat on the mat") for i in (1, 2, 3)]
+        + [(i, "the cat sat on a chair") for i in (4, 5, 6)]
+        + [(7, "zyx wvu tsr qpo nml kji"),
+           (8, "abc def ghi jkl mno pqr"),
+           (9, "one two three four five six")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.perplexity_buckets(df, "doc_id", "text").collect()}
+    assert len(out) == 9
+    # buckets are terciles: 3 docs each
+    from collections import Counter
+    c = Counter(r["ppl_bucket"] for r in out.values())
+    assert c == {"head": 3, "middle": 3, "tail": 3}
+    # identical docs share a score, hence a bucket
+    assert out[1]["ppl_bucket"] == out[2]["ppl_bucket"] == out[3]["ppl_bucket"]
+    # the repeated-phrase docs score strictly higher than the unique-vocab docs
+    assert out[1]["score_q"] > out[7]["score_q"]
+    # the unique-vocabulary docs are the surprising tercile
+    assert {out[7]["ppl_bucket"], out[8]["ppl_bucket"], out[9]["ppl_bucket"]} == {"tail"}

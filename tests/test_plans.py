@@ -107,6 +107,7 @@ BNLJ_ALLOWED = {
     "x_ks_drift",  # 1-row slice-totals bound crossed into the value grid
     "x_lexical_drift",  # 1-row token-totals bound crossed into the vocab grid
     "x_importance_resample",  # 1-row (ns, nt) totals crossed into the bucket grid
+    "x_perplexity_buckets",  # 1-row vocab size + 1-row corpus total, both into bounded grids
 }
 
 
