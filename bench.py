@@ -136,6 +136,9 @@ HEADLINE = [
     "x_importance_resample",      # DSIR-shaped target-distribution resample
     "x_containment_pairs",        # doc-in-doc overlap-coefficient pairs
     "x_perplexity_buckets",       # CCNet head/middle/tail LM terciles
+    "sql10_having_in_q18_style",  # Q18 HAVING-defined IN semi join
+    "sql11_top_view_q15_style",   # Q15 view + global-max scalar gate
+    "x_pca_power",                # exact top-PC power iteration
 ]
 
 

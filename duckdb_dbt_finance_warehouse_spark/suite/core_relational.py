@@ -1790,6 +1790,74 @@ def sql8_correlated_min_q2_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL8)
 
 
+_SQL10 = """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) > 3000000)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+           CAST(SUM(CAST(floor(l.l_quantity * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty_q
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE),
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+"""
+
+
+@query("sql10_having_in_q18_style", oracle=_SQL10)
+def sql10_having_in_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q18 shape (large-volume customers): an IN
+    subquery whose members are defined by a grouped HAVING — the
+    "find the heavy keys first, then join back for detail" pattern.
+    Catalyst plans the IN as a LEFT SEMI join against the big-orders
+    aggregate, so lineitem is scanned twice but shuffled on the same
+    l_orderkey key both times, and the semi join prunes orders BEFORE
+    the wide customer join. Exactness: the quantity threshold compares
+    exact scaled-int sums (quantities are decimals stored as double —
+    summing doubles would be order-dependent at the boundary)."""
+    for n, df in T(spark, sf_dir, "customer", "orders", "lineitem").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_SQL10)
+
+
+_SQL11 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS total_rev_q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_q
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev_q = (SELECT max(total_rev_q) FROM revenue)
+"""
+
+
+@query("sql11_top_view_q15_style", oracle=_SQL11)
+def sql11_top_view_q15_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q15 shape (top supplier): a derived revenue
+    view consumed TWICE — once joined for detail, once reduced to a
+    global MAX scalar gate. Catalyst computes the revenue aggregate,
+    feeds one copy to the 1-row max (broadcast back as a filter) and
+    one to the supplier join; the quarter filter pushes down to the
+    lineitem scan. Exactness: revenue is the exact scaled-int sum
+    (sql1's discipline), so the max-equality selects identical rows in
+    both engines — the double-sum version could tie-break differently
+    on summation order."""
+    for n, df in T(spark, sf_dir, "supplier", "lineitem").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_SQL11)
+
+
 @query(
     "a13_cube",
     oracle="""

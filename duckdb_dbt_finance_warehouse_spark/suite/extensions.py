@@ -26,6 +26,7 @@ from ..operators import (
     maintenance,
     multimodal,
     packing,
+    pca,
     sampling,
     sessionize,
     similarity,
@@ -1786,6 +1787,22 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_cluster_stats(
         emb, "vec_id", "embedding", seed_mod=32, n_iter=3
     )
+
+
+@query(
+    "x_pca_power",
+    oracle=pca.pca_oracle_sql("embeddings", "embedding", dim=64, rounds=8),
+)
+def x_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component + explained-variance share over the
+    embedding corpus (operators/pca.top_component): exact integer
+    covariance numerator (corr_matrix discipline at matrix rank), 8
+    power-iteration rounds in unbounded integers with a deterministic
+    trunc-division rescale — the embedding-collapse detector, replayed
+    bit-for-bit by the oracle's HUGEINT CTE chain. One Arrow scan, the
+    d×d model never leaves the driver boundary."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return pca.top_component(emb, "embedding", dim=64, rounds=8)
 
 
 _IVF_TRAINED_CENTS = f"""

@@ -2016,3 +2016,39 @@ def test_perplexity_buckets_terciles_and_order(spark):
     assert out[1]["score_q"] > out[7]["score_q"]
     # the unique-vocabulary docs are the surprising tercile
     assert {out[7]["ppl_bucket"], out[8]["ppl_bucket"], out[9]["ppl_bucket"]} == {"tail"}
+
+
+def test_pca_top_component_finds_dominant_axis(spark):
+    # variance concentrated on axis 2 (values spread widely), tiny
+    # noise on axis 5: the top component must align with axis 2
+    from duckdb_dbt_finance_warehouse_spark.operators import pca
+
+    rows = []
+    for k in range(40):
+        v = [0.0] * 8
+        v[2] = (k - 20) / 20.0        # dominant spread
+        v[5] = ((k * 7) % 5 - 2) / 400.0  # faint noise
+        rows.append((k, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["dim"]: r for r in pca.top_component(df, "embedding", dim=8, rounds=8).collect()}
+    assert len(out) == 8
+    mags = {d: abs(out[d]["v_q"]) for d in out}
+    assert mags[2] == max(mags.values()) and mags[2] == 4096
+    # everything else is orders of magnitude smaller
+    assert all(m <= 40 for d, m in mags.items() if d != 2)
+    # nearly all variance on one axis
+    assert out[2]["explained_share"] > 0.99
+    assert out[2]["n_rows"] == 40
+
+
+def test_pca_constant_corpus_raises(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import pca
+
+    df = spark.createDataFrame(
+        [(i, [0.25, -0.5, 0.125]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    try:
+        pca.top_component(df, "embedding", dim=3, rounds=4).collect()
+        assert False, "expected zero-variance raise"
+    except ValueError as e:
+        assert "zero total variance" in str(e)
