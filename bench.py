@@ -139,6 +139,8 @@ HEADLINE = [
     "sql10_having_in_q18_style",  # Q18 HAVING-defined IN semi join
     "sql11_top_view_q15_style",   # Q15 view + global-max scalar gate
     "x_pca_power",                # exact top-PC power iteration
+    "x_mad_outliers",             # robust modified-z outlier screen
+    "x_semantic_decontaminate",   # embedding-space eval-leak flags
 ]
 
 

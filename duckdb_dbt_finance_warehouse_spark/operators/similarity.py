@@ -660,6 +660,32 @@ def lsh_ann_topk_probe_table(
     and therefore cost per probe — constant; recall is then tuned back
     with ``n_tables``. The suite entry pins 8x4 at every SF because the
     oracle replays those exact literal planes."""
+    scored = _lsh_scored_pairs(
+        corpus, queries, id_col, vec_col, n_tables, n_planes, dim
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _lsh_scored_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+) -> DataFrame:
+    """Shared probe-table pair stage: bucket-assign both sides (one
+    Arrow pass each), co-shuffle once on (tbl, bucket), score each
+    bucket's probes against its candidates via the cogroup kernel, and
+    DISTINCT the multi-table collisions (quantized scores are identical
+    across collisions, so the dedup is safe). Returns (query_id,
+    cand_id, cosine) — consumers add top-k or threshold semantics."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -719,17 +745,54 @@ def lsh_ann_topk_probe_table(
         ]
     )
     score = _pair_score_cogroup_fn()
-    scored = (
+    return (
         cands.groupBy("tbl", "bucket")
         .cogroup(probes.groupBy("tbl", "bucket"))
         .applyInPandas(score, out_schema)
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space companion to
+    ``text.decontaminate``'s n-gram scan: flag corpus documents whose
+    embedding sits within ``threshold`` cosine of ANY held-out eval
+    example. Paraphrased or translated eval leakage shares no 8-gram
+    with the eval set (the n-gram scan misses it) but lands next to it
+    in embedding space — every serious eval-hygiene pass runs both.
+
+    Output: one row per FLAGGED corpus doc — (id, n_eval_hits,
+    max_cosine). Drop or quarantine the flagged ids; unflagged docs
+    don't appear (the common case — keep the output contamination-
+    sized, not corpus-sized).
+
+    Shape: the shared LSH probe-table stage (one Arrow bucket pass per
+    side, one (tbl, bucket) co-shuffle, cogroup scoring, quantized-
+    exact scores) followed by a threshold filter and a cand-keyed
+    aggregate. Nothing collects; the eval set rides as a DataFrame.
+    Recall is the LSH recall — raise ``n_tables`` for a tighter sweep
+    or run the exact ``cosine_topk`` on the (tiny) flagged closure.
+    Same ``n_planes`` scale lever as ``lsh_ann_topk_probe_table``."""
+    scored = _lsh_scored_pairs(
+        corpus, eval_set, id_col, vec_col, n_tables, n_planes, dim
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
+        scored.filter(F.col("cosine") >= threshold)
+        .groupBy("cand_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .select(F.col("cand_id").alias(id_col), "n_eval_hits", "max_cosine")
     )
 
 

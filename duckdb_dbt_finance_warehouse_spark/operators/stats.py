@@ -355,3 +355,61 @@ def ks_drift(
             ).alias("ks"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    scale: int = 10_000,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flags via the modified z-score (Iglewicz-Hoaglin):
+    z = 0.6745·(x − median) / MAD, flagged at |z| > ``z_threshold``.
+    Median/MAD resist the very outliers they hunt — the mean/stddev
+    z-score (``rolling_zscore_anomalies``'s global cousin) lets one
+    extreme value inflate sigma and mask the rest; this is the global
+    screen a pipeline runs before trusting column statistics.
+
+    Exactness: values quantize to ``scale`` ints; both medians come
+    from the exact interpolated percentile over those ints (k or
+    k + 0.5 — so DOUBLING each yields an exact integer: med2 = 2·med,
+    mad4 = 2·median(|2·x − med2|)); the flag is the integer
+    cross-multiplication 1349·dev2 > 1000·z_threshold·mad4 and the
+    reported z is one fixed IEEE expression over those exact ints —
+    bit-identical in the DuckDB oracle. MAD = 0 (a majority-constant
+    column) yields NULL z / no flag in both engines.
+
+    Shape: two grid-bounded percentile aggregates (each a 1-row
+    broadcast — the aggregate state is bounded by DISTINCT quantized
+    values, not rows) and one narrow flag projection; the corpus is
+    scanned, never shuffled."""
+    vq = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("long")
+    base = df.select(F.col(id_col), F.col(value_col), vq.alias("_vq"))
+    med = base.agg(
+        F.round(F.expr("percentile(_vq, 0.5)") * 2).cast("long").alias("_med2")
+    )
+    dev = base.crossJoin(F.broadcast(med)).withColumn(
+        "_dev2", F.abs(2 * F.col("_vq") - F.col("_med2"))
+    )
+    mad = dev.agg(
+        F.round(F.expr("percentile(_dev2, 0.5)") * 2).cast("long").alias("_mad4")
+    )
+    z = F.round(
+        F.lit(1.349)
+        * (2 * F.col("_vq") - F.col("_med2")).cast("double")
+        / F.col("_mad4").cast("double"),
+        6,
+    )
+    zt = int(round(z_threshold * 1000))
+    return dev.crossJoin(F.broadcast(mad)).select(
+        id_col,
+        value_col,
+        F.when(F.col("_mad4") > 0, z).alias("robust_z"),
+        F.when(
+            F.col("_mad4") > 0,
+            F.lit(1349) * F.col("_dev2") > F.lit(zt) * F.col("_mad4"),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )

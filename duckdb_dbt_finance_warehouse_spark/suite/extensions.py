@@ -670,6 +670,40 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_semantic_decontaminate",
+    oracle=f"""
+    WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+    pairs AS (
+      SELECT DISTINCT qb.vec_id AS eval_id, cb.vec_id AS cand_id
+      FROM (SELECT * FROM bk WHERE vec_id % 25 = 0) qb
+      JOIN bk cb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                AND cb.vec_id % 25 != 0),
+    scored AS (
+      SELECT p.cand_id, {_QCOS_PAIR} AS cosine
+      FROM pairs p
+      JOIN embeddings q ON q.vec_id = p.eval_id
+      JOIN embeddings c ON c.vec_id = p.cand_id)
+    SELECT cand_id AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+           max(cosine) AS max_cosine
+    FROM scored WHERE cosine >= 0.3 GROUP BY 1
+    """,
+)
+def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/similarity.
+    semantic_decontaminate): corpus docs within 0.3 cosine of ANY
+    held-out eval example (vec_id % 25) are flagged with hit count and
+    max similarity — catches the paraphrased eval leakage the n-gram
+    scan (x_decontaminate) can't see. Shared LSH probe-table stage:
+    one co-shuffle, cogroup scoring, contamination-sized output."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 25 != 0),
+        emb.filter(F.col("vec_id") % 25 == 0),
+        threshold=0.3, n_tables=8, n_planes=4, dim=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1358,6 +1392,34 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+@query(
+    "x_mad_outliers",
+    oracle="""
+    WITH b AS (SELECT event_id, value,
+                      CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+               FROM events),
+    m AS (SELECT CAST(round(quantile_cont(vq, 0.5) * 2) AS BIGINT) AS med2 FROM b),
+    d AS (SELECT b.*, m.med2, abs(2 * vq - med2) AS dev2 FROM b, m),
+    md AS (SELECT CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4 FROM d)
+    SELECT event_id, value,
+           CASE WHEN mad4 > 0
+                THEN round(CAST(1.349 AS DOUBLE) * CAST(2 * vq - med2 AS DOUBLE)
+                           / CAST(mad4 AS DOUBLE), 6) END AS robust_z,
+           CASE WHEN mad4 > 0 THEN 1349 * dev2 > 3500 * mad4
+                ELSE FALSE END AS is_outlier
+    FROM d, md
+    """,
+)
+def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust modified-z-score outlier screen (operators/stats.
+    mad_outliers): median/MAD resist the outliers they hunt, unlike the
+    sigma z-score an extreme value inflates. Exact doubled-median
+    integers make the flag an integer cross-multiplication; two
+    grid-bounded percentile aggregates broadcast as 1-row bounds."""
+    e = _events(spark, sf_dir)
+    return stats.mad_outliers(e, "event_id", "value")
 
 
 # ---------------------------------------------------------------------------

@@ -2052,3 +2052,53 @@ def test_pca_constant_corpus_raises(spark):
         assert False, "expected zero-variance raise"
     except ValueError as e:
         assert "zero total variance" in str(e)
+
+
+def test_mad_outliers_flags_extreme_and_resists_masking(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import stats
+
+    # 20 values near 10.0, one extreme at 1000: classic case where the
+    # sigma z-score is inflated by the outlier but MAD is not
+    rows = [(i, 10.0 + (i % 5) * 0.1) for i in range(20)] + [(99, 1000.0)]
+    df = spark.createDataFrame(rows, ["event_id", "value"])
+    out = {r["event_id"]: r for r in stats.mad_outliers(df, "event_id", "value").collect()}
+    assert out[99]["is_outlier"] is True and out[99]["robust_z"] > 1000
+    assert all(not out[i]["is_outlier"] for i in range(20))
+    # signed z: values below the median are negative
+    assert out[0]["robust_z"] < 0
+
+
+def test_mad_outliers_constant_majority_yields_null_z(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import stats
+
+    # >50% identical values -> MAD = 0 -> NULL z, nothing flagged
+    rows = [(i, 5.0) for i in range(8)] + [(100, 9.0), (101, 1.0)]
+    df = spark.createDataFrame(rows, ["event_id", "value"])
+    out = stats.mad_outliers(df, "event_id", "value").collect()
+    assert all(r["robust_z"] is None and r["is_outlier"] is False for r in out)
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    # corpus doc 7 is (near-)identical in embedding space to eval doc
+    # 100; corpus doc 8 is orthogonal to everything in the eval set
+    base = [0.1] * 16
+    near = [0.1] * 16
+    near[0] = 0.11
+    ortho = [0.0] * 16
+    ortho[15] = 1.0
+    evrow = [0.0] * 16
+    evrow[7] = 1.0
+    corpus = spark.createDataFrame(
+        [(7, base), (8, ortho)], ["vec_id", "embedding"]
+    )
+    ev = spark.createDataFrame(
+        [(100, near), (101, evrow)], ["vec_id", "embedding"]
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontaminate(
+            corpus, ev, threshold=0.9, n_tables=8, n_planes=2, dim=16
+        ).collect()
+    }
+    assert 7 in out and out[7]["max_cosine"] > 0.99
+    assert 8 not in out

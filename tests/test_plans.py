@@ -108,6 +108,7 @@ BNLJ_ALLOWED = {
     "x_lexical_drift",  # 1-row token-totals bound crossed into the vocab grid
     "x_importance_resample",  # 1-row (ns, nt) totals crossed into the bucket grid
     "x_perplexity_buckets",  # 1-row vocab size + 1-row corpus total, both into bounded grids
+    "x_mad_outliers",  # 1-row median + 1-row MAD bounds crossed into the scan
 }
 
 
