@@ -141,6 +141,7 @@ HEADLINE = [
     "x_pca_power",                # exact top-PC power iteration
     "x_mad_outliers",             # robust modified-z outlier screen
     "x_semantic_decontaminate",   # embedding-space eval-leak flags
+    "sql12_double_exists_q21_style",  # Q21 semi+anti double decorrelation
 ]
 
 

@@ -1858,6 +1858,40 @@ def sql11_top_view_q15_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL11)
 
 
+_SQL12 = """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey != l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+"""
+
+
+@query("sql12_double_exists_q21_style", oracle=_SQL12)
+def sql12_double_exists_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q21 shape (waiting suppliers): the hardest
+    decorrelation combo in TPC-H — an EXISTS and a NOT EXISTS both
+    correlated to the SAME outer row, the NOT EXISTS additionally
+    referencing a second outer table (o.o_orderdate). Catalyst plans
+    them as a left-semi and a left-anti join against two filtered
+    re-reads of lineitem, all shuffled on the shared l_orderkey key —
+    no per-row subquery execution at any SF. The reference's Q21
+    lateness predicate (receipt > commit) maps to shipdate > order
+    date + 90 days on this schema; the final ORDER BY/LIMIT tie-breaks
+    on the unique supplier name, so the top-20 cut is deterministic."""
+    for n, df in T(spark, sf_dir, "supplier", "orders", "lineitem").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(_SQL12)
+
+
 @query(
     "a13_cube",
     oracle="""
