@@ -169,6 +169,42 @@ class Warehouse:
 
         return register_warehouse_catalog(self)
 
+    def vacuum(self) -> dict[str, int]:
+        """Warehouse-wide janitor for the staged-swap lifecycle: a crash
+        BEFORE the swap leaves an orphaned ``_staging_<table>`` sibling
+        that nothing else ever touches (``write_staged`` only clears its
+        OWN table's staging on the next rewrite of that table). Staging
+        is never the sole durable copy, so deleting every ``_staging_*``
+        dir is always safe; ``_trash_*`` siblings go through the same
+        recovery rule as ``_recover`` — restored when the canonical dir
+        is missing (they ARE the table), deleted otherwise (stale
+        shadow). Returns counts: staging_removed / trash_restored /
+        trash_removed. On a cluster this is a cloud-store prefix listing
+        + renames — run it from the maintenance schedule next to
+        ``compact``."""
+        import shutil
+
+        counts = {"staging_removed": 0, "trash_restored": 0, "trash_removed": 0}
+        if not os.path.isdir(self.root):
+            return counts
+        for schema in sorted(os.listdir(self.root)):
+            sdir = os.path.join(self.root, schema)
+            if not os.path.isdir(sdir):
+                continue
+            for d in sorted(os.listdir(sdir)):
+                if d.startswith("_staging_"):
+                    shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+                    counts["staging_removed"] += 1
+                elif d.startswith("_trash_"):
+                    table = d[len("_trash_"):]
+                    if os.path.isdir(self.path(schema, table)):
+                        shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+                        counts["trash_removed"] += 1
+                    else:
+                        os.rename(os.path.join(sdir, d), self.path(schema, table))
+                        counts["trash_restored"] += 1
+        return counts
+
     def compact(
         self, schema: str, table: str, target_rows_per_file: int
     ) -> int:

@@ -216,12 +216,27 @@ def cmd_fingerprint(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Warehouse-wide staged-swap janitor (Warehouse.vacuum): removes
+    orphaned _staging_* siblings, heals or clears _trash_* shadows.
+    Safe to run any time; schedule next to compaction."""
+    spark = get_spark("vacuum")
+    wh = Warehouse(spark, args.warehouse)
+    counts = wh.vacuum()
+    print(
+        f"staging_removed={counts['staging_removed']}  "
+        f"trash_restored={counts['trash_restored']}  "
+        f"trash_removed={counts['trash_removed']}"
+    )
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     dag = sub.add_parser("dag")
     dag.add_argument("--select", default=None)
-    for name in ("ingest", "build", "test", "query", "fingerprint", "curate"):
+    for name in ("ingest", "build", "test", "query", "fingerprint", "curate", "vacuum"):
         s = sub.add_parser(name)
         s.add_argument("--warehouse", required=True)
         if name == "ingest":
@@ -251,6 +266,7 @@ def main() -> int:
         "dag": cmd_dag,
         "fingerprint": cmd_fingerprint,
         "curate": cmd_curate,
+        "vacuum": cmd_vacuum,
     }[args.cmd](args)
 
 

@@ -284,3 +284,39 @@ def test_purge_keys_right_to_be_forgotten(spark, tmp_path_factory):
     assert left.filter(F.col("account_id").isin(3, 7)).count() == 0
     # idempotent: purging again removes nothing
     assert purge_keys(w, "stg", "accounts_like", "account_id", keys) == 0
+
+
+def test_vacuum_cleans_staging_and_heals_trash(spark, tmp_path_factory):
+    import os
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("vacuum_wh"))
+    w = Warehouse(spark, root)
+    a = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    w.write(a, "stg", "alive")
+    w.write(a, "stg", "healthy")
+
+    # crash BEFORE swap: orphaned staging next to an intact table
+    shutil.copytree(w.path("stg", "alive"), w.path("stg", "_staging_alive"))
+    # crash AFTER rename(target, trash): trash is the only copy
+    os.rename(w.path("stg", "healthy"), w.path("stg", "_trash_healthy"))
+    # completed swap whose cleanup died: stale trash next to a live table
+    shutil.copytree(w.path("stg", "alive"), w.path("stg", "_trash_alive"))
+
+    counts = w.vacuum()
+    assert counts == {
+        "staging_removed": 1,
+        "trash_restored": 1,
+        "trash_removed": 1,
+    }
+    assert not os.path.isdir(w.path("stg", "_staging_alive"))
+    assert not os.path.isdir(w.path("stg", "_trash_alive"))
+    assert not os.path.isdir(w.path("stg", "_trash_healthy"))
+    assert w.read("stg", "healthy").count() == 10
+    assert w.read("stg", "alive").count() == 10
+    # idempotent on a clean warehouse
+    assert w.vacuum() == {
+        "staging_removed": 0,
+        "trash_restored": 0,
+        "trash_removed": 0,
+    }
