@@ -918,3 +918,64 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return scored.join(F.broadcast(grid), "score_q").select(
         id_col, "n_bigrams", "score_q", label.alias("ppl_bucket")
     )
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    n: int = 5,
+    min_share_ppm: int = 100_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-source boilerplate TEMPLATE detector — the cross-document
+    companion to ``repetition_stats`` (intra-doc) and
+    ``substring_dup_spans`` (pairwise): a word n-gram appearing in a
+    large fraction of one source's documents is site furniture (nav,
+    cookie banners, footers), and this list is exactly the removal
+    target a CCNet-style cleaning pass feeds on. Deduplication does not
+    catch it — the documents differ; only the furniture repeats.
+
+    Output: the ``top_k`` grams per source with document frequency >=
+    ``min_share_ppm`` parts-per-million of that source's docs —
+    (source, gram, n_docs, source_docs, share_ppm), share as an exact
+    integer ``(df·10⁶) div total`` so both engines rank identically;
+    ties break on the gram string.
+
+    Shape: one spread-guarded distinct gram explode carrying the source
+    inside the explode key (no corpus-sized join-back), a (source,
+    gram)-keyed count (map-side combined), a broadcast of the tiny
+    per-source totals, and a WindowGroupLimit top-k per source. Gram
+    state is vocabulary-bounded, never corpus-bounded."""
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.struct(
+            F.col(id_col).alias("_id"), F.col(source_col).alias("_src")
+        ).alias("_k"),
+        text_col,
+    )
+    grams = word_ngrams(keyed, "_k", text_col, n).select(
+        F.col("_k._src").alias("source"), "gram"
+    )
+    per = grams.groupBy("source", "gram").agg(F.count("*").alias("n_docs"))
+    totals = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("source_docs")
+    )
+    scored = (
+        per.join(F.broadcast(totals), "source")
+        .withColumn(
+            "share_ppm",
+            F.expr("(n_docs * 1000000) div source_docs"),
+        )
+        .filter(F.col("share_ppm") >= min_share_ppm)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_docs"), F.asc("gram")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("source", "gram", "n_docs", "source_docs", "share_ppm", "rank")
+    )

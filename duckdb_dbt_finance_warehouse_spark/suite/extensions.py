@@ -1706,6 +1706,44 @@ def x_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_boilerplate_grams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+               FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(w[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)),
+    per AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS n_docs
+            FROM grams GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS source_docs
+            FROM documents GROUP BY 1),
+    sc AS (SELECT per.source, per.gram, per.n_docs, tot.source_docs,
+                  CAST((n_docs * 1000000) // source_docs AS BIGINT) AS share_ppm
+           FROM per JOIN tot USING (source)),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY n_docs DESC, gram) AS INT) AS rank
+      FROM sc WHERE share_ppm >= 100000)
+    SELECT source, gram, n_docs, source_docs, share_ppm, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def x_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate template detector
+    (operators/text.boilerplate_grams): word 3-grams in >=10% of a
+    source's documents are site furniture — the removal list a CCNet-
+    style cleaning pass feeds on, which dedup can't see (the docs
+    differ; only the furniture repeats). Source rides inside the
+    explode key (no corpus join-back); totals broadcast;
+    WindowGroupLimit top-10 per source."""
+    return text.boilerplate_grams(
+        _docs(spark, sf_dir), "doc_id", "text", "source",
+        n=3, min_share_ppm=100_000, top_k=10,
+    )
+
+
+@query(
     "x_text_repetition",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),

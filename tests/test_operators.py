@@ -2102,3 +2102,28 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
     }
     assert 7 in out and out[7]["max_cosine"] > 0.99
     assert 8 not in out
+
+
+def test_boilerplate_grams_finds_site_furniture(spark):
+    # source A: every doc shares a footer; source B: no repeats
+    rows = (
+        [(i, f"unique words number {i} here since footer follows subscribe to our newsletter", "A")
+         for i in range(10)]
+        + [(100 + i, " ".join(f"w{i}x{j}" for j in range(8)), "B")
+           for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = text.boilerplate_grams(
+        df, "doc_id", "text", "source", n=3, min_share_ppm=500_000, top_k=5
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # the footer trigrams are in 100% of A's docs
+    assert "A" in by_src
+    top = by_src["A"][0]
+    assert top["n_docs"] == 10 and top["share_ppm"] == 1_000_000
+    assert all(r["share_ppm"] >= 500_000 for r in by_src["A"])
+    assert "subscribe to our" in {r["gram"] for r in by_src["A"]}
+    # source B has no gram in >=50% of its docs
+    assert "B" not in by_src
