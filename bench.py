@@ -143,6 +143,7 @@ HEADLINE = [
     "x_semantic_decontaminate",   # embedding-space eval-leak flags
     "sql12_double_exists_q21_style",  # Q21 semi+anti double decorrelation
     "x_boilerplate_grams",        # per-source template furniture list
+    "x_skew_report",              # join-key skew diagnostic
 ]
 
 

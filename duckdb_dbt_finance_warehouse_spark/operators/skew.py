@@ -69,3 +69,46 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return big_s.join(small_s, [*on, "_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostic — the measurement that DECIDES whether
+    ``salted_agg``/``salted_join`` (or AQE skew splitting) is needed at
+    all: the ``top_k`` heaviest keys with their exact corpus share, and
+    on every row the global skew ratio (heaviest key vs the mean key)
+    so one glance answers "is this join safe to shuffle on this key".
+
+    Exactness: share_ppm = (count·10⁶) div n_rows and skew_x_mean_ppm =
+    (max_count·n_keys·10⁶) div n_rows are exact integer expressions —
+    both engines rank and report identically; key ties break on the
+    key's string form.
+
+    Shape: one key-keyed count (map-side combined), a 1-row aggregate
+    of the count table (key-grid volume, not corpus volume) broadcast
+    back, and a TakeOrdered top-k. At 100 TB this is the same single
+    shuffle the join under investigation would pay — run it on a
+    hash_sample first if even that is too much."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n_rows_key")
+    )
+    totals = counts.agg(
+        F.sum("n_rows_key").alias("_n_rows"),
+        F.count("*").alias("_n_keys"),
+        F.max("n_rows_key").alias("_max_count"),
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows_key",
+            F.expr("(n_rows_key * 1000000) div _n_rows").alias("share_ppm"),
+            F.col("_n_keys").alias("n_keys"),
+            F.expr("(_max_count * _n_keys * 1000000) div _n_rows").alias(
+                "skew_x_mean_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_rows_key"), F.asc("key"))
+        .limit(top_k)
+    )

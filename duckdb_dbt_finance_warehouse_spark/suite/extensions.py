@@ -31,6 +31,7 @@ from ..operators import (
     sessionize,
     similarity,
     sketch,
+    skew,
     stats,
     text,
 )
@@ -1392,6 +1393,33 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+@query(
+    "x_skew_report",
+    oracle="""
+    WITH counts AS (SELECT CAST(event_type AS VARCHAR) AS key,
+                           CAST(count(*) AS BIGINT) AS n_rows_key
+                    FROM events GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_rows_key) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(n_rows_key) AS BIGINT) AS max_count
+            FROM counts)
+    SELECT key, n_rows_key,
+           CAST((n_rows_key * 1000000) // n_rows AS BIGINT) AS share_ppm,
+           n_keys,
+           CAST((max_count * n_keys * 1000000) // n_rows AS BIGINT)
+             AS skew_x_mean_ppm
+    FROM counts, tot ORDER BY n_rows_key DESC, key LIMIT 10
+    """,
+)
+def x_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/skew.skew_report): top-10
+    heaviest keys with exact ppm corpus share plus the global
+    heaviest-vs-mean ratio — the measurement that decides whether a
+    salted join or AQE skew handling is needed before shuffling on the
+    key. One key-keyed count, 1-row broadcast, TakeOrdered."""
+    return skew.skew_report(_events(spark, sf_dir), "event_type", top_k=10)
 
 
 @query(

@@ -2127,3 +2127,24 @@ def test_boilerplate_grams_finds_site_furniture(spark):
     assert "subscribe to our" in {r["gram"] for r in by_src["A"]}
     # source B has no gram in >=50% of its docs
     assert "B" not in by_src
+
+
+def test_skew_report_ranks_hot_keys_exactly(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import skew
+
+    # key 'hot' holds 60 of 100 rows; 'warm' 30; ten singleton keys
+    rows = (
+        [(i, "hot") for i in range(60)]
+        + [(100 + i, "warm") for i in range(30)]
+        + [(200 + i, f"cold{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["id", "k"])
+    out = skew.skew_report(df, "k", top_k=3).collect()
+    assert [r["key"] for r in out] == ["hot", "warm", "cold0"]
+    hot = out[0]
+    assert hot["n_rows_key"] == 60 and hot["share_ppm"] == 600_000
+    assert hot["n_keys"] == 12
+    # heaviest key is 60 / (100/12) = 7.2x the mean key
+    assert hot["skew_x_mean_ppm"] == 7_200_000
+    # the ratio is global: identical on every row
+    assert len({r["skew_x_mean_ppm"] for r in out}) == 1
