@@ -257,3 +257,110 @@ def test_jsonl_parse_partitions_every_line(spark, tmp_path_factory, lines):
     # every good row is one of the well-formed inputs
     for r in good.collect():
         assert r["doc_id"] is not None and r["lang"] == "en"
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+@PROP
+def test_containment_pairs_match_bruteforce(spark, docs):
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import containment_pairs
+
+    n, max_df, thr = 2, 3, 0.4
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["n_inter"], r["containment"])
+        for r in containment_pairs(
+            df, "doc_id", "text", n=n, threshold=thr, max_gram_df=max_df
+        ).collect()
+    }
+
+    def grams(words):
+        toks = words if len(words) >= n else words
+        return {
+            " ".join(toks[i : i + n])
+            for i in range(max(len(toks) - n + 1, 1))
+        }
+
+    gsets = {i: grams(w) for i, w in enumerate(docs)}
+    from collections import Counter
+    dfreq = Counter(g for s in gsets.values() for g in s)
+    rare = {g for g, c in dfreq.items() if c <= max_df}
+    want = {}
+    for a in gsets:
+        for b in gsets:
+            if a >= b or not (gsets[a] & gsets[b] & rare):
+                continue
+            inter = len(gsets[a] & gsets[b])
+            cont = round(inter / min(len(gsets[a]), len(gsets[b])), 6)
+            if cont >= thr:
+                want[(a, b)] = (len(gsets[a]), len(gsets[b]), inter, cont)
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        min_size=3,
+        max_size=30,
+    )
+)
+@PROP
+def test_mad_outliers_match_bruteforce(spark, vals):
+    import math
+
+    from duckdb_dbt_finance_warehouse_spark.operators.stats import mad_outliers
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["event_id", "value"])
+    got = {r["event_id"]: r for r in mad_outliers(df, "event_id", "value").collect()}
+
+    def interp_median(xs):
+        s = sorted(xs)
+        k = len(s) - 1
+        lo, hi = s[k // 2], s[(k + 1) // 2]
+        return (lo + hi) / 2.0
+
+    vq = [math.floor(v * 10_000 + 0.5) for _, v in rows]
+    med2 = round(2 * interp_median(vq))
+    dev2 = {i: abs(2 * q - med2) for i, q in zip(range(len(vq)), vq)}
+    mad4 = round(2 * interp_median(list(dev2.values())))
+    for i, q in enumerate(vq):
+        if mad4 == 0:
+            assert got[i]["robust_z"] is None and got[i]["is_outlier"] is False
+        else:
+            want_z = round(1.349 * (2 * q - med2) / mad4, 6)
+            assert got[i]["robust_z"] == want_z
+            assert got[i]["is_outlier"] == (1349 * dev2[i] > 3500 * mad4)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=2, max_size=8),
+        min_size=3,
+        max_size=12,
+    )
+)
+@PROP
+def test_perplexity_buckets_partition_is_monotone(spark, texts):
+    from duckdb_dbt_finance_warehouse_spark.operators.text import perplexity_buckets
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = perplexity_buckets(df, "doc_id", "text").collect()
+    assert len(out) == len(texts)
+    by_bucket = {}
+    score_to_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["score_q"])
+        # equal scores always share a bucket
+        assert score_to_bucket.setdefault(r["score_q"], r["ppl_bucket"]) == r["ppl_bucket"]
+    order = [b for b in ("tail", "middle", "head") if b in by_bucket]
+    # buckets are contiguous, ascending score ranges
+    for lo, hi in zip(order, order[1:]):
+        assert max(by_bucket[lo]) < min(by_bucket[hi])
