@@ -336,3 +336,27 @@ def reshard_audit(
             ).cast("long").alias("n_moved"),
         )
     )
+
+
+def table_fingerprint_by(
+    df: DataFrame, group_col: str, cols: list | None = None
+) -> DataFrame:
+    """Per-group ``table_fingerprint`` — one (group, n_rows, h1_sum,
+    h2_sum) row per group, in the same single map-side-combined pass.
+    The mergeable property is the point: summing the group rows yields
+    exactly the whole-table fingerprint, so a shard manifest built from
+    this can be verified piecewise AND in aggregate against the source
+    table (see ``runner.py shard``). ``cols`` defaults to every column
+    except ``group_col``."""
+    from ..functions.cleaning import record_hash
+
+    if cols is None:
+        cols = [c for c in df.columns if c != group_col]
+    h = record_hash(cols)
+    w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return df.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(w1).alias("h1_sum"),
+        F.sum(w2).alias("h2_sum"),
+    )

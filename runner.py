@@ -216,6 +216,50 @@ def cmd_fingerprint(args) -> int:
     return 0
 
 
+def cmd_shard(args) -> int:
+    """Export a warehouse table into N rendezvous-assigned training
+    shards plus a verifiable manifest. Rendezvous (highest-random-
+    weight) assignment means growing to N+1 shards later rewrites only
+    ~1/(N+1) of the data (reshard-as-append); the manifest carries a
+    per-shard count + mergeable md5-word fingerprint, so each shard can
+    be verified in isolation AND the summed manifest must equal the
+    source table's fingerprint end to end."""
+    from duckdb_dbt_finance_warehouse_spark.operators.maintenance import (
+        rendezvous_shard,
+        table_fingerprint,
+        table_fingerprint_by,
+    )
+    from pyspark.sql import functions as F
+
+    if "." not in args.table:
+        print(f"error: --table expects schema.table, got {args.table!r}", file=sys.stderr)
+        return 2
+    schema, table = args.table.split(".", 1)
+    spark = get_spark("shard")
+    wh = Warehouse(spark, args.warehouse)
+    df = wh.read(schema, table)
+    if args.key not in df.columns:
+        print(f"error: key column {args.key!r} not in {args.table}", file=sys.stderr)
+        return 2
+    cols = df.columns
+    sharded = df.withColumn("shard", rendezvous_shard(args.key, args.shards))
+    wh.write(sharded, "shards", table, partition_by=["shard"])
+    back = wh.read("shards", table)
+    manifest = table_fingerprint_by(back, "shard", cols).orderBy("shard")
+    wh.write(manifest, "shards", f"{table}__manifest")
+    total = table_fingerprint(df).first()
+    rows = wh.read("shards", f"{table}__manifest").orderBy("shard").collect()
+    ok = (
+        sum(r["n_rows"] for r in rows) == total["n_rows"]
+        and sum(r["h1_sum"] for r in rows) == total["h1_sum"]
+        and sum(r["h2_sum"] for r in rows) == total["h2_sum"]
+    )
+    for r in rows:
+        print(f"shard={r['shard']}  n_rows={r['n_rows']}  h1={r['h1_sum']}  h2={r['h2_sum']}")
+    print(f"manifest_total_matches_source={ok}")
+    return 0 if ok else 1
+
+
 def cmd_vacuum(args) -> int:
     """Warehouse-wide staged-swap janitor (Warehouse.vacuum): removes
     orphaned _staging_* siblings, heals or clears _trash_* shadows.
@@ -236,7 +280,7 @@ def main() -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     dag = sub.add_parser("dag")
     dag.add_argument("--select", default=None)
-    for name in ("ingest", "build", "test", "query", "fingerprint", "curate", "vacuum"):
+    for name in ("ingest", "build", "test", "query", "fingerprint", "curate", "vacuum", "shard"):
         s = sub.add_parser(name)
         s.add_argument("--warehouse", required=True)
         if name == "ingest":
@@ -252,6 +296,10 @@ def main() -> int:
             s.add_argument("--rows", type=int, default=50)
         if name == "fingerprint":
             s.add_argument("--table", default=None, help="schema.table[,schema.table...]; default: all")
+        if name == "shard":
+            s.add_argument("--table", required=True, help="schema.table to export")
+            s.add_argument("--key", required=True, help="rendezvous key column")
+            s.add_argument("--shards", type=int, default=8)
         if name == "curate":
             s.add_argument("--docs-dir", required=True)
             s.add_argument("--val-fraction", type=float, default=0.2)
@@ -267,6 +315,7 @@ def main() -> int:
         "fingerprint": cmd_fingerprint,
         "curate": cmd_curate,
         "vacuum": cmd_vacuum,
+        "shard": cmd_shard,
     }[args.cmd](args)
 
 

@@ -320,3 +320,49 @@ def test_vacuum_cleans_staging_and_heals_trash(spark, tmp_path_factory):
         "trash_restored": 0,
         "trash_removed": 0,
     }
+
+
+def test_shard_export_manifest_merges_to_source_fingerprint(spark, tmp_path_factory):
+    from duckdb_dbt_finance_warehouse_spark.operators.maintenance import (
+        rendezvous_shard,
+        table_fingerprint,
+        table_fingerprint_by,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("shard_wh"))
+    w = Warehouse(spark, root)
+    src = spark.range(0, 500).selectExpr("id", "id * 7 AS v")
+    w.write(src, "stg", "t")
+    df = w.read("stg", "t")
+    cols = df.columns
+    sharded = df.withColumn("shard", rendezvous_shard("id", 4))
+    w.write(sharded, "shards", "t", partition_by=["shard"])
+    back = w.read("shards", "t")
+
+    manifest = {
+        r["shard"]: r for r in table_fingerprint_by(back, "shard", cols).collect()
+    }
+    assert set(manifest) == {0, 1, 2, 3}
+    total = table_fingerprint(df).first()
+    # mergeable: summed shard fingerprints == whole-table fingerprint
+    assert sum(r["n_rows"] for r in manifest.values()) == total["n_rows"] == 500
+    assert sum(r["h1_sum"] for r in manifest.values()) == total["h1_sum"]
+    assert sum(r["h2_sum"] for r in manifest.values()) == total["h2_sum"]
+    # each shard's manifest row verifies that shard in isolation
+    s0 = table_fingerprint(
+        back.filter(F.col("shard") == 0).select(*cols)
+    ).first()
+    assert (s0["n_rows"], s0["h1_sum"], s0["h2_sum"]) == (
+        manifest[0]["n_rows"], manifest[0]["h1_sum"], manifest[0]["h2_sum"],
+    )
+    # rendezvous stability: growing 4 -> 5 shards only moves keys INTO 4
+    before = {r["id"]: r["shard"] for r in sharded.select("id", "shard").collect()}
+    after = {
+        r["id"]: r["shard"]
+        for r in df.withColumn("shard", rendezvous_shard("id", 5))
+        .select("id", "shard").collect()
+    }
+    moved = {k for k in before if before[k] != after[k]}
+    assert moved and all(after[k] == 4 for k in moved)
+    assert len(moved) < 500 * 0.4
