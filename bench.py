@@ -144,6 +144,7 @@ HEADLINE = [
     "sql12_double_exists_q21_style",  # Q21 semi+anti double decorrelation
     "x_boilerplate_grams",        # per-source template furniture list
     "x_skew_report",              # join-key skew diagnostic
+    "x_ann_recall_audit",         # LSH recall@5 vs exact ground truth
 ]
 
 

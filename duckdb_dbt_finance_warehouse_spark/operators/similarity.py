@@ -1378,3 +1378,51 @@ def centroid_drift(
             ).alias("centroid_cosine"),  # NULL when a centroid is zero
         )
     )
+
+
+def ann_recall_audit(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN quality measurement — recall@k of the LSH probe-table path
+    against the exact brute-force ground truth, per probe. This is the
+    number that DECIDES n_tables/n_planes before anyone trusts the
+    approximate index at 100 TB: tuning blind is how silent recall
+    collapse ships. Run it on a small fixed probe panel per ingest
+    batch and alert on drops (the same discipline as the drift gates).
+
+    Output: (query_id, n_exact, n_hits, recall_ppm) where recall_ppm =
+    (hits·10⁶) div |exact top-k| — exact integers, engine-identical;
+    both sides use deterministic (score DESC, id) tie-breaks, so the
+    id sets — and therefore the audit — replay bit-for-bit.
+
+    Shape: the exact side broadcasts the (constant-size) probe panel
+    over one corpus stream + a WindowGroupLimit top-k; the approximate
+    side is the shared LSH probe-table stage; the comparison is a
+    semi join at top-k volume. Keep the panel fixed-size (it rides a
+    broadcast nested-loop by design); the corpus side scales freely."""
+    exact = cosine_topk(corpus, probes, id_col, vec_col, k).select(
+        "query_id", "cand_id"
+    )
+    approx = lsh_ann_topk_probe_table(
+        corpus, probes, id_col, vec_col, k, n_tables, n_planes, dim
+    ).select("query_id", "cand_id")
+    hits = exact.join(approx, ["query_id", "cand_id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hits = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    return (
+        n_exact.join(n_hits, "query_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(n_hits * 1000000) div n_exact").alias("recall_ppm"),
+        )
+    )

@@ -672,6 +672,60 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_ann_recall_audit",
+    oracle=f"""
+    WITH ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 16),
+    ex_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank
+      FROM ex_scored),
+    exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= 5),
+    bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+    lsh_cands AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+      FROM (SELECT * FROM bk WHERE vec_id < 16) qb
+      JOIN bk cb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                AND cb.vec_id != qb.vec_id),
+    lsh_scored AS (
+      SELECT lc.query_id, lc.cand_id, {_QCOS_PAIR} AS cosine
+      FROM lsh_cands lc
+      JOIN embeddings q ON q.vec_id = lc.query_id
+      JOIN embeddings c ON c.vec_id = lc.cand_id),
+    lsh_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank
+      FROM lsh_scored),
+    approx AS (SELECT query_id, cand_id FROM lsh_ranked WHERE rank <= 5),
+    ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+           FROM exact GROUP BY 1),
+    nh AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+           FROM exact e JOIN approx a
+             ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+           GROUP BY 1)
+    SELECT ne.query_id, ne.n_exact,
+           coalesce(nh.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           CAST((coalesce(nh.n_hits, 0) * 1000000) // ne.n_exact AS BIGINT)
+             AS recall_ppm
+    FROM ne LEFT JOIN nh USING (query_id)
+    """,
+)
+def x_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 audit (operators/similarity.ann_recall_audit): the
+    LSH probe-table path measured against exact brute-force ground
+    truth on a fixed 16-probe panel — the number that tunes
+    n_tables/n_planes before trusting the index; both sides use
+    deterministic tie-breaks so the recall replays bit-for-bit."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.ann_recall_audit(
+        emb, emb.filter(F.col("vec_id") < 16), k=5,
+        n_tables=8, n_planes=4, dim=64,
+    )
+
+
+@query(
     "x_semantic_decontaminate",
     oracle=f"""
     WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),

@@ -2148,3 +2148,28 @@ def test_skew_report_ranks_hot_keys_exactly(spark):
     assert hot["skew_x_mean_ppm"] == 7_200_000
     # the ratio is global: identical on every row
     assert len({r["skew_x_mean_ppm"] for r in out}) == 1
+
+
+def test_ann_recall_audit_perfect_when_lsh_finds_all(spark):
+    # clustered vectors: with 8 tables the LSH path recovers the exact
+    # neighbors of every probe, so recall must be exactly 1e6 ppm
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [0.0] * 16
+        base[i % 4] = 1.0
+        rows.append((i, [b + rnd.uniform(-0.05, 0.05) for b in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = df.filter(F.col("vec_id") < 4)
+    out = similarity.ann_recall_audit(
+        df, probes, k=3, n_tables=8, n_planes=2, dim=16
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_exact"] == 3
+        assert 0 <= r["n_hits"] <= 3
+        assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // 3
+    # clustered geometry: the bucketed path finds every exact neighbor
+    assert all(r["recall_ppm"] == 1_000_000 for r in out)

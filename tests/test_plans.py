@@ -110,6 +110,7 @@ BNLJ_ALLOWED = {
     "x_perplexity_buckets",  # 1-row vocab size + 1-row corpus total, both into bounded grids
     "x_mad_outliers",  # 1-row median + 1-row MAD bounds crossed into the scan
     "x_skew_report",  # 1-row count-table totals crossed into the key grid
+    "x_ann_recall_audit",  # fixed 16-probe panel broadcast over the corpus (exact side)
 }
 
 
