@@ -881,31 +881,48 @@ def containment_pairs(
     but ubiquitous grams can be missed (the documented recall trade).
 
     Shape: one gram explode (spread_input-guarded, distinct),
-    localCheckpointed — it feeds the df-guard aggregate, both sides of
-    the candidate join, the size aggregate, and both sides of the
-    verification join. The candidate join is gram-keyed with df
-    bounded fan-out (<= max_gram_df² pairs per gram); the verification
-    join is candidate-volume. Nothing is corpus-quadratic, nothing
-    collects."""
+    localCheckpointed — it feeds the candidate aggregation, the size
+    aggregate, and both sides of the verification join. Candidates come
+    from ONE gram-keyed groupBy whose per-gram state is capped at
+    max_gram_df ids (<= max_gram_df² pairs emitted per gram); the
+    verification join is candidate-volume. Nothing is corpus-quadratic,
+    nothing collects, and no corpus-sized frame is ever broadcast (see
+    the in-body notes on the localCheckpoint size-estimate trap)."""
     from .text import word_ngrams
 
     grams = word_ngrams(df, id_col, text_col, n).localCheckpoint(eager=False)
-    rare = grams.groupBy("gram").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") <= max_gram_df
-    ).select("gram")
-    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
-    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    # Candidate pairs come from ONE gram-keyed aggregation emitting the
+    # in-gram id combinations (state bounded by max_gram_df ids per
+    # gram, never a skew risk) — NOT a gram self-join: the gram frame is
+    # a 10-50x explode hiding behind a localCheckpoint, Catalyst's size
+    # estimate (pre-explode scan bytes) undershoots it by the same
+    # factor, and the self-join form was observed BROADCASTING the
+    # corpus gram table at sf1 — the mid-scale driver-OOM shape
+    # CLAUDE.md pins for bpe/lm. The grouped form shuffles the gram
+    # stream once and emits pair volume directly.
+    ids_sorted = F.array_sort(F.collect_list(id_col))
+    pair_structs = F.expr(
+        "flatten(transform(_ids, (x, i) ->"
+        " transform(slice(_ids, i + 2, size(_ids)), y ->"
+        " struct(x AS id_a, y AS id_b))))"
+    )
     cands = (
-        ga.join(rare, "gram")
-        .join(gb, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grams.groupBy("gram")
+        .agg(ids_sorted.alias("_ids"))
+        .filter(F.size("_ids") <= max_gram_df)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b")
         .distinct()
     )
+    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
+    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("_n"))
+    # verification joins stay gram-/id-keyed shuffles: the gb side gets
+    # the shuffle_hash pin for the same bogus-stats reason as above
+    # (neither side is bounded by construction)
     inter = (
         cands.join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
+        .join(gb.hint("shuffle_hash"), ["id_b", "gram"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )

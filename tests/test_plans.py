@@ -377,3 +377,15 @@ def test_importance_resample_broadcasts_weight_table(spark):
     p = plan_of(spark, "x_importance_resample")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_containment_never_broadcasts_corpus_grams(spark):
+    """Candidate pairs must come from the gram-keyed groupBy (no gram
+    self-join at all), and the verification join must keep its
+    shuffle_hash pin: the localCheckpointed gram frame's size estimate
+    undershoots the 10-50x explode, and the unpinned plan was observed
+    broadcasting the CORPUS gram table at sf1 (mid-scale driver-OOM
+    shape)."""
+    p = plan_of(spark, "x_containment_pairs")
+    assert "ShuffledHashJoin" in p  # pinned verification join
+    assert "SortMergeJoin" not in p
