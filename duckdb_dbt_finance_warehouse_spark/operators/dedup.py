@@ -410,9 +410,14 @@ def ngram_jaccard(
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     ga = grams.select(F.col(id_col).alias("id_a"), "gram")
     gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    # shuffle_hash pin on the corpus-gram side: the gram explode's size
+    # estimate derives from the pre-explode scan bytes, and the unpinned
+    # sf1 plan was observed BROADCASTING the (id_b, gram) corpus frame —
+    # the mid-scale driver-OOM shape (see containment_pairs). The PAIRS
+    # side staying broadcastable is fine and stays the planner's call.
     inter = (
         pairs.join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
+        .join(gb.hint("shuffle_hash"), ["id_b", "gram"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -817,18 +822,39 @@ def fuzzy_string_join(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # shuffle_hash pins on every join whose big side is the CORPUS gram
+    # frame (or the corpus-growing rare-gram list): both sit under
+    # localCheckpoints whose size estimates undershoot the explode, and
+    # the unpinned sf1 plan broadcast the (corpus_id, gram) frame — the
+    # mid-scale driver-OOM shape (see containment_pairs). The PROBE gram
+    # side is panel-bounded and stays the planner's broadcast call.
     cand_cg = cg
     if max_gram_df is not None:
-        gram_df = cg.groupBy("gram").agg(F.count("*").alias("_df"))
-        cand_cg = cg.join(
-            gram_df.filter(F.col("_df") <= max_gram_df).select("gram"), "gram"
+        # df-guard as a gram-partitioned window count, not a
+        # (counts ⋈ grams) self-join: one shuffle of cg on the
+        # high-entropy gram key and no second corpus-derived side to
+        # mis-broadcast
+        from pyspark.sql import Window
+
+        w_df = Window.partitionBy("gram")
+        cand_cg = (
+            cg.withColumn("_df", F.count("*").over(w_df))
+            .filter(F.col("_df") <= max_gram_df)
+            .drop("_df")
         )
-    cands = pg.join(cand_cg, "gram").select(probe_id, corpus_id).distinct()
+    # shuffle_hash here too: the corpus side must never be the broadcast
+    # build; its gram-keyed window shuffle above is REUSED by this join,
+    # so the pin adds no exchange on the big side
+    cands = (
+        pg.join(cand_cg.hint("shuffle_hash"), "gram")
+        .select(probe_id, corpus_id)
+        .distinct()
+    )
     p_sizes = pg.groupBy(probe_id).agg(F.count("*").alias("_np"))
     c_sizes = cg.groupBy(corpus_id).agg(F.count("*").alias("_nc"))
     inter = (
         cands.join(pg, probe_id)
-        .join(cg, [corpus_id, "gram"])
+        .join(cg.hint("shuffle_hash"), [corpus_id, "gram"])
         .groupBy(probe_id, corpus_id)
         .agg(F.count("*").alias("_inter"))
     )

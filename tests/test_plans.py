@@ -389,3 +389,19 @@ def test_containment_never_broadcasts_corpus_grams(spark):
     p = plan_of(spark, "x_containment_pairs")
     assert "ShuffledHashJoin" in p  # pinned verification join
     assert "SortMergeJoin" not in p
+
+
+def test_gram_verify_joins_never_broadcast_corpus_grams(spark):
+    """fuzzy join and n-gram Jaccard verification must keep their
+    shuffle_hash pins: the corpus gram frames sit under localCheckpoints
+    whose size estimates undershoot the explode, and the unpinned sf1
+    plans were observed broadcasting (corpus_id, gram) / (id_b, gram) —
+    the mid-scale driver-OOM shape."""
+    for name in ("x_fuzzy_join", "x_ngram_jaccard"):
+        p = plan_of(spark, name)
+        assert "ShuffledHashJoin" in p, name
+        for be in re.findall(
+            r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", p
+        ):
+            assert not ("corpus_id" in be and "gram" in be), (name, be)
+            assert not ("id_b" in be and "gram" in be), (name, be)
