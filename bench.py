@@ -145,6 +145,7 @@ HEADLINE = [
     "x_boilerplate_grams",        # per-source template furniture list
     "x_skew_report",              # join-key skew diagnostic
     "x_ann_recall_audit",         # LSH recall@5 vs exact ground truth
+    "x_dedup_precision_audit",    # MinHash pair precision vs exact Jaccard
 ]
 
 

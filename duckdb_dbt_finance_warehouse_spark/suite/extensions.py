@@ -141,6 +141,22 @@ def x_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard(docs, "doc_id", "text", pairs, n=3)
 
 
+@query(
+    "x_dedup_precision_audit",
+    oracle=None,  # assembled below, after _minhash_portable_oracle exists
+)
+def x_dedup_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup index-quality audit (operators/dedup.dedup_precision_audit):
+    every LSH-reported pair re-scored with the exact shingle-set Jaccard
+    — 1-row precision + mean signature error, the text-side sibling of
+    x_ann_recall_audit. Exact-Jaccard join runs at reported-pair volume
+    only."""
+    return dedup.dedup_precision_audit(
+        _docs(spark, sf_dir), "doc_id", "text",
+        k=5, n_hashes=64, bands=16, est_threshold=0.5, true_threshold=0.5,
+    )
+
+
 def _minhash_portable_oracle(
     k: int = 5,
     n_hashes: int = 64,
@@ -192,6 +208,44 @@ def _minhash_portable_oracle(
     HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {float(n_hashes)}
            >= {threshold}
     """
+
+
+# late-bound oracle for x_dedup_precision_audit (declared above the
+# helper): wrap the full portable-LSH oracle as a subquery, re-score
+# its pairs with the exact 5-char shingle Jaccard, 1-row rollup
+from .registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["x_dedup_precision_audit"].oracle = f"""
+    WITH lsh AS (SELECT * FROM ({_minhash_portable_oracle(threshold=0.5)}) q),
+    t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    g AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
+          FROM t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    inter AS (SELECT l.id_a, l.id_b, CAST(count(*) AS BIGINT) AS ni
+              FROM lsh l JOIN g ga ON ga.doc_id = l.id_a
+                         JOIN g gb ON gb.doc_id = l.id_b AND gb.gram = ga.gram
+              GROUP BY 1, 2),
+    ex AS (SELECT l.id_a, l.id_b, l.est_jaccard,
+                  round(coalesce(i.ni, 0)
+                        / (sa.n + sb.n - coalesce(i.ni, 0)), 6) AS jaccard
+           FROM lsh l
+           LEFT JOIN inter i ON i.id_a = l.id_a AND i.id_b = l.id_b
+           JOIN sz sa ON sa.doc_id = l.id_a
+           JOIN sz sb ON sb.doc_id = l.id_b),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(count(*) FILTER (jaccard >= 0.5) AS BIGINT) AS n_true,
+                 CAST(SUM(CAST(floor(abs(est_jaccard - jaccard) * 1000000 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS errq
+          FROM ex)
+    SELECT n_pairs, n_true,
+           CASE WHEN n_pairs > 0
+                THEN CAST((n_true * 1000000) // n_pairs AS BIGINT) END
+             AS precision_ppm,
+           CASE WHEN n_pairs > 0
+                THEN round(CAST(errq AS DOUBLE) / 1000000 / n_pairs, 6) END
+             AS mean_abs_err
+    FROM a
+"""
 
 
 @query("x_dedup_minhash_portable", oracle=_minhash_portable_oracle())

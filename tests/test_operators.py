@@ -2173,3 +2173,34 @@ def test_ann_recall_audit_perfect_when_lsh_finds_all(spark):
         assert r["recall_ppm"] == (r["n_hits"] * 1_000_000) // 3
     # clustered geometry: the bucketed path finds every exact neighbor
     assert all(r["recall_ppm"] == 1_000_000 for r in out)
+
+
+def test_dedup_precision_audit_on_known_corpus(spark):
+    # two near-identical docs (one token differs) and two unrelated docs:
+    # the LSH pass reports the near-dup pair; its true Jaccard clears the
+    # bar, so precision is 1e6 ppm and the signature error is small
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "the quick brown fox jumps over the lazy dog by the shore"),
+        (3, "completely unrelated text about parquet files and shuffles"),
+        (4, "another disjoint document mentioning warehouses and joins"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.dedup_precision_audit(
+        df, "doc_id", "text", k=5, n_hashes=64, bands=16,
+        est_threshold=0.5, true_threshold=0.5,
+    ).first()
+    release_persisted()
+    assert r["n_pairs"] >= 1 and r["n_true"] == r["n_pairs"]
+    assert r["precision_ppm"] == 1_000_000
+    assert 0.0 <= r["mean_abs_err"] < 0.2
+
+
+def test_dedup_precision_audit_empty_corpus_pairs(spark):
+    # fully disjoint docs -> no reported pairs -> NULL rates, zero counts
+    rows = [(i, f"doc {i} " + " ".join(f"tok{i}{j}" for j in range(8))) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.dedup_precision_audit(df, "doc_id", "text").first()
+    release_persisted()
+    assert r["n_pairs"] == 0 and r["n_true"] == 0
+    assert r["precision_ppm"] is None and r["mean_abs_err"] is None
