@@ -101,10 +101,14 @@ DRIVER_PRIORITY: list[str] = [
     "x_simhash_near_dup",
     "x_semantic_dedup",
     "x_sample_temperature",
-    "x_collocations",
+    # fuzzy_join/containment replaced x_collocations/x_vocab_coverage in
+    # the continued-r5 window: both had their join plans REWORKED this
+    # round (gram-broadcast sweep) — touched code outranks stable
+    # never-checked entries for the 50 driver slots
+    "x_fuzzy_join",
+    "x_containment_pairs",
     "x_quality_classifier",
     "x_leakage_safe_split",
-    "x_vocab_coverage",
     "sql2_join_agg_q5_style",
     "sql3_exists_q4_style",
     "sql4_recursive_spine",
