@@ -169,6 +169,15 @@ class Warehouse:
 
         return register_warehouse_catalog(self)
 
+    def analyze(self, columns: bool = True) -> list[str]:
+        """Register (if needed) and ANALYZE every table in the session
+        catalog — row counts + per-column stats for Catalyst's
+        cost-based optimizer. Delegates to
+        ``sql.analyze_warehouse_catalog``."""
+        from ..sql import analyze_warehouse_catalog
+
+        return analyze_warehouse_catalog(self, columns)
+
     def vacuum(self) -> dict[str, int]:
         """Warehouse-wide janitor for the staged-swap lifecycle: a crash
         BEFORE the swap leaves an orphaned ``_staging_<table>`` sibling

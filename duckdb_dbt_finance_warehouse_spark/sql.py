@@ -85,6 +85,29 @@ def register_warehouse_catalog(wh: Warehouse) -> list[str]:
     return names
 
 
+def analyze_warehouse_catalog(
+    wh: Warehouse, columns: bool = True
+) -> list[str]:
+    """Collect catalog statistics for every registered warehouse table
+    (``ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS]``) — the
+    step that turns Catalyst's cost-based optimizer ON for this layout:
+    with row counts + column NDV/min/max in the metastore, join
+    reordering and build-side selection stop guessing from file sizes
+    (the gram-join audit in PERF.md shows what bad size guesses do).
+    Registers first if needed; returns the analyzed names. On a cluster
+    run it after each build, like the reference's post-load ANALYZE in
+    DuckDB (automatic there; explicit here)."""
+    spark = wh.spark
+    names = register_warehouse_catalog(wh)
+    for name in names:
+        schema, table = name.split(".", 1)
+        stmt = f"ANALYZE TABLE `{schema}`.`{table}` COMPUTE STATISTICS"
+        spark.sql(stmt)
+        if columns:
+            spark.sql(stmt + " FOR ALL COLUMNS")
+    return names
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> list[str]:
     """Register the driver corpus tables under their bare names."""
     dfs = load_testdata(spark, sf_dir)

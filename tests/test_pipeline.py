@@ -366,3 +366,30 @@ def test_shard_export_manifest_merges_to_source_fingerprint(spark, tmp_path_fact
     moved = {k for k in before if before[k] != after[k]}
     assert moved and all(after[k] == 4 for k in moved)
     assert len(moved) < 500 * 0.4
+
+
+def test_analyze_populates_catalog_statistics(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("analyze_wh"))
+    w = Warehouse(spark, root)
+    w.write(
+        spark.range(0, 1000).selectExpr("id", "id % 7 AS grp", "id * 1.5 AS v"),
+        "stg",
+        "t",
+    )
+    try:
+        names = w.analyze()
+        assert "stg.t" in names
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED stg.t").collect()
+        }
+        assert "Statistics" in desc and "1000 rows" in desc["Statistics"]
+        cols = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED stg.t grp").collect()
+        }
+        assert cols.get("distinct_count") == "7"
+        assert cols.get("min") == "0" and cols.get("max") == "6"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS stg CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS shards CASCADE")
