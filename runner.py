@@ -216,6 +216,61 @@ def cmd_fingerprint(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Nightly corpus health report — the measurement family composed
+    into one command: volume/skew by slice, lexical + length drift
+    between the two largest slices, dedup-index precision, boilerplate
+    templates, and robust length outliers. Every number comes from an
+    oracle-verified operator; this command only formats them."""
+    from duckdb_dbt_finance_warehouse_spark.operators import dedup as ddp
+    from duckdb_dbt_finance_warehouse_spark.operators import skew as skw
+    from duckdb_dbt_finance_warehouse_spark.operators import stats, text
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+    from pyspark.sql import functions as F
+
+    spark = get_spark("audit")
+    docs = load_testdata(spark, args.docs_dir, "documents")["documents"]
+    slice_col = args.slice_col
+
+    top = skw.skew_report(docs, slice_col, top_k=5).collect()
+    print(f"slices by {slice_col}: " + ", ".join(
+        f"{r['key']}={r['n_rows_key']} ({r['share_ppm'] / 10000:.1f}%)" for r in top
+    ))
+    if top:
+        print(f"skew: heaviest slice is {top[0]['skew_x_mean_ppm'] / 1e6:.2f}x the mean slice")
+
+    if len(top) >= 2:
+        a, b = top[0]["key"], top[1]["key"]
+        drift = text.lexical_drift(
+            docs.filter(F.col(slice_col).isin(a, b)),
+            "text", F.col(slice_col) == b, top_k=5,
+        ).collect()
+        terms = ", ".join(f"{r['tok']} (chi2={r['chi2']:.1f}, {r['enriched_in']})" for r in drift)
+        print(f"lexical drift {a} vs {b}: {terms}")
+        ks = stats.ks_drift(docs, "n_chars", slice_col, a, b).first()
+        print(f"length KS drift {a} vs {b}: D={ks['ks']:.4f} at n_chars={ks['ks_at']}")
+
+    prec = ddp.dedup_precision_audit(docs, "doc_id", "text").first()
+    ddp.release_persisted()
+    if prec["n_pairs"]:
+        print(
+            f"dedup index: {prec['n_pairs']} near-dup pairs, precision "
+            f"{prec['precision_ppm'] / 10000:.1f}%, mean signature error "
+            f"{prec['mean_abs_err']:.4f}"
+        )
+    else:
+        print("dedup index: no near-dup pairs reported")
+
+    bp = text.boilerplate_grams(docs, "doc_id", "text", slice_col, n=3).collect()
+    print(f"boilerplate: {len(bp)} template grams at >=10% slice share"
+          + (f" (worst: '{bp[0]['gram']}' in {bp[0]['share_ppm'] / 10000:.0f}% of {bp[0]['source']})" if bp else ""))
+
+    mad = stats.mad_outliers(docs, "doc_id", "n_chars")
+    n_out = mad.filter("is_outlier").count()
+    print(f"length outliers (|modified z| >= 3.5): {n_out} of {docs.count()} docs")
+    return 0
+
+
 def cmd_shard(args) -> int:
     """Export a warehouse table into N rendezvous-assigned training
     shards plus a verifiable manifest. Rendezvous (highest-random-
@@ -280,9 +335,9 @@ def main() -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     dag = sub.add_parser("dag")
     dag.add_argument("--select", default=None)
-    for name in ("ingest", "build", "test", "query", "fingerprint", "curate", "vacuum", "shard"):
+    for name in ("ingest", "build", "test", "query", "fingerprint", "curate", "vacuum", "shard", "audit"):
         s = sub.add_parser(name)
-        s.add_argument("--warehouse", required=True)
+        s.add_argument("--warehouse", required=(name != "audit"))
         if name == "ingest":
             s.add_argument("--data", required=True)
             s.add_argument("--mode", default="append", choices=["replace", "append"])
@@ -296,6 +351,9 @@ def main() -> int:
             s.add_argument("--rows", type=int, default=50)
         if name == "fingerprint":
             s.add_argument("--table", default=None, help="schema.table[,schema.table...]; default: all")
+        if name == "audit":
+            s.add_argument("--docs-dir", required=True)
+            s.add_argument("--slice-col", default="source")
         if name == "shard":
             s.add_argument("--table", required=True, help="schema.table to export")
             s.add_argument("--key", required=True, help="rendezvous key column")
@@ -316,6 +374,7 @@ def main() -> int:
         "curate": cmd_curate,
         "vacuum": cmd_vacuum,
         "shard": cmd_shard,
+        "audit": cmd_audit,
     }[args.cmd](args)
 
 

@@ -54,3 +54,14 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert runner.cmd_curate(args) == 0
     a = {r["doc_id"]: r["split"] for r in wh.read("curated", "documents").collect()}
     assert a == b
+
+
+def test_audit_cli_runs_and_reports(spark, capsys):
+    import runner
+
+    args = argparse.Namespace(docs_dir=SF, slice_col="source", warehouse=None)
+    assert runner.cmd_audit(args) == 0
+    out = capsys.readouterr().out
+    assert "slices by source:" in out
+    assert "dedup index:" in out
+    assert "length outliers" in out
