@@ -146,6 +146,7 @@ HEADLINE = [
     "x_skew_report",              # join-key skew diagnostic
     "x_ann_recall_audit",         # LSH recall@5 vs exact ground truth
     "x_dedup_precision_audit",    # MinHash pair precision vs exact Jaccard
+    "x_hll_error_audit",          # HLL estimate certified vs exact distinct
 ]
 
 

@@ -493,3 +493,37 @@ def hll_incremental_oracle_sql(src: str, col: str, batch_expr: str) -> str:
     est AS ({est_tail} FROM agg)
     {final} FROM est
     """
+
+
+def hll_error_audit(df: DataFrame, col: str) -> DataFrame:
+    """Sketch trust measurement — the HLL estimate next to the EXACT
+    distinct count with the relative error in ppm: the number that
+    justifies replacing count(DISTINCT) with the sketch on 100 TB
+    (where the exact count is a full shuffle you run ONCE, here, to
+    certify the sketch you then run always). Completes the measurement
+    family: ann_recall_audit (ANN), dedup_precision_audit (MinHash),
+    drift gates (distributions), this (cardinality sketches).
+
+    Output (1 row): column_name, exact_distinct, hll_estimate,
+    buckets_used, err_ppm — err_ppm from one fixed IEEE expression
+    over the deterministic estimate and the exact long, identical in
+    the oracle.
+
+    Shape: the HLL register aggregation (bounded state) plus one exact
+    distinct aggregate, 1-row crossed. The exact side is the expensive
+    half — that is the point of the audit."""
+    est = hll_distinct(df, col)
+    exact = df.agg(F.count_distinct(F.col(col)).cast("long").alias("exact_distinct"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "column_name",
+            "exact_distinct",
+            "hll_estimate",
+            "buckets_used",
+            F.expr(
+                "CAST(floor(abs(hll_estimate - CAST(exact_distinct AS DOUBLE))"
+                " / CAST(exact_distinct AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )

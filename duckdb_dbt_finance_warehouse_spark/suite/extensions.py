@@ -1138,6 +1138,30 @@ def x_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_hll_error_audit",
+    oracle=f"""
+    WITH est AS ({sketch.hll_oracle_sql("events", "user_id")}),
+    ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM events)
+    SELECT est.column_name, ex.exact_distinct, est.hll_estimate,
+           est.buckets_used,
+           CAST(floor(abs(est.hll_estimate - CAST(ex.exact_distinct AS DOUBLE))
+                / CAST(ex.exact_distinct AS DOUBLE) * 1000000.0 + 0.5)
+             AS BIGINT) AS err_ppm
+    FROM est, ex
+    """,
+)
+def x_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-sketch trust audit (operators/sketch.hll_error_audit):
+    the HLL estimate certified against the exact distinct count with
+    the relative error in ppm — run once before replacing
+    count(DISTINCT) with the sketch at scale. Completes the
+    measurement family (ANN recall, dedup precision, drift gates)."""
+    e = _events(spark, sf_dir)
+    return sketch.hll_error_audit(e, "user_id")
+
+
+@query(
     "x_hll_distinct",
     oracle=f"""
     ({sketch.hll_oracle_sql("events", "user_id")})

@@ -2204,3 +2204,14 @@ def test_dedup_precision_audit_empty_corpus_pairs(spark):
     release_persisted()
     assert r["n_pairs"] == 0 and r["n_true"] == 0
     assert r["precision_ppm"] is None and r["mean_abs_err"] is None
+
+
+def test_hll_error_audit_known_cardinality(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import sketch
+
+    df = spark.range(0, 5000).selectExpr("id % 1000 AS k")
+    r = sketch.hll_error_audit(df, "k").first()
+    assert r["exact_distinct"] == 1000
+    # 256-bucket HLL: standard error ~6.5%; assert within 3 sigma
+    assert abs(r["hll_estimate"] - 1000) / 1000 < 0.2
+    assert r["err_ppm"] == int(abs(r["hll_estimate"] - 1000.0) / 1000.0 * 1e6 + 0.5)
