@@ -50,7 +50,10 @@ def main() -> int:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         p = os.path.join(args.sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written layout (make_sf1): directory of part files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
