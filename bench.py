@@ -147,6 +147,7 @@ HEADLINE = [
     "x_ann_recall_audit",         # LSH recall@5 vs exact ground truth
     "x_dedup_precision_audit",    # MinHash pair precision vs exact Jaccard
     "x_hll_error_audit",          # HLL estimate certified vs exact distinct
+    "x_ewma_smooth",              # truncated-EWMA metric smoothing
 ]
 
 

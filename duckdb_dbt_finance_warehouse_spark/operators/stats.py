@@ -413,3 +413,62 @@ def mad_outliers(
         .otherwise(F.lit(False))
         .alias("is_outlier"),
     )
+
+
+def ewma_truncated(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 8,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key — the
+    smoothed-baseline companion to ``rolling_zscore_anomalies``: each
+    value is averaged with geometrically decaying weights over the
+    trailing ``window`` observations (current row included). Truncation
+    is what makes it exact AND bounded-state: the infinite EWMA
+    recurrence is order-fragile and unbounded, while the last-W form is
+    a fixed expression over W lag() values — one key-partitioned window
+    exchange, engine-replayable bit-for-bit.
+
+    Math, integer-exact: with a = alpha_num/alpha_den, weight of the
+    j-th lag is a·(1−a)^j (the current row takes j = 0), all over the
+    truncated mass. Scaled to integers: w_j = alpha_num·(alpha_den −
+    alpha_num)^j · alpha_den^(W−1−j); ewma = Σ w_j·v_j / Σ_present w_j
+    — numerator and the present-lag weight sum are exact bigints
+    (values quantized by ``scale``), one double division at the end.
+    Cold starts shorten the window (missing lags drop out of both
+    sums), so the first row's ewma equals its own value.
+
+    Validity: window·max|v·scale|·alpha_den^(W-1) < 2^63 — defaults
+    (W=8, a=1/4, scale=1e4) hold for |v| < 5·10^9. Output appends
+    ``ewma`` (double, round 6) and ``n_window`` (rows present)."""
+    from pyspark.sql import Window as W
+
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("ewma_truncated: need 0 < alpha_num < alpha_den")
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    vq = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast("long")
+    base = df.withColumn("_vq", vq)
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    cnt = F.lit(0).cast("long")
+    b = alpha_den - alpha_num
+    for j in range(window):
+        wj = alpha_num * (b ** j) * (alpha_den ** (window - 1 - j))
+        lag_v = F.lag("_vq", j).over(w)
+        num = num + F.coalesce(lag_v * F.lit(wj), F.lit(0))
+        den = den + F.when(lag_v.isNotNull(), F.lit(wj)).otherwise(F.lit(0))
+        cnt = cnt + F.when(lag_v.isNotNull(), 1).otherwise(0)
+    return base.select(
+        key_col,
+        *order_cols,
+        value_col,
+        cnt.alias("n_window"),
+        F.round(
+            num.cast("double") / den.cast("double") / F.lit(float(scale)), 6
+        ).alias("ewma"),
+    )

@@ -1554,6 +1554,40 @@ def x_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.skew_report(_events(spark, sf_dir), "event_type", top_k=10)
 
 
+def _ewma_oracle(window: int = 8, an: int = 1, ad: int = 4, scale: int = 10_000) -> str:
+    b = ad - an
+    num, den, cnt = [], [], []
+    for j in range(window):
+        wj = an * (b ** j) * (ad ** (window - 1 - j))
+        lg = f"lag(vq, {j}) OVER w"
+        num.append(f"coalesce({lg} * {wj}, 0)")
+        den.append(f"CASE WHEN {lg} IS NOT NULL THEN {wj} ELSE 0 END")
+        cnt.append(f"CASE WHEN {lg} IS NOT NULL THEN 1 ELSE 0 END")
+    return f"""
+    WITH b AS (SELECT user_id, ts, event_id, value,
+                      CAST(floor(value * {scale} + 0.5) AS BIGINT) AS vq
+               FROM events)
+    SELECT user_id, ts, event_id, value,
+           CAST({' + '.join(cnt)} AS BIGINT) AS n_window,
+           round(CAST({' + '.join(num)} AS DOUBLE)
+                 / CAST({' + '.join(den)} AS DOUBLE) / {scale}.0, 6) AS ewma
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("x_ewma_smooth", oracle=_ewma_oracle())
+def x_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA smoothing per user (operators/stats.
+    ewma_truncated): geometrically decaying weights over the trailing 8
+    events as exact scaled-integer lag sums — the smoothed metric
+    baseline, one user-keyed window exchange, replayed bit-for-bit
+    (the untruncated recurrence would be order-fragile and
+    unbounded-state)."""
+    e = _events(spark, sf_dir)
+    return stats.ewma_truncated(e, "user_id", ["ts", "event_id"], "value")
+
+
 @query(
     "x_mad_outliers",
     oracle="""

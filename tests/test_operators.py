@@ -2215,3 +2215,19 @@ def test_hll_error_audit_known_cardinality(spark):
     # 256-bucket HLL: standard error ~6.5%; assert within 3 sigma
     assert abs(r["hll_estimate"] - 1000) / 1000 < 0.2
     assert r["err_ppm"] == int(abs(r["hll_estimate"] - 1000.0) / 1000.0 * 1e6 + 0.5)
+
+
+def test_ewma_truncated_known_values(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import stats
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10.0, 20.0, 30.0])]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {r["t"]: r for r in stats.ewma_truncated(df, "k", ["t"], "v", window=8).collect()}
+    # cold start: first row's ewma is its own value
+    assert out[0]["ewma"] == 10.0 and out[0]["n_window"] == 1
+    # second row: a=1/4 -> (1/4*20 + 3/16*10)/(1/4 + 3/16) = 115/4 / (7/4) ... compute integer-exact
+    # w0=16384, w1=12288: (20*16384 + 10*12288)/(16384+12288) = 450560/28672
+    assert out[1]["ewma"] == round(450560 / 28672 / 1.0, 6)
+    assert out[1]["n_window"] == 2
+    # more recent values weigh more: ewma at t=2 is between mean and latest
+    assert out[1]["ewma"] < out[2]["ewma"] < 30.0
