@@ -148,6 +148,7 @@ HEADLINE = [
     "x_dedup_precision_audit",    # MinHash pair precision vs exact Jaccard
     "x_hll_error_audit",          # HLL estimate certified vs exact distinct
     "x_ewma_smooth",              # truncated-EWMA metric smoothing
+    "x_max_concurrency",          # peak-concurrent-sessions sweep
 ]
 
 

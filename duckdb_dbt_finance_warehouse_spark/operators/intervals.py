@@ -67,3 +67,57 @@ def interval_overlap_join(
         F.greatest("start_a", "start_b").alias("overlap_start"),
         F.least("end_a", "end_b").alias("overlap_end"),
     )
+
+
+def max_concurrency(
+    df: DataFrame, start_col: str, end_col: str, buckets: int = 32
+) -> DataFrame:
+    """Peak simultaneous intervals — "max concurrent sessions/users/
+    jobs", the capacity-planning sweep: +1 at each start, −1 at each
+    end (half-open [start, end): an interval ending at t frees its
+    slot BEFORE one starting at t takes it), running-sum the deltas in
+    time order, take the max. Pass INCLUSIVE ends as end+1.
+
+    Shape: the event stream collapses to its distinct-second grid
+    (groupBy, map-side combined — grid-bounded, never row-bounded),
+    the two-pass ``ordered_prefix_sums`` (no global window), a 1-row
+    max broadcast back for the deterministic argmin-time join. Exact
+    integers end to end.
+
+    Output (1 row): n_intervals, peak_concurrency, peak_at (epoch s,
+    the earliest second the peak is reached)."""
+    from .dedup import _persist
+    from .stats import ordered_prefix_sums
+
+    s = (
+        df.select(F.col(start_col).cast("long").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").alias("_ns"))
+    )
+    e = (
+        df.select(F.col(end_col).cast("long").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").alias("_ne"))
+    )
+    g = (
+        s.join(e, "_t", "full_outer")
+        .select(
+            "_t",
+            (
+                F.coalesce("_ns", F.lit(0)) - F.coalesce("_ne", F.lit(0))
+            ).alias("_delta"),
+            F.coalesce("_ns", F.lit(0)).alias("_nsc"),
+        )
+    )
+    g = _persist(ordered_prefix_sums(g, "_t", ["_delta"], buckets))
+    peak = g.agg(
+        F.max("cum__delta").alias("_peak"), F.sum("_nsc").alias("_n")
+    )
+    return (
+        g.join(F.broadcast(peak), F.col("cum__delta") == F.col("_peak"))
+        .agg(
+            F.min("_n").alias("n_intervals"),
+            F.min("_peak").alias("peak_concurrency"),
+            F.min("_t").alias("peak_at"),
+        )
+    )

@@ -1188,6 +1188,53 @@ def x_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_max_concurrency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s2 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM s),
+    iv AS (
+      SELECT CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS st,
+             CAST(max(epoch_us(ts) // 1000000) + 1 AS BIGINT) AS en
+      FROM s2 GROUP BY user_id, session_seq),
+    stg AS (SELECT st AS t, CAST(count(*) AS BIGINT) AS ns FROM iv GROUP BY 1),
+    eng AS (SELECT en AS t, CAST(count(*) AS BIGINT) AS ne FROM iv GROUP BY 1),
+    g AS (SELECT coalesce(stg.t, eng.t) AS t,
+                 coalesce(ns, 0) - coalesce(ne, 0) AS delta,
+                 coalesce(ns, 0) AS nsc
+          FROM stg FULL OUTER JOIN eng ON eng.t = stg.t),
+    c AS (SELECT t, sum(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+          FROM g),
+    p AS (SELECT max(cum) AS peak FROM c),
+    n AS (SELECT CAST(sum(nsc) AS BIGINT) AS n FROM g)
+    SELECT n.n AS n_intervals, CAST(p.peak AS BIGINT) AS peak_concurrency,
+           CAST(min(c.t) AS BIGINT) AS peak_at
+    FROM c, p, n WHERE c.cum = p.peak GROUP BY n.n, p.peak
+    """,
+)
+def x_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (operators/intervals.max_concurrency
+    over sessionize.session_stats): the capacity-planning sweep — +1/−1
+    at session starts/half-open ends, grid-collapsed, two-pass prefix
+    sum (no global window), 1-row peak with deterministic earliest
+    peak time. Composes two oracle-verified house patterns."""
+    sess = sessionize.session_stats(_events(spark, sf_dir), gap_minutes=30)
+    iv = sess.select(
+        F.col("session_start").cast("long").alias("_st"),
+        (F.col("session_end").cast("long") + 1).alias("_en"),
+    )
+    return intervals.max_concurrency(iv, "_st", "_en")
+
+
+@query(
     "x_sessionize",
     oracle="""
     WITH s AS (

@@ -2231,3 +2231,24 @@ def test_ewma_truncated_known_values(spark):
     assert out[1]["n_window"] == 2
     # more recent values weigh more: ewma at t=2 is between mean and latest
     assert out[1]["ewma"] < out[2]["ewma"] < 30.0
+
+
+def test_max_concurrency_known_intervals(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import intervals
+
+    # [0,10) [5,15) [9,12) overlap at t=9 -> 3; [20,25) alone
+    rows = [(0, 10), (5, 15), (9, 12), (20, 25)]
+    df = spark.createDataFrame(rows, ["st", "en"])
+    r = intervals.max_concurrency(df, "st", "en").first()
+    assert r["n_intervals"] == 4
+    assert r["peak_concurrency"] == 3
+    assert r["peak_at"] == 9
+
+
+def test_max_concurrency_end_frees_before_start(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import intervals
+
+    # half-open: [0,5) and [5,10) never overlap -> peak 1
+    df = spark.createDataFrame([(0, 5), (5, 10)], ["st", "en"])
+    r = intervals.max_concurrency(df, "st", "en").first()
+    assert r["peak_concurrency"] == 1 and r["peak_at"] == 0
