@@ -149,6 +149,7 @@ HEADLINE = [
     "x_hll_error_audit",          # HLL estimate certified vs exact distinct
     "x_ewma_smooth",              # truncated-EWMA metric smoothing
     "x_max_concurrency",          # peak-concurrent-sessions sweep
+    "x_group_quantiles",          # per-group p50/p95 from the mergeable grid
 ]
 
 

@@ -527,3 +527,62 @@ def hll_error_audit(df: DataFrame, col: str) -> DataFrame:
             ).alias("err_ppm"),
         )
     )
+
+
+def group_quantiles(
+    df: DataFrame, group_col: str, col: str, width: float, qs: list[float]
+) -> DataFrame:
+    """Per-group quantile estimates from the mergeable fixed-grid
+    histogram — the p50/p95-per-service/language/source rollup
+    ``histogram_quantiles`` answers globally. One (group, bin)-keyed
+    count (map-side combined, cells bounded by groups × value_range/
+    width), then each group's cells collapse to ONE array row and the
+    same expression-level cumulative fold + interpolation as the
+    global path — no windows anywhere, one group-keyed exchange.
+
+    Output: (group, q, est_value, n) — one row per group × quantile,
+    arithmetic written identically in the DuckDB oracle."""
+    cells = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.floor(F.col(col).cast("double") / F.lit(width)).cast("long").alias("bin"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = F.expr(
+        "aggregate(cells,"
+        " struct(cast(array() as array<struct<bin:bigint,cnt:bigint,cum:bigint>>) as a,"
+        "        cast(0 as bigint) as s),"
+        " (acc, c) -> struct(acc.a || array(cast(named_struct("
+        "     'bin', c.bin, 'cnt', c.cnt, 'cum', acc.s + c.cnt)"
+        "     as struct<bin:bigint,cnt:bigint,cum:bigint>)),"
+        "   acc.s + c.cnt),"
+        " acc -> acc.a)"
+    )
+    packed = (
+        cells.groupBy(group_col)
+        .agg(F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("cells"))
+        .select(group_col, cum.alias("cc"))
+        .select(
+            group_col, "cc", F.element_at("cc", -1)["cum"].cast("long").alias("n")
+        )
+    )
+    target = F.col("q") * F.col("n")
+    sel = F.element_at(F.filter("cc", lambda c: c["cum"] >= target), 1)
+    return packed.select(
+        group_col,
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        "cc",
+        "n",
+    ).select(
+        group_col,
+        "q",
+        F.round(
+            sel["bin"] * F.lit(width)
+            + F.lit(width) * (target - (sel["cum"] - sel["cnt"])) / sel["cnt"],
+            6,
+        ).alias("est_value"),
+        "n",
+    )

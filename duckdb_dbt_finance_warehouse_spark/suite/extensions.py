@@ -2063,6 +2063,44 @@ def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_group_quantiles",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h),
+    t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM h GROUP BY 1),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.5), (0.95)) v(q)),
+    sel AS (
+      SELECT c.event_type, qs.q, t.n,
+             min(CASE WHEN c.cum >= qs.q * t.n THEN c.bin END) AS bin
+      FROM qs, c JOIN t USING (event_type) GROUP BY 1, 2, 3)
+    SELECT s.event_type, s.q,
+           round(s.bin * 5.0
+                 + 5.0 * (s.q * s.n - (c.cum - c.cnt)) / c.cnt, 6) AS est_value,
+           s.n
+    FROM sel s JOIN c ON c.event_type = s.event_type AND c.bin = s.bin
+    """,
+)
+def x_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles from the mergeable fixed-grid histogram
+    (operators/sketch.group_quantiles): p50/p95 of event value per
+    event type — each group's grid-bounded cells collapse to one array
+    row and fold to cumulative counts expression-side (no windows),
+    one group-keyed exchange; the oracle's partitioned window states
+    the same semantics."""
+    e = _events(spark, sf_dir)
+    return sketch.group_quantiles(e, "event_type", "value", width=5.0, qs=[0.5, 0.95])
+
+
+@query(
     "x_quantile_sketch",
     oracle="""
     WITH h AS (

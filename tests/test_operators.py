@@ -2252,3 +2252,19 @@ def test_max_concurrency_end_frees_before_start(spark):
     df = spark.createDataFrame([(0, 5), (5, 10)], ["st", "en"])
     r = intervals.max_concurrency(df, "st", "en").first()
     assert r["peak_concurrency"] == 1 and r["peak_at"] == 0
+
+
+def test_group_quantiles_match_exact_on_fine_grid(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import sketch
+
+    # width 1 on integer values -> interpolated estimates land inside
+    # the right unit bin for each group
+    rows = [("a", float(v)) for v in range(100)] + [("b", float(v * 10)) for v in range(10)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {(r["g"], r["q"]): r for r in sketch.group_quantiles(df, "g", "v", 1.0, [0.5, 0.9]).collect()}
+    assert out[("a", 0.5)]["n"] == 100 and out[("b", 0.5)]["n"] == 10
+    # group a: uniform 0..99 -> p50 ~ 49-50, p90 ~ 89-90
+    assert 49.0 <= out[("a", 0.5)]["est_value"] <= 50.0
+    assert 89.0 <= out[("a", 0.9)]["est_value"] <= 90.0
+    # group b: 0,10,..,90 -> p50 within the bin holding the 5th value
+    assert 40.0 <= out[("b", 0.5)]["est_value"] <= 41.0
