@@ -150,6 +150,7 @@ HEADLINE = [
     "x_ewma_smooth",              # truncated-EWMA metric smoothing
     "x_max_concurrency",          # peak-concurrent-sessions sweep
     "x_group_quantiles",          # per-group p50/p95 from the mergeable grid
+    "x_join_size_estimate",       # exact pre-flight join cardinality
 ]
 
 

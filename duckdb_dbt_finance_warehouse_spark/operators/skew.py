@@ -112,3 +112,65 @@ def skew_report(
         .orderBy(F.desc("n_rows_key"), F.asc("key"))
         .limit(top_k)
     )
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Pre-flight join sizing — the EXACT output cardinality of
+    ``left ⋈ right`` on the given keys, computed WITHOUT running the
+    join: collapse both sides to per-key counts and sum the products.
+    Together with ``skew_report`` this is the go/no-go check before an
+    expensive shuffle: output rows, the single worst key's
+    contribution, and its share tell you whether to salt, filter, or
+    rethink (a 10¹²-row result is cheaper to discover here than in a
+    dead executor).
+
+    Exact integers: join_rows = Σ_k na(k)·nb(k); worst-key share in
+    ppm by integer cross-multiplication. The count-table join is
+    key-grid volume on both sides — never row volume.
+
+    Output (1 row): n_left, n_right, n_join_keys, join_rows,
+    worst_key (string), worst_key_rows, worst_share_ppm."""
+    a = left.groupBy(F.col(left_key).cast("string").alias("_k")).agg(
+        F.count("*").alias("_na")
+    )
+    b = right.groupBy(F.col(right_key).cast("string").alias("_k")).agg(
+        F.count("*").alias("_nb")
+    )
+    j = a.join(b, "_k").select(
+        "_k", "_na", "_nb", (F.col("_na") * F.col("_nb")).alias("_prod")
+    )
+    from .dedup import _persist
+
+    j = _persist(j)
+    totals = j.agg(
+        F.sum("_na").alias("_sna"),
+        F.sum("_nb").alias("_snb"),
+        F.count("*").alias("n_join_keys"),
+        F.sum("_prod").alias("join_rows"),
+        F.max("_prod").alias("_maxp"),
+    )
+    worst = (
+        j.join(F.broadcast(totals.select("_maxp")), F.col("_prod") == F.col("_maxp"))
+        .agg(F.min("_k").alias("worst_key"), F.min("_prod").alias("worst_key_rows"))
+    )
+    na = left.agg(F.count("*").alias("n_left"))
+    nb = right.agg(F.count("*").alias("n_right"))
+    return (
+        totals.crossJoin(F.broadcast(worst))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_left",
+            "n_right",
+            "n_join_keys",
+            "join_rows",
+            "worst_key",
+            "worst_key_rows",
+            F.expr(
+                "CASE WHEN join_rows > 0"
+                " THEN (worst_key_rows * 1000000) div join_rows END"
+            ).alias("worst_share_ppm"),
+        )
+    )

@@ -1575,6 +1575,46 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_join_size_estimate",
+    oracle="""
+    WITH a AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+                      CAST(count(*) AS BIGINT) AS na
+               FROM orders GROUP BY 1),
+    b AS (SELECT CAST(c_custkey AS VARCHAR) AS k,
+                 CAST(count(*) AS BIGINT) AS nb
+          FROM customer GROUP BY 1),
+    j AS (SELECT a.k, na, nb, na * nb AS prod FROM a JOIN b USING (k)),
+    t AS (SELECT CAST(sum(na) AS BIGINT) AS sna,
+                 CAST(sum(nb) AS BIGINT) AS snb,
+                 CAST(count(*) AS BIGINT) AS n_join_keys,
+                 CAST(sum(prod) AS BIGINT) AS join_rows,
+                 CAST(max(prod) AS BIGINT) AS maxp
+          FROM j),
+    w AS (SELECT min(j.k) AS worst_key, CAST(min(j.prod) AS BIGINT)
+                 AS worst_key_rows
+          FROM j, t WHERE j.prod = t.maxp),
+    nl AS (SELECT CAST(count(*) AS BIGINT) AS n_left FROM orders),
+    nr AS (SELECT CAST(count(*) AS BIGINT) AS n_right FROM customer)
+    SELECT nl.n_left, nr.n_right, t.n_join_keys, t.join_rows,
+           w.worst_key, w.worst_key_rows,
+           CASE WHEN t.join_rows > 0
+                THEN CAST((w.worst_key_rows * 1000000) // t.join_rows AS BIGINT)
+           END AS worst_share_ppm
+    FROM t, w, nl, nr
+    """,
+)
+def x_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing (operators/skew.join_size_estimate):
+    exact orders⋈customer output cardinality from per-key count tables
+    — sum of count products plus the worst key's share, the go/no-go
+    check before an expensive shuffle, at key-grid cost."""
+    t = load_testdata(spark, sf_dir, "orders", "customer")
+    return skew.join_size_estimate(
+        t["orders"], t["customer"], "o_custkey", "c_custkey"
+    )
+
+
+@query(
     "x_skew_report",
     oracle="""
     WITH counts AS (SELECT CAST(event_type AS VARCHAR) AS key,

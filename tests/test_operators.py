@@ -2268,3 +2268,21 @@ def test_group_quantiles_match_exact_on_fine_grid(spark):
     assert 89.0 <= out[("a", 0.9)]["est_value"] <= 90.0
     # group b: 0,10,..,90 -> p50 within the bin holding the 5th value
     assert 40.0 <= out[("b", 0.5)]["est_value"] <= 41.0
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import skew
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 9]], ["k"]
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 3, 3, 3, 8]], ["k"]
+    )
+    r = skew.join_size_estimate(left, right, "k", "k").first()
+    actual = left.join(right, "k").count()
+    assert r["join_rows"] == actual == 3 * 2 + 2 * 1 + 1 * 3
+    assert r["n_left"] == 7 and r["n_right"] == 7
+    assert r["n_join_keys"] == 3
+    assert r["worst_key"] == "1" and r["worst_key_rows"] == 6
+    assert r["worst_share_ppm"] == 6 * 1_000_000 // 11
