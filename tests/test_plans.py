@@ -112,6 +112,7 @@ BNLJ_ALLOWED = {
     "x_skew_report",  # 1-row count-table totals crossed into the key grid
     "x_ann_recall_audit",  # fixed 16-probe panel broadcast over the corpus (exact side)
     "x_hll_error_audit",  # 1-row exact-distinct bound crossed into the 1-row estimate
+    "x_join_size_estimate",  # three 1-row bounds (worst key, side counts) crossed into one row
 }
 
 
