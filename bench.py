@@ -151,6 +151,7 @@ HEADLINE = [
     "x_max_concurrency",          # peak-concurrent-sessions sweep
     "x_group_quantiles",          # per-group p50/p95 from the mergeable grid
     "x_join_size_estimate",       # exact pre-flight join cardinality
+    "x_event_paths",              # top-k 3-step funnel discovery
 ]
 
 

@@ -3233,6 +3233,31 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_event_paths",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS e0,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (SELECT e0 || '>' || e1 || '>' || e2 AS path,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE e2 IS NOT NULL GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+    SELECT path, n, CAST((n * 1000000) // t AS BIGINT) AS share_ppm
+    FROM c, t ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def x_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event paths (operators/sessionize.event_paths)
+    — funnel discovery: stacked lead() offsets over one user-keyed
+    window, per-row state bounded by depth (never a per-user
+    collect_list), exact ppm shares, TakeOrdered."""
+    return sessionize.event_paths(_events(spark, sf_dir), depth=3, top_k=20)
+
+
+@query(
     "x_event_transitions",
     oracle="""
     WITH p AS (

@@ -2286,3 +2286,20 @@ def test_join_size_estimate_matches_actual_join(spark):
     assert r["n_join_keys"] == 3
     assert r["worst_key"] == "1" and r["worst_key_rows"] == 6
     assert r["worst_share_ppm"] == 6 * 1_000_000 // 11
+
+
+def test_event_paths_counts_sliding_windows(spark):
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, e)
+        for i, e in enumerate(["view", "click", "buy", "view", "click", "buy"])
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {r["path"]: r for r in sessionize.event_paths(df, depth=3, top_k=10).collect()}
+    # sliding windows over the 6-event stream: 4 complete 3-paths
+    assert out["view>click>buy"]["n"] == 2
+    assert out["click>buy>view"]["n"] == 1
+    assert out["buy>view>click"]["n"] == 1
+    assert sum(r["n"] for r in out.values()) == 4
+    assert out["view>click>buy"]["share_ppm"] == 500_000
