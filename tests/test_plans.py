@@ -113,6 +113,7 @@ BNLJ_ALLOWED = {
     "x_ann_recall_audit",  # fixed 16-probe panel broadcast over the corpus (exact side)
     "x_hll_error_audit",  # 1-row exact-distinct bound crossed into the 1-row estimate
     "x_join_size_estimate",  # three 1-row bounds (worst key, side counts) crossed into one row
+    "x_event_paths",  # 1-row complete-path total crossed into the path grid
 }
 
 
