@@ -152,6 +152,7 @@ HEADLINE = [
     "x_group_quantiles",          # per-group p50/p95 from the mergeable grid
     "x_join_size_estimate",       # exact pre-flight join cardinality
     "x_event_paths",              # top-k 3-step funnel discovery
+    "x_last_touch_attribution",   # channel-credited conversion revenue
 ]
 
 

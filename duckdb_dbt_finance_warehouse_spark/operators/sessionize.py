@@ -369,3 +369,54 @@ def event_paths(df: DataFrame, depth: int = 3, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    channel_types: tuple[str, ...] = ("view", "click", "signup"),
+    scale: int = 100,
+) -> DataFrame:
+    """Last-touch revenue attribution — every conversion's value is
+    credited to the most recent preceding CHANNEL event (view/click/
+    signup) in the same user's stream: the marketing-analytics rollup
+    every event warehouse ends up writing. One user-keyed window
+    exchange; the credited channel is ``last_value(... IGNORE NULLS)``
+    over the strictly-preceding frame, so non-channel noise events
+    (errors, other conversions) never absorb credit.
+
+    Output per channel: (channel, n_conversions, attributed_value_q,
+    attributed_value) — the value sum is an exact scaled-long
+    (``scale`` = cents-style quantization; the money.exact_sum
+    discipline), the double is derived once at the end. Conversions
+    with NO preceding channel event land under channel
+    'unattributed'."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.when(
+        F.col("event_type").isin(*channel_types), F.col("event_type")
+    )
+    vq = F.floor(F.col("value") * F.lit(scale) + F.lit(0.5)).cast("long")
+    return (
+        df.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("_touch", F.last(channel, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == conversion_type)
+        .groupBy(
+            F.coalesce(F.col("_touch"), F.lit("unattributed")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(vq).alias("attributed_value_q"),
+        )
+        .select(
+            "channel",
+            "n_conversions",
+            "attributed_value_q",
+            F.round(
+                F.col("attributed_value_q").cast("double") / F.lit(float(scale)), 6
+            ).alias("attributed_value"),
+        )
+    )

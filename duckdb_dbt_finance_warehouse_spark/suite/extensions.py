@@ -3233,6 +3233,35 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_last_touch_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events)
+    SELECT coalesce(touch, 'unattributed') AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS attributed_value_q,
+           round(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 6) AS attributed_value
+    FROM t WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def x_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution (operators/sessionize.
+    last_touch_attribution): each purchase's value credited to the most
+    recent preceding channel event via last_value IGNORE NULLS over the
+    strictly-preceding frame — one user-keyed window exchange, exact
+    scaled-long value sums (money.exact_sum discipline)."""
+    return sessionize.last_touch_attribution(_events(spark, sf_dir))
+
+
+@query(
     "x_event_paths",
     oracle="""
     WITH p AS (

@@ -2303,3 +2303,30 @@ def test_event_paths_counts_sliding_windows(spark):
     assert out["buy>view>click"]["n"] == 1
     assert sum(r["n"] for r in out.values()) == 4
     assert out["view>click>buy"]["share_ppm"] == 500_000
+
+
+def test_last_touch_attribution_credits_most_recent_channel(spark):
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> purchase(10) => click credited
+        (1, datetime(2024, 1, 1, 0, 1), 1, "view", 0.0),
+        (2, datetime(2024, 1, 1, 0, 2), 1, "click", 0.0),
+        (3, datetime(2024, 1, 1, 0, 3), 1, "purchase", 10.0),
+        # user 1 again: error then purchase(5) => still click (errors skip)
+        (4, datetime(2024, 1, 1, 0, 4), 1, "error", 0.0),
+        (5, datetime(2024, 1, 1, 0, 5), 1, "purchase", 5.0),
+        # user 2: purchase with no preceding channel => unattributed
+        (6, datetime(2024, 1, 1, 0, 1), 2, "purchase", 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {r["channel"]: r for r in sessionize.last_touch_attribution(df).collect()}
+    assert out["click"]["n_conversions"] == 2
+    assert out["click"]["attributed_value_q"] == 1500
+    assert out["click"]["attributed_value"] == 15.0
+    assert out["unattributed"]["n_conversions"] == 1
+    assert out["unattributed"]["attributed_value_q"] == 750
+    assert "view" not in out  # click superseded it
