@@ -153,6 +153,7 @@ HEADLINE = [
     "x_join_size_estimate",       # exact pre-flight join cardinality
     "x_event_paths",              # top-k 3-step funnel discovery
     "x_last_touch_attribution",   # channel-credited conversion revenue
+    "x_rfm_segments",             # 27-cell recency/frequency/monetary grid
 ]
 
 

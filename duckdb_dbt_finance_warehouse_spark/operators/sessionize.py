@@ -420,3 +420,55 @@ def last_touch_attribution(
             ).alias("attributed_value"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame, conversion_type: str = "purchase", scale: int = 100
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: every user
+    scored 1-3 on Recency (last activity), Frequency (conversions) and
+    Monetary (exact scaled conversion value), by TERCILES of each
+    metric's distribution, then rolled up per (r, f, m) segment.
+
+    Exactness: tercile assignment uses the integer grid rule from
+    ``text.perplexity_buckets`` — collapse users to the distinct-value
+    grid per metric, two-pass prefix sums (no global window),
+    ``least(2, 3·prefix div N) + 1`` — ties share a grid row and
+    therefore a score, so the segmentation replays bit-for-bit.
+
+    Shape: one user-keyed aggregate (checkpointed — it feeds three
+    grid derivations and the final join), three grid-bounded prefix
+    sums broadcast back, one 27-row rollup. Grids are bounded by
+    distinct metric values, not rows; coarsen the metric quantization
+    if a grid outgrows broadcast (same lever as perplexity_buckets).
+
+    Output: (r_score, f_score, m_score, n_users, monetary_q)."""
+    from .stats import ordered_prefix_sums
+
+    vq = F.floor(F.col("value") * F.lit(scale) + F.lit(0.5)).cast("long")
+    per_user = (
+        df.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("long")).alias("r_val"),
+            F.count_if(F.col("event_type") == conversion_type).alias("f_val"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == conversion_type, vq)),
+                F.lit(0),
+            ).cast("long").alias("m_val"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = per_user
+    for metric, score in (("r_val", "r_score"), ("f_val", "f_score"), ("m_val", "m_score")):
+        g = per_user.groupBy(metric).agg(F.count("*").alias("_c"))
+        g = ordered_prefix_sums(g, metric, ["_c"])
+        total = g.agg(F.sum("_c").alias("_n"))
+        grid = g.join(F.broadcast(total)).select(
+            metric,
+            (F.expr("least(2L, (3 * (cum__c - _c)) div _n)") + 1).alias(score),
+        )
+        out = out.join(F.broadcast(grid), metric)
+    return out.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.sum("m_val").alias("monetary_q"),
+    )

@@ -3233,6 +3233,48 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_rfm_segments",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts) // 1000000) AS BIGINT) AS r_val,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS f_val,
+             CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+               AS BIGINT) AS m_val
+      FROM events GROUP BY 1),
+    rg AS (SELECT r_val, count(*) AS c FROM u GROUP BY 1),
+    rc AS (SELECT r_val, c, sum(c) OVER (ORDER BY r_val) AS cum,
+                  (SELECT sum(c) FROM rg) AS n FROM rg),
+    rs AS (SELECT r_val, CAST(least(2, (3 * (cum - c)) // n) + 1 AS BIGINT)
+                    AS r_score FROM rc),
+    fg AS (SELECT f_val, count(*) AS c FROM u GROUP BY 1),
+    fc AS (SELECT f_val, c, sum(c) OVER (ORDER BY f_val) AS cum,
+                  (SELECT sum(c) FROM fg) AS n FROM fg),
+    fs AS (SELECT f_val, CAST(least(2, (3 * (cum - c)) // n) + 1 AS BIGINT)
+                    AS f_score FROM fc),
+    mg AS (SELECT m_val, count(*) AS c FROM u GROUP BY 1),
+    mc AS (SELECT m_val, c, sum(c) OVER (ORDER BY m_val) AS cum,
+                  (SELECT sum(c) FROM mg) AS n FROM mg),
+    ms AS (SELECT m_val, CAST(least(2, (3 * (cum - c)) // n) + 1 AS BIGINT)
+                    AS m_score FROM mc)
+    SELECT rs.r_score, fs.f_score, ms.m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u.m_val) AS BIGINT) AS monetary_q
+    FROM u JOIN rs USING (r_val) JOIN fs USING (f_val) JOIN ms USING (m_val)
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/sessionize.rfm_segments):
+    recency/frequency/monetary terciles by the exact integer grid rule
+    (perplexity_buckets' tercile arithmetic applied three times), one
+    checkpointed user aggregate feeding three grid-bounded prefix sums
+    — the 27-cell customer-value rollup, oracle-replayed."""
+    return sessionize.rfm_segments(_events(spark, sf_dir))
+
+
+@query(
     "x_last_touch_attribution",
     oracle="""
     WITH t AS (

@@ -2330,3 +2330,28 @@ def test_last_touch_attribution_credits_most_recent_channel(spark):
     assert out["unattributed"]["n_conversions"] == 1
     assert out["unattributed"]["attributed_value_q"] == 750
     assert "view" not in out  # click superseded it
+
+
+def test_rfm_segments_terciles_and_conservation(spark):
+    from datetime import datetime
+
+    # 9 users with increasing recency, frequency, and spend together:
+    # user i has its last event at minute i, i purchases of value 10
+    rows = []
+    eid = 0
+    for u in range(9):
+        for j in range(u + 1):
+            rows.append((eid, datetime(2024, 1, 1, 0, u, j), u, "purchase", 10.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = sessionize.rfm_segments(df).collect()
+    assert sum(r["n_users"] for r in out) == 9
+    # metrics are perfectly correlated: only diagonal segments appear
+    assert all(r["r_score"] == r["f_score"] == r["m_score"] for r in out)
+    by_score = {r["r_score"]: r for r in out}
+    assert {1, 2, 3} == set(by_score)
+    assert by_score[1]["n_users"] == by_score[2]["n_users"] == by_score[3]["n_users"] == 3
+    # monetary conserves: user u spent (u+1)*10 -> scaled by 100
+    assert sum(r["monetary_q"] for r in out) == sum((u + 1) * 1000 for u in range(9))

@@ -114,6 +114,7 @@ BNLJ_ALLOWED = {
     "x_hll_error_audit",  # 1-row exact-distinct bound crossed into the 1-row estimate
     "x_join_size_estimate",  # three 1-row bounds (worst key, side counts) crossed into one row
     "x_event_paths",  # 1-row complete-path total crossed into the path grid
+    "x_rfm_segments",  # three 1-row tercile totals crossed into metric grids
 }
 
 
