@@ -154,6 +154,7 @@ HEADLINE = [
     "x_event_paths",              # top-k 3-step funnel discovery
     "x_last_touch_attribution",   # channel-credited conversion revenue
     "x_rfm_segments",             # 27-cell recency/frequency/monetary grid
+    "x_ab_conversion",            # 2x2 chi-square A/B readout
 ]
 
 

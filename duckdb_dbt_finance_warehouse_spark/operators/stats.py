@@ -472,3 +472,93 @@ def ewma_truncated(
             num.cast("double") / den.cast("double") / F.lit(float(scale)), 6
         ).alias("ewma"),
     )
+
+
+def ab_conversion_test(
+    df: DataFrame,
+    group_col,
+    converted_col,
+    entity_col: str = "user_id",
+) -> DataFrame:
+    """Two-variant conversion comparison — the A/B readout: per-entity
+    conversion flags roll up to the 2×2 (variant × converted) table,
+    rates in exact ppm, and the chi-square statistic in the same
+    exact-rational form as ``text.lexical_drift`` (bigint pivot
+    squared in double, one division chain) — bit-identical in the
+    oracle. The yes/no decision threshold (3.84 for p<0.05 at 1 dof)
+    stays with the caller; this op just makes the statistic itself
+    deterministic and engine-portable.
+
+    ``group_col``: Column/str with exactly two values ('a'/'b' style —
+    more variants raise). ``converted_col``: boolean Column per ROW;
+    an entity converts if ANY of its rows does.
+
+    Shape: one entity-keyed aggregate, a 4-cell rollup, 1-row output.
+    Output: n_a, n_b, conv_a, conv_b, rate_a_ppm, rate_b_ppm, chi2."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    per = df.groupBy(F.col(entity_col)).agg(
+        F.min(g).alias("_g1"),
+        F.max(g).alias("_g2"),
+        F.max(converted_col.cast("int")).alias("_conv"),
+    )
+    lo = per.agg(F.min("_g1").alias("_lo"), F.max("_g1").alias("_hi"))
+    agg = (
+        per.crossJoin(F.broadcast(lo))
+        .agg(
+            F.count_if(F.col("_g1") != F.col("_g2")).alias("_mixed"),
+            F.count_if(F.col("_g1") == F.col("_lo")).alias("_na"),
+            F.count_if(F.col("_g1") == F.col("_hi")).alias("_nb"),
+            F.count_if(
+                (F.col("_g1") == F.col("_lo")) & (F.col("_conv") == 1)
+            ).alias("conv_a"),
+            F.count_if(
+                (F.col("_g1") == F.col("_hi")) & (F.col("_conv") == 1)
+            ).alias("conv_b"),
+            F.min("_lo").alias("_lov"),
+            F.min("_hi").alias("_hiv"),
+        )
+    )
+    # the guard wraps n_a itself so column pruning can never drop it:
+    # entities in both variants, or a single-variant frame, make the
+    # 2x2 meaningless -> raise (house policy: checks raise)
+    bad = (F.col("_mixed") > 0) | (F.col("_lov") == F.col("_hiv"))
+    guarded_na = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "ab_conversion_test: entities must map to exactly one of "
+                "two variant values"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_na"))
+    base = agg.select(
+        guarded_na.alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        "conv_a",
+        "conv_b",
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a"), F.col("conv_b")
+    pivot = ca * (F.col("n_b") - cb) - cb * (F.col("n_a") - ca)
+    n_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    conv_tot = (ca + cb).cast("double")
+    nonconv_tot = (F.col("n_a") - ca + F.col("n_b") - cb).cast("double")
+    # degenerate margins (everyone converted / nobody converted / an
+    # empty variant) make the statistic undefined -> NULL, not an error
+    chi2 = F.when(
+        (conv_tot > 0) & (nonconv_tot > 0) & (na > 0) & (nb > 0),
+        F.round(
+            n_tot * pivot.cast("double") * pivot.cast("double")
+            / (na * nb * conv_tot * nonconv_tot),
+            6,
+        ),
+    )
+    return base.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("(conv_a * 1000000) div n_a").alias("rate_a_ppm"),
+        F.expr("(conv_b * 1000000) div n_b").alias("rate_b_ppm"),
+        chi2.alias("chi2"),
+    )

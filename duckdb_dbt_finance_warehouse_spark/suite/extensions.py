@@ -3233,6 +3233,50 @@ def x_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_ab_conversion",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 90.0
+                           THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT CAST(count(*) FILTER (g = 'a') AS BIGINT) AS n_a,
+                 CAST(count(*) FILTER (g = 'b') AS BIGINT) AS n_b,
+                 CAST(count(*) FILTER (g = 'a' AND conv = 1) AS BIGINT) AS conv_a,
+                 CAST(count(*) FILTER (g = 'b' AND conv = 1) AS BIGINT) AS conv_b
+          FROM per)
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST((conv_a * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+           CAST((conv_b * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+           CASE WHEN conv_a + conv_b > 0
+                  AND n_a - conv_a + n_b - conv_b > 0
+                  AND n_a > 0 AND n_b > 0
+                THEN round(CAST(n_a + n_b AS DOUBLE)
+                 * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE)
+                 * CAST(conv_a * (n_b - conv_b) - conv_b * (n_a - conv_a) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * CAST(conv_a + conv_b AS DOUBLE)
+                    * CAST(n_a - conv_a + n_b - conv_b AS DOUBLE)), 6)
+           END AS chi2
+    FROM c
+    """,
+)
+def x_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion readout (operators/stats.ab_conversion_test):
+    hash-split variants (user_id parity), per-user any-purchase
+    conversion, exact ppm rates and the 2×2 chi-square in
+    lexical_drift's exact-rational form — one entity-keyed aggregate,
+    1-row output."""
+    e = _events(spark, sf_dir)
+    g = F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    return stats.ab_conversion_test(
+        e, g, (F.col("event_type") == "purchase") & (F.col("value") > 90.0)
+    )
+
+
+@query(
     "x_rfm_segments",
     oracle="""
     WITH u AS (

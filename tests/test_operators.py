@@ -2355,3 +2355,45 @@ def test_rfm_segments_terciles_and_conservation(spark):
     assert by_score[1]["n_users"] == by_score[2]["n_users"] == by_score[3]["n_users"] == 3
     # monetary conserves: user u spent (u+1)*10 -> scaled by 100
     assert sum(r["monetary_q"] for r in out) == sum((u + 1) * 1000 for u in range(9))
+
+
+def test_ab_conversion_known_2x2(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import stats
+
+    # variant a: 4 users, 3 converted; variant b: 4 users, 1 converted
+    rows = []
+    for u in range(8):
+        v = "a" if u < 4 else "b"
+        conv = (v == "a" and u < 3) or (v == "b" and u == 4)
+        rows.append((u, v, "purchase" if conv else "view"))
+        rows.append((u, v, "view"))  # extra non-converting row per user
+    df = spark.createDataFrame(rows, ["user_id", "variant", "event_type"])
+    r = stats.ab_conversion_test(
+        df, "variant", F.col("event_type") == "purchase"
+    ).first()
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (4, 4, 3, 1)
+    assert r["rate_a_ppm"] == 750_000 and r["rate_b_ppm"] == 250_000
+    # chi2 = 8*(3*3-1*1)^2/(4*4*4*4) = 8*64/256 = 2.0
+    assert r["chi2"] == 2.0
+
+
+def test_ab_conversion_degenerate_and_mixed_guard(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import stats
+
+    # everyone converted -> chi2 NULL, counts still exact
+    df = spark.createDataFrame(
+        [(1, "a", "purchase"), (2, "b", "purchase")],
+        ["user_id", "variant", "event_type"],
+    )
+    r = stats.ab_conversion_test(df, "variant", F.col("event_type") == "purchase").first()
+    assert r["chi2"] is None and r["conv_a"] == r["conv_b"] == 1
+    # an entity appearing in both variants raises
+    bad = spark.createDataFrame(
+        [(1, "a", "view"), (1, "b", "view"), (2, "b", "view")],
+        ["user_id", "variant", "event_type"],
+    )
+    try:
+        stats.ab_conversion_test(bad, "variant", F.col("event_type") == "purchase").collect()
+        assert False, "expected mixed-variant raise"
+    except Exception as e:
+        assert "exactly one of two variant values" in str(e)

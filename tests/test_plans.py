@@ -115,6 +115,7 @@ BNLJ_ALLOWED = {
     "x_join_size_estimate",  # three 1-row bounds (worst key, side counts) crossed into one row
     "x_event_paths",  # 1-row complete-path total crossed into the path grid
     "x_rfm_segments",  # three 1-row tercile totals crossed into metric grids
+    "x_ab_conversion",  # 1-row variant-bounds cross into the per-entity frame
 }
 
 
