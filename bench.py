@@ -186,6 +186,22 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # COMPACT headline first, on its own line: the per-query map for a
+    # 170-entry suite overflows line-tail captures (BENCH_r05 landed
+    # with parsed:null), so the parseable summary must never share a
+    # line with it. The full map follows for per-query analysis.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n": len(timings),
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -193,7 +209,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

@@ -141,6 +141,31 @@ def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str) -> DataFram
     )
 
 
+def _degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Re-orient an undirected (a, b) edge list so each edge points
+    from its lower endpoint to its higher endpoint under the total
+    order ≺ = (degree, id) — the compact-forward relabeling that caps
+    per-vertex wedge fan-out at O(√edges) on power-law graphs. Two
+    vertex-keyed joins attach the endpoint degrees; the swap itself is
+    a projection. ``deg`` must be the undirected degree table (v, d).
+    The degree side is the hash build (vertex-sized ≤ edge-sized; no
+    reason to sort the edge stream twice just to attach two ints)."""
+    ed = e.join(
+        deg.withColumnsRenamed({"v": "a", "d": "_da"}).hint("shuffle_hash"),
+        "a",
+    ).join(
+        deg.withColumnsRenamed({"v": "b", "d": "_db"}).hint("shuffle_hash"),
+        "b",
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    return ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+    )
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Global triangle census over an undirected edge list (a < b):
     one row (n_edges, n_wedges, n_triangles, clustering_coeff).
@@ -155,11 +180,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     as a double identically in any engine.
 
     Scale: candidate-wedge volume concentrates on high-degree middle
-    vertices; id-ordering is fine for near-uniform degree (this
-    corpus). For power-law graphs the standard fix is DEGREE ordering —
-    relabel each vertex by (degree, id) rank before the a<b filter,
-    which caps per-vertex wedge work at O(sqrt(edges)) — one extra
-    degree join, same plan shape otherwise.
+    vertices, so the census uses DEGREE ORDERING — every edge is
+    re-oriented to point from its lower-(degree, id) endpoint to the
+    higher one before the wedge join (the compact-forward invariant:
+    a triangle x≺y≺z under the total order ≺ = (degree, id) is found
+    exactly once as oriented wedge x→y→z closed by x→z). A vertex's
+    wedge work is then in(v)·out(v) where out(v) counts only
+    HIGHER-ordered neighbors — O(√edges) per vertex — so a power-law
+    hub (out-degree 0: everything orders below it) generates ZERO
+    wedges instead of C(deg, 2). Cost: two vertex-keyed degree
+    joins; output is orientation-invariant, so the oracle replays
+    unchanged. n_wedges stays the UNDIRECTED open-wedge count
+    Σ_v C(deg(v), 2) (the clustering-coefficient denominator).
 
     Both graph joins carry a ``shuffle_hash`` hint: sort-merge would
     SORT the wedge stream (40×-edge volume at this density) just to
@@ -167,16 +199,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     3.3× faster measured (6.9 s → 2.1 s, sf0.1). The build is one
     shuffle partition of 2-long edge rows; if a partition ever
     outgrew executor memory, dropping the hint falls back to SMJ."""
-    e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
+    e0 = edges.select("a", "b").distinct().localCheckpoint(eager=False)
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionByName(e.select(F.col("b").alias("v")))
+        e0.select(F.col("a").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
     )
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
     )
+    e = _degree_oriented(e0, deg).localCheckpoint(eager=False)
     w = (
         e.alias("e1")
         .join(
@@ -236,9 +270,19 @@ def triangle_sample_stats(
     key = F.concat_ws(
         ":", F.col("a").cast("string"), F.col("b").cast("string")
     )
-    es = e.filter(hash_uniform(key, salt) < 1.0 / k).localCheckpoint(
+    es0 = e.filter(hash_uniform(key, salt) < 1.0 / k).localCheckpoint(
         eager=False
     )
+    # same degree-orientation as the exact census (degrees of the
+    # SAMPLED graph — that's the graph being counted): a hub that
+    # survives sampling must not regrow the wedge hot spot
+    sdeg = (
+        es0.select(F.col("a").alias("v"))
+        .unionByName(es0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    es = _degree_oriented(es0, sdeg).localCheckpoint(eager=False)
     w = (
         es.alias("e1")
         .join(es.alias("e2").hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))

@@ -38,6 +38,8 @@ overflows); past that, coarsen the quantization.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -157,7 +159,10 @@ def top_component(
         ]
     vav = sum(v[i] * A[i][j] * v[j] for i in range(dim) for j in range(dim))
     vv = sum(x * x for x in v)
-    share = round(float(vav) / (float(vv) * float(trace)), 6)
+    raw = float(vav) / (float(vv) * float(trace))
+    # HALF-UP (away from zero), matching SQL round() — Python round()
+    # is banker's half-even and would break oracle parity on a .xxxxxx5
+    share = math.copysign(math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw)
     return spark.createDataFrame(
         [(i, v[i], n, share) for i in range(dim)],
         T.StructType(

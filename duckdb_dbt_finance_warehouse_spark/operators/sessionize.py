@@ -5,6 +5,8 @@ twins of the Structured Streaming versions in ``streaming/``.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -344,18 +346,32 @@ def event_paths(df: DataFrame, depth: int = 3, top_k: int = 20) -> DataFrame:
     ``depth``, not by how busy the user is (the collect_list form dies
     on bot accounts).
 
+    A path counts only when EVERY step is non-null — a NULL event_type
+    anywhere in the window disqualifies that starting position (not
+    just a NULL last step: ``concat_ws`` silently skips NULLs, so
+    filtering only the last lead would silently emit a too-short
+    'a>c' path for an 'a>NULL>c' window — wrong depth, and divergent
+    from any engine whose ``||`` chain nulls the whole path).
+
     Output: (path string 'a>b>c', n, share_ppm of all complete paths,
     rank), deterministic ties on the path string; TakeOrdered top-k."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    steps = [F.col("event_type")] + [
-        F.lead("event_type", j).over(w) for j in range(1, depth)
-    ]
+    steps = [F.col(f"_s{j}") for j in range(depth)]
     paths = (
         df.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("_path", F.concat_ws(">", *steps))
-        .withColumn("_last", steps[-1])
-        .filter(F.col("_last").isNotNull())
-        .groupBy("_path")
+        .withColumn("_s0", F.col("event_type"))
+        .withColumns(
+            {
+                f"_s{j}": F.lead("event_type", j).over(w)
+                for j in range(1, depth)
+            }
+        )
+        .filter(
+            functools.reduce(
+                lambda a, b: a & b, (s.isNotNull() for s in steps)
+            )
+        )
+        .groupBy(F.concat_ws(">", *steps).alias("_path"))
         .agg(F.count("*").alias("n"))
     )
     total = paths.agg(F.sum("n").alias("_t"))
@@ -423,7 +439,10 @@ def last_touch_attribution(
 
 
 def rfm_segments(
-    df: DataFrame, conversion_type: str = "purchase", scale: int = 100
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    scale: int = 100,
+    recency_grain_s: int = 86400,
 ) -> DataFrame:
     """RFM segmentation — the classic customer-value grid: every user
     scored 1-3 on Recency (last activity), Frequency (conversions) and
@@ -438,18 +457,30 @@ def rfm_segments(
 
     Shape: one user-keyed aggregate (checkpointed — it feeds three
     grid derivations and the final join), three grid-bounded prefix
-    sums broadcast back, one 27-row rollup. Grids are bounded by
-    distinct metric values, not rows; coarsen the metric quantization
-    if a grid outgrows broadcast (same lever as perplexity_buckets).
+    sums broadcast back, one 27-row rollup. The broadcast-join-back is
+    only sound if every grid is BOUNDED: f_val and m_val collapse
+    naturally (counts / discrete money), but raw last-activity
+    timestamps are ≈ one distinct value PER USER — a user-count
+    broadcast at production scale. Recency is therefore quantized to
+    ``recency_grain_s`` (default: day grain) BEFORE the grid, making
+    the r grid calendar-bounded (≤ one row per day of history) no
+    matter how many users exist. Day-grain recency is also the actual
+    RFM semantic — "days since last activity", not microseconds.
+    Coarsen ``scale`` / ``recency_grain_s`` if a grid ever outgrows
+    broadcast (same lever as perplexity_buckets).
 
     Output: (r_score, f_score, m_score, n_users, monetary_q)."""
     from .stats import ordered_prefix_sums
 
+    if recency_grain_s <= 0:
+        raise ValueError("rfm_segments: recency_grain_s must be positive")
     vq = F.floor(F.col("value") * F.lit(scale) + F.lit(0.5)).cast("long")
     per_user = (
         df.groupBy("user_id")
         .agg(
-            F.max(F.col("ts").cast("long")).alias("r_val"),
+            F.expr(f"max(cast(ts as long)) div {int(recency_grain_s)}").alias(
+                "r_val"
+            ),
             F.count_if(F.col("event_type") == conversion_type).alias("f_val"),
             F.coalesce(
                 F.sum(F.when(F.col("event_type") == conversion_type, vq)),

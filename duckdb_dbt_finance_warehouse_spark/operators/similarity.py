@@ -658,8 +658,10 @@ def lsh_ann_topk_probe_table(
     corpus size (measured: 10x data -> ~19x time at n_planes=4). Size
     n_planes ~ log2(n / target_bucket_rows) to hold bucket volume —
     and therefore cost per probe — constant; recall is then tuned back
-    with ``n_tables``. The suite entry pins 8x4 at every SF because the
-    oracle replays those exact literal planes."""
+    with ``n_tables``. The suite entry sizes n_planes from the corpus
+    row count (``lsh_planes_for``, parquet-footer stat) and pins the
+    resulting plane LITERALS per sf, so the oracle replays exactly at
+    every scale."""
     scored = _lsh_scored_pairs(
         corpus, queries, id_col, vec_col, n_tables, n_planes, dim
     )

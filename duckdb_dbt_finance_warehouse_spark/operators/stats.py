@@ -505,6 +505,7 @@ def ab_conversion_test(
     agg = (
         per.crossJoin(F.broadcast(lo))
         .agg(
+            F.count("*").alias("_tot"),
             F.count_if(F.col("_g1") != F.col("_g2")).alias("_mixed"),
             F.count_if(F.col("_g1") == F.col("_lo")).alias("_na"),
             F.count_if(F.col("_g1") == F.col("_hi")).alias("_nb"),
@@ -519,15 +520,22 @@ def ab_conversion_test(
         )
     )
     # the guard wraps n_a itself so column pruning can never drop it:
-    # entities in both variants, or a single-variant frame, make the
-    # 2x2 meaningless -> raise (house policy: checks raise)
-    bad = (F.col("_mixed") > 0) | (F.col("_lov") == F.col("_hiv"))
+    # entities in both variants, a single-variant frame, or a THIRD
+    # variant value (entities between min and max would silently drop
+    # out of the 2x2 — wrong statistics with no signal) all make the
+    # readout meaningless -> raise (house policy: checks raise)
+    bad = (
+        (F.col("_mixed") > 0)
+        | (F.col("_lov") == F.col("_hiv"))
+        | (F.col("_na") + F.col("_nb") != F.col("_tot"))
+    )
     guarded_na = F.when(
         bad,
         F.raise_error(
             F.lit(
                 "ab_conversion_test: entities must map to exactly one of "
-                "two variant values"
+                "exactly two variant values (mixed-variant entities, a "
+                "single variant, or 3+ variants all raise)"
             )
         ).cast("long"),
     ).otherwise(F.col("_na"))

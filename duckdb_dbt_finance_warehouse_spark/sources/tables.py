@@ -178,31 +178,44 @@ class Warehouse:
 
         return analyze_warehouse_catalog(self, columns)
 
-    def vacuum(self) -> dict[str, int]:
+    def vacuum(self, staging_min_age_s: float = 900.0) -> dict[str, int]:
         """Warehouse-wide janitor for the staged-swap lifecycle: a crash
         BEFORE the swap leaves an orphaned ``_staging_<table>`` sibling
         that nothing else ever touches (``write_staged`` only clears its
         OWN table's staging on the next rewrite of that table). Staging
-        is never the sole durable copy, so deleting every ``_staging_*``
-        dir is always safe; ``_trash_*`` siblings go through the same
-        recovery rule as ``_recover`` — restored when the canonical dir
-        is missing (they ARE the table), deleted otherwise (stale
-        shadow). Returns counts: staging_removed / trash_restored /
-        trash_removed. On a cluster this is a cloud-store prefix listing
-        + renames — run it from the maintenance schedule next to
-        ``compact``."""
+        is never the sole durable copy, so deleting an ORPHANED
+        ``_staging_*`` dir is safe — but a staging dir can also be an
+        in-flight write from a CONCURRENT writer, so only dirs whose
+        mtime is older than ``staging_min_age_s`` (default 15 min) are
+        removed; a live writer refreshes its dir's mtime with every
+        file it lands, so anything older is a crash orphan. Pass 0 only
+        when you know no writer is running. ``_trash_*`` siblings go
+        through the same recovery rule as ``_recover`` — restored when
+        the canonical dir is missing (they ARE the table), deleted
+        otherwise (stale shadow). Returns counts: staging_removed /
+        trash_restored / trash_removed. On a cluster this is a
+        cloud-store prefix listing + renames — run it from the
+        maintenance schedule next to ``compact``."""
         import shutil
+        import time
 
         counts = {"staging_removed": 0, "trash_restored": 0, "trash_removed": 0}
         if not os.path.isdir(self.root):
             return counts
+        cutoff = time.time() - staging_min_age_s
         for schema in sorted(os.listdir(self.root)):
             sdir = os.path.join(self.root, schema)
             if not os.path.isdir(sdir):
                 continue
             for d in sorted(os.listdir(sdir)):
                 if d.startswith("_staging_"):
-                    shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+                    full = os.path.join(sdir, d)
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue  # possibly an in-flight writer
+                    except OSError:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
                     counts["staging_removed"] += 1
                 elif d.startswith("_trash_"):
                     table = d[len("_trash_"):]

@@ -13,105 +13,114 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  Round-5 rotation (VERDICT r4 task 5): front-load (a) the 39
-# entries whose last driver-green row is r3, (b) every entry that has
-# NEVER had a driver row (the five mid-round additions plus the six new
-# round-5 operators — paragraph/simhash/semantic dedup, temperature mix,
-# collocations, quality classifier).  The six r4-green entries that held
-# the remaining slots (x_dedup_incremental, x_dedup_clusters,
-# x_dedup_canonical, x_maintenance_compaction, x_sessionize,
-# x_text_langid) rotate OUT this round — r4-green keeps them inside the
-# no-entry->2-rounds-unchecked window until r6, and the dedup-signature /
-# compaction code they share is still driver-covered via
-# x_dedup_minhash_lsh / x_dedup_minhash_portable in the 39.  Entries not
-# listed keep their registration order after the priority block; all
-# still run in pytest / tools/check_correctness.py.
+# cosmetics.  ROUND-6 ROTATION (VERDICT r5 task 1: drain the
+# verification debt): 70 registry entries had NEVER had a driver
+# CORRECTNESS row after r5 — all 50 slots go to them, leading with the
+# judged SQL surface (sql5-sql12, a13, o4, w7), the numerically delicate
+# audit/diagnostic family, and every entry whose CODE CHANGED this round
+# (rfm day-grain recency grid, degree-ordered triangle census,
+# ab-conversion 3-variant guard, pca half-up rounding, event_paths
+# all-steps-non-null, corpus-sized LSH probe planes, restructured
+# portable-MinHash oracle), then the rest of the never-checked set.
+# x_ann_lsh_probe_table is the one already-driver-green entry included:
+# its plane sizing changed this round (touched code outranks stable
+# never-checked entries).  x_multimodal_features stays OUT permanently —
+# it can only ever report no_oracle (plumbing is oracle-verified via
+# x_multimodal_bytestats); it would waste a slot.
 #
-# NOTE the structural conflict this round: CLAUDE.md says new entries
-# must be in the first 50, but round 5 added ~50 new entries while
-# VERDICT r4 task 5 mandates the 39 r3-only entries re-check — 39+50 >
-# 50, so both rules cannot hold. We follow the judge's explicit task-5
-# criterion (the older debt) and queue the new entries for R6; every
-# new entry has a green row in the driver-identical local gate
-# (tools/check_correctness.py) recorded in PROGRESS/PERF.
-#
-# R6 ROTATION PLAN: the 50 slots must go to (a) the late-r5 additions
-# that could not displace task-5's 39 mandatory r3-only entries
-# (x_event_funnel, x_cohort_retention, x_bm25_search, x_lm_bigram_score,
-# x_zorder_layout, x_incremental_rollup, x_bpe_train, x_bpe_segment,
-# x_chunk_overlap, x_negative_sampling, x_hard_negatives, plus the
-# late-r5 batch x_substring_dedup, x_dataset_overlap, x_zipf_fit,
-# x_length_buckets, x_random_projection, x_tokenizer_fertility,
-# x_merge_upsert, x_event_transitions, x_inverted_index, x_hll_merge,
-# sql5_correlated_agg_q17_style, x_fuzzy_join, x_corr_matrix,
-# x_event_anomaly, sql6_lateral_topk, a13_cube, x_pagerank,
-# x_embed_quantize, o4_null_ordering, w7_value_kit, x_edit_distance,
-# and the end-of-round additions x_event_hopping_window,
-# sql7_outer_join_histogram_q13_style, sql8_correlated_min_q2_style,
-# x_corpus_profile, x_basket_pairs, x_triangle_count,
-# x_triangle_sample, x_table_fingerprint, x_multimodal_frames,
-# x_kfold_split, sql9_global_avg_anti_join_q22_style, and the
-# continued-r5 batch x_auc_quality, x_ks_drift, x_shard_rendezvous,
-# x_embed_drift, x_lexical_drift, x_importance_resample — all
-# green in
-# tools/check_correctness.py, the driver-identical local gate), then
-# (b) the r4-green entries rotated out this round, then (c) the oldest
-# r5-green entries.  No entry may reach 2 rounds without a driver row.
+# DEFERRED_NEXT_ROUND (below) holds the never-checked entries that did
+# not fit; they MUST take r7's first slots, then the §2 flagships — m1,
+# m2, j1, j3, a1, sql1, last green r4 — re-green on the two-round
+# cadence.  All deferred entries are green in the driver-identical
+# local gate (tools/check_correctness.py; full-registry run this
+# round: 169 pass, 0 fail, 1 rows-only).
+# tests/test_coverage_rotation.py enforces that every registry entry is
+# either driver-checked already, in the current first-50, or in the
+# deferred plan (which must itself fit one round) — the "ships
+# unchecked" failure mode cannot recur silently.
 DRIVER_PRIORITY: list[str] = [
-    "a2_grouped_min_max",
-    "a3_global_scalar_agg",
-    "a4_multi_sum_rollup",
-    "a5_conditional_count_distinct",
-    "a6_select_distinct",
-    "a7_spine_zero_fill",
-    "a9_rollup",
-    "a10_salted_agg",
-    "a11_pivot",
-    "a12_unpivot",
-    "f19_date_spine",
-    "f_date_kit",
-    "f_misc_scalars",
-    "j2_left_equi_zero_fill",
-    "j4_first_version_backfill",
-    "j5_fk_anti_join",
-    "j6_scalar_subquery_filter",
-    "o1_ordered_topn",
-    "o3_set_ops",
-    "p1_typed_projection",
-    "p3_clean_strings",
-    "p5_negative_to_null",
-    "p6_record_hash",
-    "p7_derived_boolean",
-    "p8_hwm_filter",
-    "p9_topk_per_group",
-    "p10_predicate_filter",
-    "s5_lineage_columns",
-    "w2_lag_prev_month",
-    "w3_prior_history_flag",
-    "w4_partition_min",
-    "w5_rank_kit",
-    "x_ann_cosine_topk",
-    "x_ann_ivf_topk",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_minhash_portable",
-    "x_dedup_simhash",
-    "x_ngram_jaccard",
-    "x_paragraph_dedup",
-    "x_simhash_near_dup",
-    "x_semantic_dedup",
-    "x_sample_temperature",
-    # fuzzy_join/containment replaced x_collocations/x_vocab_coverage in
-    # the continued-r5 window: both had their join plans REWORKED this
-    # round (gram-broadcast sweep) — touched code outranks stable
-    # never-checked entries for the 50 driver slots
-    "x_fuzzy_join",
-    "x_containment_pairs",
-    "x_quality_classifier",
-    "x_leakage_safe_split",
-    "sql2_join_agg_q5_style",
-    "sql3_exists_q4_style",
-    "sql4_recursive_spine",
+    # --- the judged SQL surface, never driver-checked ---
+    "sql5_correlated_agg_q17_style",
+    "sql6_lateral_topk",
+    "sql7_outer_join_histogram_q13_style",
+    "sql8_correlated_min_q2_style",
+    "sql9_global_avg_anti_join_q22_style",
+    "sql10_having_in_q18_style",
+    "sql11_top_view_q15_style",
+    "sql12_double_exists_q21_style",
+    "a13_cube",
+    "o4_null_ordering",
+    "w7_value_kit",
+    # --- audit / diagnostic family (numerically delicate) ---
+    "x_dedup_precision_audit",
+    "x_ann_recall_audit",
+    "x_hll_error_audit",
+    "x_auc_quality",
+    "x_ks_drift",
+    "x_skew_report",
+    "x_join_size_estimate",
+    "x_mad_outliers",
+    "x_corr_matrix",
+    # --- code changed this round ---
+    "x_rfm_segments",
+    "x_triangle_count",
+    "x_triangle_sample",
+    "x_ab_conversion",
+    "x_pca_power",
+    "x_event_paths",
+    "x_ann_lsh_probe_table",
+    # --- remaining never-checked extension operators ---
+    "x_bpe_train",
+    "x_bpe_segment",
+    "x_bm25_search",
+    "x_lm_bigram_score",
+    "x_perplexity_buckets",
+    "x_group_quantiles",
+    "x_substring_dedup",
+    "x_dataset_overlap",
+    "x_zipf_fit",
+    "x_corpus_profile",
+    "x_random_projection",
+    "x_last_touch_attribution",
+    "x_event_transitions",
+    "x_hll_merge",
+    "x_event_anomaly",
+    "x_pagerank",
+    "x_basket_pairs",
+    "x_embed_quantize",
+    "x_edit_distance",
+    "x_shard_rendezvous",
+    "x_embed_drift",
+    "x_lexical_drift",
+    "x_importance_resample",
+]
+
+# Never-driver-checked entries queued for the NEXT round's first slots
+# (see the rotation note above).  Adding a new queries() entry requires
+# putting it in DRIVER_PRIORITY's first 50 (CLAUDE.md) — this list is
+# only for pre-existing debt being drained on a declared schedule.
+DEFERRED_NEXT_ROUND: list[str] = [
+    "x_merge_upsert",
+    "x_kfold_split",
+    "x_hard_negatives",
+    "x_negative_sampling",
+    "x_semantic_decontaminate",
+    "x_vocab_coverage",
+    "x_max_concurrency",
+    "x_event_hopping_window",
+    "x_event_funnel",
+    "x_cohort_retention",
+    "x_ewma_smooth",
+    "x_multimodal_frames",
+    "x_zorder_layout",
+    "x_incremental_rollup",
+    "x_chunk_overlap",
+    "x_table_fingerprint",
+    "x_collocations",
+    "x_length_buckets",
+    "x_tokenizer_fertility",
+    "x_inverted_index",
+    "x_boilerplate_grams",
 ]
 
 

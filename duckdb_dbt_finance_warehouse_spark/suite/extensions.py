@@ -167,8 +167,14 @@ def _minhash_portable_oracle(
     from ..operators.dedup import PORTABLE_PRIME, portable_hash_params
 
     rows_per_band = n_hashes // bands
-    seeds = ", ".join(
-        f"({i}, {a}, {b})" for i, (a, b) in ((j, portable_hash_params(j)) for j in range(n_hashes))
+    # one min-aggregate PER HASH over the (doc, shingle) frame instead
+    # of a 64x seeds CROSS JOIN: the join form materializes
+    # |docs| x |shingles| x n_hashes rows (~6B at sf1 — DuckDB spill
+    # death); the aggregate form scans the hash frame ONCE and the
+    # per-(doc, i) rows only ever exist at signature volume
+    mins = ", ".join(
+        f"min(({a} * x + {b}) % {PORTABLE_PRIME})"
+        for a, b in (portable_hash_params(j) for j in range(n_hashes))
     )
     if incremental_mod is None:
         pair_pred = "a.doc_id < b.doc_id"
@@ -186,10 +192,10 @@ def _minhash_portable_oracle(
       FROM t, unnest(generate_series(1, greatest(length(t) - {k - 1}, 1))) AS u(i)),
     hx AS (SELECT doc_id, shingle,
                   ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x FROM sh),
-    seeds(i, a, b) AS (VALUES {seeds}),
+    sigl AS (SELECT doc_id, [{mins}] AS mhs FROM hx GROUP BY 1),
     sigs AS (
-      SELECT doc_id, i, min((a * x + b) % {PORTABLE_PRIME}) AS mh
-      FROM hx CROSS JOIN seeds GROUP BY 1, 2),
+      SELECT doc_id, CAST(u.i AS INT) AS i, mhs[CAST(u.i AS INT) + 1] AS mh
+      FROM sigl, unnest(generate_series(0, {n_hashes - 1})) AS u(i)),
     banded AS (
       SELECT doc_id, CAST(i // {rows_per_band} AS INT) AS band,
              md5(string_agg(mh::VARCHAR, '|' ORDER BY i)) AS bkey
@@ -690,10 +696,49 @@ def x_ann_ivf_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x_ann_lsh_probe_table",
-    oracle=f"""
-    WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+def _parquet_rows(path: str) -> int:
+    """Exact row count from parquet FOOTERS only (no data read, no
+    Spark job) — the stand-in for a catalog row-count stat. Handles
+    both a single file and a Spark-written directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+# LSH serving bucket budget: planes sized so the expected bucket holds
+# ~this many vectors — holding per-bucket probe x candidate work (and so
+# cost per probe) CONSTANT as the corpus grows. 128 keeps the sf0.01
+# driver corpus (500 rows) at 2 planes and moves sf1 (20k rows) to 8,
+# killing the quadratic bucket-growth tail the pinned-4 shape had.
+_LSH_PROBE_TARGET_BUCKET = 128
+
+
+def _lsh_probe_planes(sf_dir: str) -> int:
+    import os
+
+    return similarity.lsh_planes_for(
+        _parquet_rows(os.path.join(sf_dir, "embeddings.parquet")),
+        target_bucket_rows=_LSH_PROBE_TARGET_BUCKET,
+    )
+
+
+def _lsh_probe_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Probe-table oracle with the SAME corpus-sized plane count the
+    Spark side computes for this sf — the plane LITERALS are pinned per
+    sf, so parity holds at every scale while the index stays sized."""
+    bk = similarity.lsh_buckets_oracle_sql(
+        "embeddings", n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64
+    )
+    return f"""
+    WITH bk AS (SELECT * FROM {bk} AS raw),
     cands AS (
       SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
       FROM (SELECT * FROM bk WHERE vec_id % 2 = 0) qb
@@ -709,7 +754,13 @@ def x_ann_ivf_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ORDER BY cosine DESC, cand_id) AS INT) AS rank
       FROM scored)
     SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@query(
+    "x_ann_lsh_probe_table",
+    oracle=_lsh_probe_oracle(),
+    oracle_for=_lsh_probe_oracle,
 )
 def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN SERVING with a table-sized probe side (half the corpus):
@@ -717,11 +768,15 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides in one-pass Arrow stages, co-shuffles once on (tbl, bucket),
     and scores per-bucket via a cogroup block matmul — no probe collect,
     no cross product; multi-table collisions dedup by exact DISTINCT
-    (quantized scores are identical across collisions)."""
+    (quantized scores are identical across collisions). n_planes is
+    SIZED TO THE CORPUS via similarity.lsh_planes_for (expected bucket
+    ~128 vectors — parquet-footer row count, no data read), so serving
+    cost per probe stays flat as the corpus grows; the oracle pins the
+    same per-sf plane literals."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.lsh_ann_topk_probe_table(
         emb, emb.filter(F.col("vec_id") % 2 == 0), k=5,
-        n_tables=8, n_planes=4, dim=64,
+        n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
     )
 
 
@@ -3281,7 +3336,7 @@ def x_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT user_id,
-             CAST(max(epoch_us(ts) // 1000000) AS BIGINT) AS r_val,
+             CAST(max(epoch_us(ts) // 1000000) // 86400 AS BIGINT) AS r_val,
              CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS f_val,
              CAST(coalesce(SUM(CASE WHEN event_type = 'purchase'
                   THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
@@ -3358,7 +3413,9 @@ def x_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     c AS (SELECT e0 || '>' || e1 || '>' || e2 AS path,
                  CAST(count(*) AS BIGINT) AS n
-          FROM p WHERE e2 IS NOT NULL GROUP BY 1),
+          FROM p
+          WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
+          GROUP BY 1),
     t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
     SELECT path, n, CAST((n * 1000000) // t AS BIGINT) AS share_ppm
     FROM c, t ORDER BY n DESC, path LIMIT 20

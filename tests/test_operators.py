@@ -1546,6 +1546,51 @@ def test_cooccurrence_and_triangles_known_graph(spark):
     assert sup2["n_edges"] == 3 and sup2["n_triangles"] == 1
 
 
+def test_triangle_degree_ordering_kills_star_wedges(spark):
+    """The wedge hot spot on power-law graphs: a star's center is the
+    middle vertex of C(n, 2) wedges under id ordering (center id in
+    the middle of the leaf ids), but under degree ordering every edge
+    points INTO the hub (leaves order below it), so its out-degree is
+    0 and the oriented wedge frame is EMPTY — per-vertex wedge work no
+    longer concentrates. The census itself stays exact: bolting a
+    triangle onto one leaf is still counted once."""
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+
+    n = 40
+    center = n // 2  # mid-range id: worst case for plain id ordering
+    leaves = [i for i in range(n) if i != center]
+    star = [(min(v, center), max(v, center)) for v in leaves]
+    e0 = spark.createDataFrame(star, ["a", "b"])
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    oriented = graph._degree_oriented(e0, deg)
+    # every star edge must point leaf -> hub, so the path join
+    # (e1.b == e2.a) has nothing to extend: zero oriented wedges
+    assert oriented.filter(F.col("b") != center).count() == 0
+    wedge_rows = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .count()
+    )
+    assert wedge_rows == 0
+    stats = graph.triangle_stats(e0).first()
+    assert stats["n_triangles"] == 0
+    assert stats["n_wedges"] == (n - 1) * (n - 2) // 2  # undirected count
+
+    # exactness survives the relabeling: one triangle hung off a leaf
+    tri_edges = star + [(leaves[0], n), (n, n + 1), (leaves[0], n + 1)]
+    withtri = graph.triangle_stats(
+        spark.createDataFrame(tri_edges, ["a", "b"])
+    ).first()
+    assert withtri["n_triangles"] == 1
+
+
 def test_triangle_sample_unbiased_form_and_determinism(spark):
     """k=1 sampling keeps every edge — the estimate must equal the
     exact census scaled by 1; k must be a power of two; the k=4 sample
@@ -2336,12 +2381,13 @@ def test_rfm_segments_terciles_and_conservation(spark):
     from datetime import datetime
 
     # 9 users with increasing recency, frequency, and spend together:
-    # user i has its last event at minute i, i purchases of value 10
+    # user u's last event lands on DAY u (recency is day-grain), with
+    # u+1 purchases of value 10
     rows = []
     eid = 0
     for u in range(9):
         for j in range(u + 1):
-            rows.append((eid, datetime(2024, 1, 1, 0, u, j), u, "purchase", 10.0))
+            rows.append((eid, datetime(2024, 1, 1 + u, 0, 0, j), u, "purchase", 10.0))
             eid += 1
     df = spark.createDataFrame(
         rows, ["event_id", "ts", "user_id", "event_type", "value"]
@@ -2355,6 +2401,38 @@ def test_rfm_segments_terciles_and_conservation(spark):
     assert by_score[1]["n_users"] == by_score[2]["n_users"] == by_score[3]["n_users"] == 3
     # monetary conserves: user u spent (u+1)*10 -> scaled by 100
     assert sum(r["monetary_q"] for r in out) == sum((u + 1) * 1000 for u in range(9))
+
+
+def test_rfm_recency_grid_is_calendar_bounded(spark):
+    """The r tercile grid must be bounded by CALENDAR DAYS of history,
+    never by user count: 500 users whose last events all land inside
+    the same 3 days collapse to ≤3 distinct r_val grid rows (the
+    broadcast-join-back is only sound under that bound), and users
+    sharing a day share an r_score even when their raw timestamps
+    differ at sub-day grain."""
+    from datetime import datetime
+
+    rows = []
+    for u in range(500):
+        # distinct raw timestamp per user (second u % 60, minute u//60),
+        # but only 3 distinct DAYS across the population
+        rows.append(
+            (u, datetime(2024, 3, 1 + u % 3, 12, u // 60, u % 60), u,
+             "purchase", 5.0)
+        )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    grain = 86400
+    per_user_r = df.groupBy("user_id").agg(
+        F.expr(f"max(cast(ts as long)) div {grain}").alias("r_val")
+    )
+    assert per_user_r.select("r_val").distinct().count() <= 3
+    out = sessionize.rfm_segments(df).collect()
+    assert sum(r["n_users"] for r in out) == 500
+    # 3 days over 500 users -> at most 3 distinct r_scores, and the
+    # day boundary (not the per-user timestamp) decides the score
+    assert len({r["r_score"] for r in out}) <= 3
 
 
 def test_ab_conversion_known_2x2(spark):
@@ -2396,4 +2474,15 @@ def test_ab_conversion_degenerate_and_mixed_guard(spark):
         stats.ab_conversion_test(bad, "variant", F.col("event_type") == "purchase").collect()
         assert False, "expected mixed-variant raise"
     except Exception as e:
-        assert "exactly one of two variant values" in str(e)
+        assert "exactly two variant values" in str(e)
+    # 3+ variants: entities in MIDDLE variants would silently drop out
+    # of the 2x2 -> must raise, not return wrong statistics
+    three = spark.createDataFrame(
+        [(1, "a", "purchase"), (2, "b", "view"), (3, "c", "view")],
+        ["user_id", "variant", "event_type"],
+    )
+    try:
+        stats.ab_conversion_test(three, "variant", F.col("event_type") == "purchase").collect()
+        assert False, "expected 3-variant raise"
+    except Exception as e:
+        assert "exactly two variant values" in str(e)

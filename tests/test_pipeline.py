@@ -303,11 +303,21 @@ def test_vacuum_cleans_staging_and_heals_trash(spark, tmp_path_factory):
     # completed swap whose cleanup died: stale trash next to a live table
     shutil.copytree(w.path("stg", "alive"), w.path("stg", "_trash_alive"))
 
+    # default min-age protects a POSSIBLY-IN-FLIGHT (fresh-mtime) staging
+    # dir from a concurrent writer; trash healing is unconditional
     counts = w.vacuum()
     assert counts == {
-        "staging_removed": 1,
+        "staging_removed": 0,
         "trash_restored": 1,
         "trash_removed": 1,
+    }
+    assert os.path.isdir(w.path("stg", "_staging_alive"))
+    # age 0 = "no writer is running": the crash orphan goes
+    counts = w.vacuum(staging_min_age_s=0)
+    assert counts == {
+        "staging_removed": 1,
+        "trash_restored": 0,
+        "trash_removed": 0,
     }
     assert not os.path.isdir(w.path("stg", "_staging_alive"))
     assert not os.path.isdir(w.path("stg", "_trash_alive"))

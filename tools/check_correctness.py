@@ -58,6 +58,14 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # per-sf oracles (scale-dependent tuning literals, e.g. LSH planes):
+    # at the driver's sf0.01 these equal the static string; local sweeps
+    # at other sfs re-instantiate them for the target corpus size
+    from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
+
+    for _n, _spec in REGISTRY.items():
+        if _spec.oracle_for is not None and _n in oracles:
+            oracles[_n] = _spec.oracle_for(args.sf_dir)
     names = args.only.split(",") if args.only else list(qs)
 
     n_pass = n_fail = n_noracle = 0
