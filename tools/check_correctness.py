@@ -10,7 +10,6 @@ Usage: python tools/check_correctness.py [--only name1,name2] [--sf-dir DIR]
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import time
@@ -23,21 +22,7 @@ import __spark_entry__ as entrymod
 from duckdb_dbt_finance_warehouse_spark.operators.dedup import release_persisted
 from duckdb_dbt_finance_warehouse_spark.session import get_spark
 from duckdb_dbt_finance_warehouse_spark.sources.tables import TESTDATA_TABLES
-
-
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # repr keeps full double precision; engines must match bitwise
-        return repr(v)
-    return repr(v)
-
-
-def rows_key(rows, colnames):
-    # sort columns by name (driver semantics), then rows
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+from duckdb_dbt_finance_warehouse_spark.suite.parity import compare
 
 
 def main() -> int:
@@ -93,17 +78,7 @@ def main() -> int:
             n_fail += 1
             continue
 
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if not problems:
-            sk = rows_key([tuple(r) for r in srows], scols)
-            dk = rows_key(drows, dcols)
-            if sk != dk:
-                diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+        problems = compare(srows, scols, drows, dcols)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
