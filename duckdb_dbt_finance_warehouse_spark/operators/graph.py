@@ -145,11 +145,15 @@ def _degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
     """Re-orient an undirected (a, b) edge list so each edge points
     from its lower endpoint to its higher endpoint under the total
     order ≺ = (degree, id) — the compact-forward relabeling that caps
-    per-vertex wedge fan-out at O(√edges) on power-law graphs. Two
+    per-vertex out-degree at O(√edges) on power-law graphs. Two
     vertex-keyed joins attach the endpoint degrees; the swap itself is
     a projection. ``deg`` must be the undirected degree table (v, d).
     The degree side is the hash build (vertex-sized ≤ edge-sized; no
-    reason to sort the edge stream twice just to attach two ints)."""
+    reason to sort the edge stream twice just to attach two ints).
+
+    Output (a, b, db): the edge oriented low≺ → high≺ plus the HIGH
+    endpoint's degree — kept so the wedge stage can order a vertex's
+    two out-neighbors by the same ≺ without re-joining degrees."""
     ed = e.join(
         deg.withColumnsRenamed({"v": "a", "d": "_da"}).hint("shuffle_hash"),
         "a",
@@ -163,37 +167,68 @@ def _degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
     return ed.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("a"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("b"),
+        F.when(lower_first, F.col("_db")).otherwise(F.col("_da")).alias("db"),
     )
+
+
+def _closed_wedge_count(e: DataFrame, out_col: str = "n_triangles") -> DataFrame:
+    """Count closed wedges (= triangles, each exactly once) over a
+    degree-oriented edge list from ``_degree_oriented``.
+
+    OUT-PAIR form: a wedge is a pair of out-neighbors (u, w) of the
+    same low vertex, ordered u≺w by the carried (db, id) — so the
+    closing edge, which ``_degree_oriented`` stored as u→w, matches a
+    plain equi-join. Per-vertex wedge fan-out is C(out, 2) instead of
+    the path-join's in·out: half the closing-join input on uniform
+    graphs (measured sf1: 22.8 s → 19.1 s end-to-end) and immune to
+    the in-degree of hubs (a hub's out-degree is 0 → zero wedges).
+    Both joins keep the ``shuffle_hash`` hint — sorting a
+    wedge-volume stream to probe an edge list is the thing the hint
+    exists to prevent."""
+    p = (
+        e.alias("x")
+        .join(e.alias("y").hint("shuffle_hash"), F.col("x.a") == F.col("y.a"))
+        .filter(
+            (F.col("x.db") < F.col("y.db"))
+            | ((F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b")))
+        )
+        .select(F.col("x.b").alias("u"), F.col("y.b").alias("w"))
+    )
+    return p.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("w")).hint("shuffle_hash"),
+        ["u", "w"],
+    ).agg(F.count("*").alias(out_col))
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Global triangle census over an undirected edge list (a < b):
     one row (n_edges, n_wedges, n_triangles, clustering_coeff).
 
-    The classic compact-forward shape: with edges ordered a < b, a
-    triangle a<b<c is found exactly once by joining edge (a,b) to edge
-    (b,c) on the middle vertex and closing with an (a,c) edge lookup —
-    two keyed shuffles over edge volume, no enumeration of all pairs.
-    n_wedges is the exact open-wedge count Σ_v C(deg(v), 2) from the
-    degree table (one extra small aggregate), so the global clustering
-    coefficient 3·triangles/wedges is an exact-integer ratio rendered
-    as a double identically in any engine.
-
-    Scale: candidate-wedge volume concentrates on high-degree middle
-    vertices, so the census uses DEGREE ORDERING — every edge is
+    The compact-forward shape with DEGREE ORDERING: every edge is
     re-oriented to point from its lower-(degree, id) endpoint to the
-    higher one before the wedge join (the compact-forward invariant:
-    a triangle x≺y≺z under the total order ≺ = (degree, id) is found
-    exactly once as oriented wedge x→y→z closed by x→z). A vertex's
-    wedge work is then in(v)·out(v) where out(v) counts only
-    HIGHER-ordered neighbors — O(√edges) per vertex — so a power-law
-    hub (out-degree 0: everything orders below it) generates ZERO
-    wedges instead of C(deg, 2). Cost: two vertex-keyed degree
-    joins; output is orientation-invariant, so the oracle replays
-    unchanged. n_wedges stays the UNDIRECTED open-wedge count
-    Σ_v C(deg(v), 2) (the clustering-coefficient denominator).
+    higher one (``_degree_oriented``), a wedge is an ordered pair of
+    out-neighbors of one low vertex, and a triangle x≺y≺z is found
+    exactly once as that pair (y, z) closed by the stored y→z edge
+    (``_closed_wedge_count``) — two keyed shuffles over edge/wedge
+    volume, no enumeration of all pairs. n_wedges is the exact
+    open-wedge count Σ_v C(deg(v), 2) from the UNDIRECTED degree table
+    (one extra small aggregate), so the global clustering coefficient
+    3·triangles/wedges is an exact-integer ratio rendered as a double
+    identically in any engine.
 
-    Both graph joins carry a ``shuffle_hash`` hint: sort-merge would
+    Scale: candidate-wedge volume concentrates on high-degree
+    vertices; degree ordering caps per-vertex wedge work at
+    C(out(v), 2) with out(v) ≤ √(2·edges) — a power-law hub has
+    out-degree 0 (everything orders below it) and generates ZERO
+    wedges instead of C(deg, 2). Cost: two vertex-keyed degree joins;
+    output is orientation-invariant, so the oracle replays unchanged.
+    Measured sf1 (12M edges, near-uniform degree — the WORST case for
+    the relabeling, which pays its joins without pruning much):
+    path-form id-ordering 20.1 s → degree-ordered out-pair 19.1 s,
+    vs 58.6 s for DuckDB's same census; on skewed graphs the gap is
+    unbounded.
+
+    Every graph join carries a ``shuffle_hash`` hint: sort-merge would
     SORT the wedge stream (40×-edge volume at this density) just to
     probe it against the edge list — hashing the edge side instead is
     3.3× faster measured (6.9 s → 2.1 s, sf0.1). The build is one
@@ -211,22 +246,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
     )
     e = _degree_oriented(e0, deg).localCheckpoint(eager=False)
-    w = (
-        e.alias("e1")
-        .join(
-            e.alias("e2").hint("shuffle_hash"),
-            F.col("e1.b") == F.col("e2.a"),
-        )
-        .select(
-            F.col("e1.a").alias("a"),
-            F.col("e2.a").alias("b"),
-            F.col("e2.b").alias("c"),
-        )
-    )
-    tri = w.alias("w").join(
-        e.alias("e3").hint("shuffle_hash"),
-        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
-    ).agg(F.count("*").alias("n_triangles"))
+    tri = _closed_wedge_count(e)
     n_e = e.agg(F.count("*").alias("n_edges"))
     return (
         n_e.crossJoin(F.broadcast(wedges))
@@ -283,15 +303,7 @@ def triangle_sample_stats(
         .agg(F.count("*").alias("d"))
     )
     es = _degree_oriented(es0, sdeg).localCheckpoint(eager=False)
-    w = (
-        es.alias("e1")
-        .join(es.alias("e2").hint("shuffle_hash"), F.col("e1.b") == F.col("e2.a"))
-        .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("c"))
-    )
-    tri = w.alias("w").join(
-        es.alias("e3").hint("shuffle_hash"),
-        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
-    ).agg(F.count("*").alias("n_triangles_sampled"))
+    tri = _closed_wedge_count(es, out_col="n_triangles_sampled")
     n_e = es.agg(F.count("*").alias("n_edges_sampled"))
     return n_e.crossJoin(F.broadcast(tri)).select(
         "n_edges_sampled",

@@ -1570,12 +1570,17 @@ def test_triangle_degree_ordering_kills_star_wedges(spark):
         .agg(F.count("*").alias("d"))
     )
     oriented = graph._degree_oriented(e0, deg)
-    # every star edge must point leaf -> hub, so the path join
-    # (e1.b == e2.a) has nothing to extend: zero oriented wedges
+    # every star edge must point leaf -> hub (each leaf's out-degree is
+    # 1, the hub's is 0), so no vertex has TWO out-neighbors and the
+    # out-pair wedge frame is empty
     assert oriented.filter(F.col("b") != center).count() == 0
     wedge_rows = (
-        oriented.alias("e1")
-        .join(oriented.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.a") == F.col("y.a"))
+        .filter(
+            (F.col("x.db") < F.col("y.db"))
+            | ((F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b")))
+        )
         .count()
     )
     assert wedge_rows == 0
