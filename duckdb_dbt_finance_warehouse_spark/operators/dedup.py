@@ -405,8 +405,22 @@ def ngram_jaccard(
     df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, n: int = 3
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs:
-    |A ∩ B| via a gram-level join, |A ∪ B| = |A| + |B| - |A ∩ B|."""
-    grams = shingles(df, id_col, text_col, n).withColumnRenamed("shingle", "gram")
+    |A ∩ B| via a gram-level join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    Only docs that actually APPEAR in ``pairs`` are shingled: a semi
+    join on the pair-member id set runs before the gram explode, so the
+    distinct-gram volume scales with the audited pairs, not the corpus
+    (for a verification/audit workload the members are a sliver of the
+    corpus — sf1 precision audit: 10.0 s → 3.7 s). When pairs cover
+    everything the semi join is a no-op pass-through."""
+    members = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    grams = shingles(
+        df.join(members, id_col, "left_semi"), id_col, text_col, n
+    ).withColumnRenamed("shingle", "gram")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     ga = grams.select(F.col(id_col).alias("id_a"), "gram")
     gb = grams.select(F.col(id_col).alias("id_b"), "gram")
@@ -1006,9 +1020,12 @@ def dedup_precision_audit(
     Shape: the standard portable LSH pass, then the exact-Jaccard gram
     join at REPORTED-pair volume only (never all-pairs), then a 1-row
     aggregate. Cost ~ the dedup pass it audits."""
+    # the reported-pair frame feeds FOUR consumers (member-id semi
+    # join, gram join, union-size join, and the audit join below) —
+    # checkpoint it so the band self-join runs once, not per consumer
     pairs = minhash_lsh_dedup_portable(
         df, id_col, text_col, k, n_hashes, bands, est_threshold
-    )
+    ).localCheckpoint(eager=False)
     exact = ngram_jaccard(df, id_col, text_col, pairs.select("id_a", "id_b"), n=k)
     j = pairs.join(exact, ["id_a", "id_b"])
     err_q = F.floor(

@@ -3369,7 +3369,8 @@ def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency/frequency/monetary terciles by the exact integer grid rule
     (perplexity_buckets' tercile arithmetic applied three times), one
     checkpointed user aggregate feeding three grid-bounded prefix sums
-    — the 27-cell customer-value rollup, oracle-replayed."""
+    — the 27-cell customer-value rollup, oracle-replayed. Recency is
+    day-grain, so the r grid is calendar-bounded, never user-sized."""
     return sessionize.rfm_segments(_events(spark, sf_dir))
 
 
