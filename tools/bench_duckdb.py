@@ -26,9 +26,19 @@ def main() -> None:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written layout (make_sf1): directory of part files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = entrymod.oracle_sql()
+    # per-sf oracles (scale-dependent tuning literals — see
+    # suite/registry.QuerySpec.oracle_for): re-instantiate for this sf
+    from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
+
+    for _n, _spec in REGISTRY.items():
+        if _spec.oracle_for is not None and _n in oracles:
+            oracles[_n] = _spec.oracle_for(sf_dir)
     timings = {}
     for name in HEADLINE:
         if name not in oracles:
