@@ -331,6 +331,25 @@ def test_lsh_planes_for_holds_bucket_size():
         similarity.lsh_planes_for(0)
 
 
+def test_lsh_probe_suite_entry_sizes_planes_per_sf():
+    """The probe-table suite entry must derive n_planes from the
+    CORPUS (parquet-footer row count), and the static driver oracle
+    must be the sf0.01 instantiation of the per-sf oracle — otherwise
+    driver parity and local sweeps check different indexes."""
+    from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
+    from duckdb_dbt_finance_warehouse_spark.suite.extensions import (
+        _lsh_probe_planes,
+    )
+
+    p001 = _lsh_probe_planes("/root/testdata/sf0.01")
+    p01 = _lsh_probe_planes("/root/testdata/sf0.1")
+    assert p01 > p001  # bigger corpus -> more buckets
+    spec = REGISTRY["x_ann_lsh_probe_table"]
+    assert spec.oracle_for is not None
+    assert spec.oracle == spec.oracle_for("/root/testdata/sf0.01")
+    assert spec.oracle != spec.oracle_for("/root/testdata/sf0.1")
+
+
 def test_embed_near_dup_lsh_subset_of_exact_with_recall(spark):
     """The scale path (LSH bucket candidates + exact verify) must emit a
     subset of the all-pairs baseline with identical cosines, and recall
@@ -2353,6 +2372,24 @@ def test_event_paths_counts_sliding_windows(spark):
     assert out["buy>view>click"]["n"] == 1
     assert sum(r["n"] for r in out.values()) == 4
     assert out["view>click>buy"]["share_ppm"] == 500_000
+
+
+def test_event_paths_null_step_disqualifies_whole_window(spark):
+    """A NULL event_type anywhere in a window must drop that starting
+    position entirely — concat_ws would otherwise silently emit the
+    too-short 'a>c' for an 'a>NULL>c' window (wrong depth, and
+    divergent from a ||-chain engine)."""
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, i), 1, e)
+        for i, e in enumerate(["a", None, "c", "a", "b", "c"])
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {r["path"]: r["n"] for r in sessionize.event_paths(df, depth=3).collect()}
+    # windows: (a,NULL,c) x, (NULL,c,a) x, (c,a,b) ok, (a,b,c) ok
+    assert out == {"c>a>b": 1, "a>b>c": 1}
+    assert "a>c" not in out
 
 
 def test_last_touch_attribution_credits_most_recent_channel(spark):
