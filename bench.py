@@ -187,21 +187,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # COMPACT headline first, on its own line: the per-query map for a
-    # 170-entry suite overflows line-tail captures (BENCH_r05 landed
-    # with parsed:null), so the parseable summary must never share a
-    # line with it. The full map follows for per-query analysis.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "n": len(timings),
-            }
-        )
+    # The per-query map for a 170-entry suite overflows line captures
+    # (BENCH_r05 landed with parsed:null), so the COMPACT headline gets
+    # its own line BOTH before and after the map — a consumer keeping
+    # either the head or the tail of stdout still sees one short,
+    # parseable JSON line; the middle line carries the full per-query
+    # map for analysis. All three report the same total.
+    compact = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n": len(timings),
+        }
     )
+    print(compact)
     print(
         json.dumps(
             {
@@ -213,6 +214,7 @@ def main() -> None:
             }
         )
     )
+    print(compact)
     spark.stop()
 
 
