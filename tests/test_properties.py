@@ -364,3 +364,79 @@ def test_perplexity_buckets_partition_is_monotone(spark, texts):
     # buckets are contiguous, ascending score ranges
     for lo, hi in zip(order, order[1:]):
         assert max(by_bucket[lo]) < min(by_bucket[hi])
+
+
+@given(
+    seq=st.lists(
+        st.sampled_from(["a", "b", "c", None]), min_size=1, max_size=14
+    ),
+    depth=st.integers(min_value=1, max_value=4),
+)
+@PROP
+def test_event_paths_match_bruteforce_with_nulls(spark, seq, depth):
+    """event_paths must equal the sequential sliding-window count with
+    the all-steps-non-null rule: a NULL anywhere in a window drops that
+    starting position (never a silently shortened path)."""
+    from datetime import datetime
+
+    from duckdb_dbt_finance_warehouse_spark.operators.sessionize import event_paths
+
+    rows = [
+        (i, datetime(2024, 1, 1, i // 60, i % 60), 1, e)
+        for i, e in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r["path"]: r["n"] for r in event_paths(df, depth=depth, top_k=1000).collect()}
+    want: dict[str, int] = {}
+    for i in range(len(seq) - depth + 1):
+        window = seq[i : i + depth]
+        if all(s is not None for s in window):
+            key = ">".join(window)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # user
+            st.integers(min_value=0, max_value=3),   # day
+            st.booleans(),                           # is purchase
+            st.integers(min_value=0, max_value=500), # value cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@PROP
+def test_rfm_segments_invariants(spark, events):
+    """Conservation + score-range + grid-bound invariants for the RFM
+    rollup on arbitrary event streams: every user lands in exactly one
+    segment, scores stay in 1..3, day-sharing users share an r_score,
+    and quantized monetary mass is conserved."""
+    from datetime import datetime
+
+    from duckdb_dbt_finance_warehouse_spark.operators.sessionize import rfm_segments
+
+    rows = [
+        (i, datetime(2024, 2, 1 + d, 12, i % 60), u,
+         "purchase" if p else "view", cents / 100.0)
+        for i, (u, d, p, cents) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = rfm_segments(df).collect()
+    users = {u for _, (u, _, _, _) in zip(rows, events)}
+    assert sum(r["n_users"] for r in out) == len(users)
+    assert all(
+        1 <= r[s] <= 3 for r in out for s in ("r_score", "f_score", "m_score")
+    )
+    want_mq = {}
+    for i, (u, d, p, cents) in enumerate(events):
+        if p:
+            want_mq[u] = want_mq.get(u, 0) + cents
+    assert sum(r["monetary_q"] for r in out) == sum(want_mq.values())
