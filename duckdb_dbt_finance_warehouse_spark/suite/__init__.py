@@ -31,7 +31,13 @@ from . import extensions  # noqa: E402,F401
 # DEFERRED_NEXT_ROUND (below) holds the never-checked entries that did
 # not fit; they MUST take r7's first slots, then the §2 flagships — m1,
 # m2, j1, j3, a1, sql1, last green r4 — re-green on the two-round
-# cadence.  All deferred entries are green in the driver-identical
+# cadence.  ALSO QUEUED FOR R7 (code change + window slot together):
+# migrate the remaining fixed-8x4-plane LSH entries
+# (x_ann_lsh_bucketed, x_embed_near_dup, x_semantic_decontaminate,
+# x_ann_recall_audit) to the corpus-sized `oracle_for` plane sizing
+# x_ann_lsh_probe_table got this round — same quadratic-bucket
+# disease, deliberately not touched in r6 because they are
+# driver-green and every r6 slot was owed to never-checked debt.  All deferred entries are green in the driver-identical
 # local gate (tools/check_correctness.py; full-registry run this
 # round: 169 pass, 0 fail, 1 rows-only).
 # tests/test_coverage_rotation.py enforces that every registry entry is
