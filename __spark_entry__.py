@@ -49,5 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.resolved_oracle()
+        for name, spec in REGISTRY.items()
+        if spec.has_oracle
     }

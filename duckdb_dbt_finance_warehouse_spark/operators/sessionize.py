@@ -455,32 +455,43 @@ def rfm_segments(
     ``least(2, 3·prefix div N) + 1`` — ties share a grid row and
     therefore a score, so the segmentation replays bit-for-bit.
 
-    Shape: one user-keyed aggregate (checkpointed — it feeds three
-    grid derivations and the final join), three grid-bounded prefix
-    sums broadcast back, one 27-row rollup. The broadcast-join-back is
-    only sound if every grid is BOUNDED: f_val and m_val collapse
-    naturally (counts / discrete money), but raw last-activity
-    timestamps are ≈ one distinct value PER USER — a user-count
-    broadcast at production scale. Recency is therefore quantized to
-    ``recency_grain_s`` (default: day grain) BEFORE the grid, making
-    the r grid calendar-bounded (≤ one row per day of history) no
-    matter how many users exist. Day-grain recency is also the actual
-    RFM semantic — "days since last activity", not microseconds.
-    Coarsen ``scale`` / ``recency_grain_s`` if a grid ever outgrows
-    broadcast (same lever as perplexity_buckets).
+    Shape (ONE-PASS grid fold, r7): the checkpointed user aggregate
+    unpivots to (metric, val) rows and ALL THREE tercile grids come
+    out of a single grouped count + per-metric prefix-sum window —
+    one job instead of three prefix-sum pipelines — then the unified
+    (metric, val, score) grid (checkpointed, grid-bounded) broadcasts
+    onto the stacked rows in one join and a user-keyed pivot
+    reassembles (r, f, m) scores WITHOUT a new exchange (the stacked
+    rows inherit per_user's hash partitioning on user_id). The
+    per-metric window is partitioned (house rule: no global-order
+    windows); its per-partition volume is a VALUE GRID, not users.
+
+    The broadcast-grid form is only sound if every grid is BOUNDED:
+    f_val and m_val collapse naturally (counts / discrete money), but
+    raw last-activity timestamps are ≈ one distinct value PER USER — a
+    user-count broadcast at production scale. Recency is therefore
+    quantized to ``recency_grain_s`` (default: day grain) BEFORE the
+    grid, making the r grid calendar-bounded (≤ one row per day of
+    history) no matter how many users exist; the division floors (not
+    truncates) so pre-1970 timestamps bucket identically to DuckDB's
+    ``//``. Coarsen ``scale`` / ``recency_grain_s`` if a grid ever
+    outgrows broadcast (same lever as perplexity_buckets).
 
     Output: (r_score, f_score, m_score, n_users, monetary_q)."""
-    from .stats import ordered_prefix_sums
-
     if recency_grain_s <= 0:
         raise ValueError("rfm_segments: recency_grain_s must be positive")
+    g_s = int(recency_grain_s)
     vq = F.floor(F.col("value") * F.lit(scale) + F.lit(0.5)).cast("long")
+    # exact integer FLOOR division (Spark `div` truncates toward zero;
+    # pmod is non-negative, so subtracting it makes the dividend an
+    # exact multiple — no double-precision detour for large epochs)
+    r_val = F.expr(
+        f"(max(cast(ts as long)) - pmod(max(cast(ts as long)), {g_s})) div {g_s}"
+    )
     per_user = (
         df.groupBy("user_id")
         .agg(
-            F.expr(f"max(cast(ts as long)) div {int(recency_grain_s)}").alias(
-                "r_val"
-            ),
+            r_val.alias("r_val"),
             F.count_if(F.col("event_type") == conversion_type).alias("f_val"),
             F.coalesce(
                 F.sum(F.when(F.col("event_type") == conversion_type, vq)),
@@ -489,17 +500,49 @@ def rfm_segments(
         )
         .localCheckpoint(eager=False)
     )
-    out = per_user
-    for metric, score in (("r_val", "r_score"), ("f_val", "f_score"), ("m_val", "m_score")):
-        g = per_user.groupBy(metric).agg(F.count("*").alias("_c"))
-        g = ordered_prefix_sums(g, metric, ["_c"])
-        total = g.agg(F.sum("_c").alias("_n"))
-        grid = g.join(F.broadcast(total)).select(
-            metric,
-            (F.expr("least(2L, (3 * (cum__c - _c)) div _n)") + 1).alias(score),
+    stacked = per_user.select(
+        "user_id",
+        "m_val",
+        F.expr("stack(3, 'r', r_val, 'f', f_val, 'm', m_val)").alias(
+            "metric", "val"
+        ),
+    )
+    w_cum = (
+        Window.partitionBy("metric")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("metric")
+    grid = (
+        stacked.groupBy("metric", "val")
+        .agg(F.count("*").alias("_c"))
+        .select(
+            "metric",
+            "val",
+            F.sum("_c").over(w_cum).alias("_cum"),
+            F.col("_c"),
+            F.sum("_c").over(w_tot).alias("_n"),
         )
-        out = out.join(F.broadcast(grid), metric)
-    return out.groupBy("r_score", "f_score", "m_score").agg(
+        .select(
+            "metric",
+            "val",
+            (F.expr("least(2L, (3 * (_cum - _c)) div _n)") + 1).alias("score"),
+        )
+        # grid-bounded; shared by nothing else but avoids re-running the
+        # stacked aggregate if the optimizer splits the broadcast build
+        .localCheckpoint(eager=False)
+    )
+    scored = (
+        stacked.join(F.broadcast(grid), ["metric", "val"])
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("metric") == "r", F.col("score"))).alias("r_score"),
+            F.max(F.when(F.col("metric") == "f", F.col("score"))).alias("f_score"),
+            F.max(F.when(F.col("metric") == "m", F.col("score"))).alias("m_score"),
+            F.max("m_val").alias("m_val"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_users"),
         F.sum("m_val").alias("monetary_q"),
     )

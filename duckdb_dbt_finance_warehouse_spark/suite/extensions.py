@@ -594,9 +594,51 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_BUCKETS = similarity.lsh_buckets_oracle_sql(
-    "embeddings", n_tables=8, n_planes=4, dim=64
-)
+def _parquet_rows(path: str) -> int:
+    """Exact row count from parquet FOOTERS only (no data read, no
+    Spark job) — the stand-in for a catalog row-count stat. Handles
+    both a single file and a Spark-written directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+# LSH serving bucket budget: planes sized so the expected bucket holds
+# ~this many vectors — holding per-bucket probe x candidate work (and so
+# cost per probe) CONSTANT as the corpus grows. 128 keeps the sf0.01
+# driver corpus (500 rows) at 2 planes and moves sf1 (20k rows) to 8,
+# killing the quadratic bucket-growth tail the pinned-4 shape had.
+# EVERY LSH suite entry sizes its planes this way (r7: the last four
+# fixed-4-plane entries migrated — x_ann_lsh_bucketed, x_embed_near_dup,
+# x_semantic_decontaminate, x_ann_recall_audit); the per-sf oracle
+# (QuerySpec.oracle_for) pins the same plane literals, so parity holds
+# at every scale while the index stays sized.
+_LSH_PROBE_TARGET_BUCKET = 128
+
+
+def _lsh_probe_planes(sf_dir: str) -> int:
+    import os
+
+    return similarity.lsh_planes_for(
+        _parquet_rows(os.path.join(sf_dir, "embeddings.parquet")),
+        target_bucket_rows=_LSH_PROBE_TARGET_BUCKET,
+    )
+
+
+def _lsh_buckets_sql(sf_dir: str) -> str:
+    """Bucket-assignment oracle subquery with corpus-sized planes —
+    the shared candidate-generation stage every LSH oracle builds on."""
+    return similarity.lsh_buckets_oracle_sql(
+        "embeddings", n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64
+    )
 
 # quantized pair cosine (same exact-integer arithmetic as _CENT_COS)
 _QCOS_PAIR = f"""
@@ -611,10 +653,9 @@ _QCOS_PAIR = f"""
 """
 
 
-@query(
-    "x_ann_lsh_bucketed",
-    oracle=f"""
-    WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+def _lsh_bucketed_oracle(sf_dir: str) -> str:
+    return f"""
+    WITH bk AS (SELECT * FROM {_lsh_buckets_sql(sf_dir)} AS raw),
     cands AS (
       SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
       FROM (SELECT * FROM bk WHERE vec_id < 5) qb
@@ -630,19 +671,25 @@ _QCOS_PAIR = f"""
                      ORDER BY cosine DESC, cand_id) AS INT) AS rank
       FROM scored)
     SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("x_ann_lsh_bucketed", oracle_for=_lsh_bucketed_oracle)
 def x_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH ANN: bucket collision instead of cross
     product — the 100 TB scale path. Hyperplanes are literal ±1 vectors
     derived from md5 driver-side (similarity.plane_signs); bucket signs
     and candidate cosines use exact-integer quantized arithmetic
     (similarity.QUANT_SCALE), so the DuckDB oracle replays bucket
-    assignment, candidate matching, and top-k bit-for-bit. Recall vs
-    exact additionally asserted in tests."""
+    assignment, candidate matching, and top-k bit-for-bit. n_planes is
+    SIZED TO THE CORPUS (similarity.lsh_planes_for, parquet-footer row
+    count) so expected bucket volume — and per-probe cost — stays flat
+    as the corpus grows; the per-sf oracle pins the same plane literals.
+    Recall vs exact additionally asserted in tests."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, n_tables=8, n_planes=4, dim=64
+        emb, emb.filter(F.col("vec_id") < 5), k=5,
+        n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
     )
 
 
@@ -696,49 +743,14 @@ def x_ann_ivf_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _parquet_rows(path: str) -> int:
-    """Exact row count from parquet FOOTERS only (no data read, no
-    Spark job) — the stand-in for a catalog row-count stat. Handles
-    both a single file and a Spark-written directory of part files."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-    return pq.ParquetFile(path).metadata.num_rows
-
-
-# LSH serving bucket budget: planes sized so the expected bucket holds
-# ~this many vectors — holding per-bucket probe x candidate work (and so
-# cost per probe) CONSTANT as the corpus grows. 128 keeps the sf0.01
-# driver corpus (500 rows) at 2 planes and moves sf1 (20k rows) to 8,
-# killing the quadratic bucket-growth tail the pinned-4 shape had.
-_LSH_PROBE_TARGET_BUCKET = 128
-
-
-def _lsh_probe_planes(sf_dir: str) -> int:
-    import os
-
-    return similarity.lsh_planes_for(
-        _parquet_rows(os.path.join(sf_dir, "embeddings.parquet")),
-        target_bucket_rows=_LSH_PROBE_TARGET_BUCKET,
-    )
-
-
-def _lsh_probe_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def _lsh_probe_oracle(sf_dir: str) -> str:
     """Probe-table oracle with the SAME corpus-sized plane count the
     Spark side computes for this sf — the plane LITERALS are pinned per
-    sf, so parity holds at every scale while the index stays sized."""
-    bk = similarity.lsh_buckets_oracle_sql(
-        "embeddings", n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64
-    )
+    sf, so parity holds at every scale while the index stays sized.
+    Resolved LAZILY (QuerySpec.resolved_oracle): it reads parquet
+    footers, which must not happen at registry import time."""
     return f"""
-    WITH bk AS (SELECT * FROM {bk} AS raw),
+    WITH bk AS (SELECT * FROM {_lsh_buckets_sql(sf_dir)} AS raw),
     cands AS (
       SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
       FROM (SELECT * FROM bk WHERE vec_id % 2 = 0) qb
@@ -757,11 +769,7 @@ def _lsh_probe_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """
 
 
-@query(
-    "x_ann_lsh_probe_table",
-    oracle=_lsh_probe_oracle(),
-    oracle_for=_lsh_probe_oracle,
-)
+@query("x_ann_lsh_probe_table", oracle_for=_lsh_probe_oracle)
 def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN SERVING with a table-sized probe side (half the corpus):
     operators/similarity.lsh_ann_topk_probe_table bucket-assigns both
@@ -780,9 +788,8 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x_ann_recall_audit",
-    oracle=f"""
+def _ann_recall_audit_oracle(sf_dir: str) -> str:
+    return f"""
     WITH ex_scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS} AS cosine
       FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
@@ -792,7 +799,7 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY cosine DESC, cand_id) AS rank
       FROM ex_scored),
     exact AS (SELECT query_id, cand_id FROM ex_ranked WHERE rank <= 5),
-    bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+    bk AS (SELECT * FROM {_lsh_buckets_sql(sf_dir)} AS raw),
     lsh_cands AS (
       SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
       FROM (SELECT * FROM bk WHERE vec_id < 16) qb
@@ -819,25 +826,29 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((coalesce(nh.n_hits, 0) * 1000000) // ne.n_exact AS BIGINT)
              AS recall_ppm
     FROM ne LEFT JOIN nh USING (query_id)
-    """,
-)
+    """
+
+
+@query("x_ann_recall_audit", oracle_for=_ann_recall_audit_oracle)
 def x_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall@5 audit (operators/similarity.ann_recall_audit): the
     LSH probe-table path measured against exact brute-force ground
     truth on a fixed 16-probe panel — the number that tunes
     n_tables/n_planes before trusting the index; both sides use
-    deterministic tie-breaks so the recall replays bit-for-bit."""
+    deterministic tie-breaks so the recall replays bit-for-bit. The
+    audited index uses the same corpus-sized plane count the serving
+    entries run (similarity.lsh_planes_for), so the recall number
+    describes the index actually deployed, not a fixed-4-plane toy."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.ann_recall_audit(
         emb, emb.filter(F.col("vec_id") < 16), k=5,
-        n_tables=8, n_planes=4, dim=64,
+        n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
     )
 
 
-@query(
-    "x_semantic_decontaminate",
-    oracle=f"""
-    WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+def _semantic_decontaminate_oracle(sf_dir: str) -> str:
+    return f"""
+    WITH bk AS (SELECT * FROM {_lsh_buckets_sql(sf_dir)} AS raw),
     pairs AS (
       SELECT DISTINCT qb.vec_id AS eval_id, cb.vec_id AS cand_id
       FROM (SELECT * FROM bk WHERE vec_id % 25 = 0) qb
@@ -851,20 +862,25 @@ def x_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cand_id AS vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
            max(cosine) AS max_cosine
     FROM scored WHERE cosine >= 0.3 GROUP BY 1
-    """,
-)
+    """
+
+
+@query("x_semantic_decontaminate", oracle_for=_semantic_decontaminate_oracle)
 def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (operators/similarity.
     semantic_decontaminate): corpus docs within 0.3 cosine of ANY
     held-out eval example (vec_id % 25) are flagged with hit count and
     max similarity — catches the paraphrased eval leakage the n-gram
     scan (x_decontaminate) can't see. Shared LSH probe-table stage:
-    one co-shuffle, cogroup scoring, contamination-sized output."""
+    one co-shuffle, cogroup scoring, contamination-sized output;
+    planes sized to the corpus (similarity.lsh_planes_for) so bucket
+    volume — and per-eval-example cost — stays flat as the corpus
+    grows, with the per-sf oracle pinning the same plane literals."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.semantic_decontaminate(
         emb.filter(F.col("vec_id") % 25 != 0),
         emb.filter(F.col("vec_id") % 25 == 0),
-        threshold=0.3, n_tables=8, n_planes=4, dim=64,
+        threshold=0.3, n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
     )
 
 
@@ -1014,10 +1030,9 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tf_idf_top_terms(_docs(spark, sf_dir), "doc_id", "text", top_k=3)
 
 
-@query(
-    "x_embed_near_dup",
-    oracle=f"""
-    WITH bk AS (SELECT * FROM {_LSH_BUCKETS} AS raw),
+def _embed_near_dup_oracle(sf_dir: str) -> str:
+    return f"""
+    WITH bk AS (SELECT * FROM {_lsh_buckets_sql(sf_dir)} AS raw),
     pairs AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bk a JOIN bk b ON b.tbl = a.tbl AND b.bucket = a.bucket
@@ -1028,18 +1043,24 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN embeddings q ON q.vec_id = pairs.id_a
       JOIN embeddings c ON c.vec_id = pairs.id_b)
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
-    """,
-)
+    """
+
+
+@query("x_embed_near_dup", oracle_for=_embed_near_dup_oracle)
 def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level near-dup pairs at scale (operators/
     similarity.embedding_near_dup_pairs_lsh): candidates share an LSH
     (table, bucket) — ids-only self-join, never all-pairs — then exact
     cosine verifies candidates only. The literal md5-derived hyperplanes
-    let the DuckDB oracle replay candidate generation verbatim. The
+    let the DuckDB oracle replay candidate generation verbatim; planes
+    are sized to the corpus (similarity.lsh_planes_for), holding
+    per-bucket O(|bucket|²) pair work flat as the corpus grows. The
     O(N²) exact baseline (embedding_near_dup_pairs) is verification-only
     at small N (tests assert the LSH recall against it)."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    return similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.45)
+    return similarity.embedding_near_dup_pairs_lsh(
+        emb, threshold=0.45, n_planes=_lsh_probe_planes(sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

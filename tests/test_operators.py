@@ -346,8 +346,12 @@ def test_lsh_probe_suite_entry_sizes_planes_per_sf():
     assert p01 > p001  # bigger corpus -> more buckets
     spec = REGISTRY["x_ann_lsh_probe_table"]
     assert spec.oracle_for is not None
-    assert spec.oracle == spec.oracle_for("/root/testdata/sf0.01")
-    assert spec.oracle != spec.oracle_for("/root/testdata/sf0.1")
+    # lazy resolution (ADVICE r6): importing the registry must not read
+    # testdata, so the static field stays None and the driver-facing
+    # oracle resolves on first access to the sf0.01 instantiation
+    assert spec.oracle is None
+    assert spec.resolved_oracle() == spec.oracle_for("/root/testdata/sf0.01")
+    assert spec.resolved_oracle() != spec.oracle_for("/root/testdata/sf0.1")
 
 
 def test_embed_near_dup_lsh_subset_of_exact_with_recall(spark):

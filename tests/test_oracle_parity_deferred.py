@@ -42,13 +42,15 @@ def test_deferred_entry_matches_oracle(name, spark, duck):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, SF_DIR)
     srows = sdf.collect()
-    if spec.oracle is None:
-        assert len(srows) >= 0  # rows-only entry (driver does the same)
+    if not spec.has_oracle:
+        # rows-only entry: the driver can't value-check it either, but
+        # the run must still produce a real, named result shape — an
+        # empty schema or empty output here means the entry does
+        # nothing, not that it's merely non-SQL-expressible
+        assert sdf.columns, f"{name}: rows-only entry with no columns"
+        assert srows, f"{name}: rows-only entry returned no rows at sf0.01"
         return
-    oracle = (
-        spec.oracle_for(SF_DIR) if spec.oracle_for is not None else spec.oracle
-    )
-    res = duck.execute(oracle)
+    res = duck.execute(spec.resolved_oracle(SF_DIR))
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     problems = compare(srows, sdf.columns, drows, dcols)

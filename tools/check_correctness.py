@@ -42,15 +42,16 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    # per-sf oracles (scale-dependent tuning literals, e.g. LSH planes):
-    # at the driver's sf0.01 these equal the static string; local sweeps
-    # at other sfs re-instantiate them for the target corpus size
+    # per-sf oracles (scale-dependent tuning literals, e.g. LSH planes)
+    # instantiate for the target sf; at the driver's sf0.01 they equal
+    # what the driver's oracle_sql() sees
     from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
 
-    for _n, _spec in REGISTRY.items():
-        if _spec.oracle_for is not None and _n in oracles:
-            oracles[_n] = _spec.oracle_for(args.sf_dir)
+    oracles = {
+        _n: _spec.resolved_oracle(args.sf_dir)
+        for _n, _spec in REGISTRY.items()
+        if _spec.has_oracle
+    }
     names = args.only.split(",") if args.only else list(qs)
 
     n_pass = n_fail = n_noracle = 0

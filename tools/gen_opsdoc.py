@@ -47,7 +47,7 @@ def main() -> None:
         mod = inspect.getmodule(spec.fn).__name__.rsplit(".", 1)[-1]
         lines.append(
             f"| {name} | suite/{mod}.py | "
-            f"{'yes' if spec.oracle else 'rows-only'} | "
+            f"{'yes' if spec.has_oracle else 'rows-only'} | "
             f"{'yes' if name in window else ''} | {first_sentence(spec.doc)} |"
         )
     with open(out, "w") as f:
