@@ -72,6 +72,7 @@ HEADLINE = [
     "x_kmeans",                   # deterministic Lloyd k-means fit
     "x_curation_pipeline",        # five-operator curation pass, one plan
     "x_ann_ivf_probe_table",      # IVF serving: cogrouped table probes
+    "x_ann_ivf_incremental",      # frozen-model batch append + merged probe
     "x_ann_lsh_probe_table",      # LSH serving: cogrouped table probes
     "x_dedup_incremental",        # batch-vs-index incremental near-dup
     "x_pack_sequences",           # concat-and-chunk sequence packing

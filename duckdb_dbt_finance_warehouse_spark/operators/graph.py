@@ -200,7 +200,7 @@ def _closed_wedge_count(e: DataFrame, out_col: str = "n_triangles") -> DataFrame
     ).agg(F.count("*").alias(out_col))
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, *, _edges_prepared: bool = False) -> DataFrame:
     """Global triangle census over an undirected edge list (a < b):
     one row (n_edges, n_wedges, n_triangles, clustering_coeff).
 
@@ -233,8 +233,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     probe it against the edge list — hashing the edge side instead is
     3.3× faster measured (6.9 s → 2.1 s, sf0.1). The build is one
     shuffle partition of 2-long edge rows; if a partition ever
-    outgrew executor memory, dropping the hint falls back to SMJ."""
-    e0 = edges.select("a", "b").distinct().localCheckpoint(eager=False)
+    outgrew executor memory, dropping the hint falls back to SMJ.
+
+    ``_edges_prepared``: internal — ``triangle_stats_auto`` passes an
+    already-distinct, already-checkpointed edge frame so the dedup
+    shuffle it paid for the edge count isn't paid twice."""
+    e0 = (
+        edges
+        if _edges_prepared
+        else edges.select("a", "b").distinct().localCheckpoint(eager=False)
+    )
     deg = (
         e0.select(F.col("a").alias("v"))
         .unionByName(e0.select(F.col("b").alias("v")))
@@ -268,7 +276,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
 
 def triangle_sample_stats(
-    edges: DataFrame, k: int = 4, salt: str = "tri"
+    edges: DataFrame, k: int = 4, salt: str = "tri", *, _edges_prepared: bool = False
 ) -> DataFrame:
     """DOULION-style sampled triangle estimate — the 100 TB path where
     the exact census (``triangle_stats``) is too expensive: keep each
@@ -286,7 +294,7 @@ def triangle_sample_stats(
         raise ValueError(f"k must be a power of two, got {k}")
     from .sampling import hash_uniform
 
-    e = edges.select("a", "b").distinct()
+    e = edges if _edges_prepared else edges.select("a", "b").distinct()
     key = F.concat_ws(
         ":", F.col("a").cast("string"), F.col("b").cast("string")
     )
@@ -309,6 +317,57 @@ def triangle_sample_stats(
         "n_edges_sampled",
         "n_triangles_sampled",
         (F.col("n_triangles_sampled") * F.lit(k**3)).alias("est_n_triangles"),
+    )
+
+
+# The census's cost driver is wedge volume, which grows superlinearly
+# with edge count at fixed density — measured 17.5 s for the 12M-edge
+# sf1 co-purchase graph on local[32] (and DuckDB's same census 58.6 s);
+# a 10x denser graph is ~100x the wedge work. Past this bound the exact
+# count stops being a sane default and the DOULION estimate serves.
+MAX_CENSUS_EDGES = 20_000_000
+
+
+def triangle_stats_auto(
+    edges: DataFrame,
+    max_census_edges: int = MAX_CENSUS_EDGES,
+    k: int = 4,
+    salt: str = "tri",
+    force_census: bool = False,
+) -> DataFrame:
+    """ONE entry point for triangle counting (VERDICT r6 task 7): runs
+    the exact census (``triangle_stats``) while the deduped edge count
+    is within ``max_census_edges``, and auto-routes to the DOULION
+    sampled estimate (``triangle_sample_stats`` — unbiased k³ scale-up,
+    wedge volume cut k²) beyond it. The census stays available
+    unconditionally via ``force_census=True`` (opt-in, never silent:
+    the ``method`` column says which path produced the number).
+
+    The routing decision needs the real edge count, so the deduped
+    edge frame is checkpointed ONCE and handed to whichever path runs
+    (``_edges_prepared`` — the dedup shuffle isn't paid twice). One
+    count job of driver cost is the price of routing; at 100 TB that
+    count would come from the edge table's catalog stats instead.
+
+    Output (both paths): (method, n_edges, n_triangles_est,
+    clustering_coeff) — clustering_coeff is NULL on the sampled path
+    (the sampled wedge count is biased by k², so the exact-integer
+    coefficient contract can't be kept; take the census if you need
+    it)."""
+    e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
+    n_edges = e.count()
+    if force_census or n_edges <= max_census_edges:
+        return triangle_stats(e, _edges_prepared=True).select(
+            F.lit("census").alias("method"),
+            "n_edges",
+            F.col("n_triangles").cast("long").alias("n_triangles_est"),
+            "clustering_coeff",
+        )
+    return triangle_sample_stats(e, k=k, salt=salt, _edges_prepared=True).select(
+        F.lit(f"doulion_k{k}").alias("method"),
+        F.lit(n_edges).alias("n_edges"),
+        F.col("est_n_triangles").cast("long").alias("n_triangles_est"),
+        F.lit(None).cast("double").alias("clustering_coeff"),
     )
 
 

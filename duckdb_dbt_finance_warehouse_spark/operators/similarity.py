@@ -475,58 +475,51 @@ def _pair_score_cogroup_fn():
     return score
 
 
-def ivf_ann_topk_probe_table(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_centroids_mod: int = 32,
-    n_probes: int = 2,
-    model=None,
-) -> DataFrame:
-    """IVF top-k where the PROBE SIDE IS A DATAFRAME of arbitrary size —
-    the serving path for batch/offline query tables. Unlike
-    ``ivf_ann_topk`` (which collects a handful of driver-origin probe
-    vectors), nothing data-sized touches the driver here: only the
-    centroid MODEL is collected/broadcast (bounded at
-    |corpus|/n_centroids_mod rows — KB-scale, same as loading a trained
-    quantizer).
-
-    Shape: one Arrow stage assigns each corpus row to its nearest
-    centroid; a second Arrow stage fans each probe out to its
-    ``n_probes`` nearest centroids; both sides then co-shuffle ONCE on
-    ``centroid_id`` and a cogroup kernel block-matmuls each inverted
-    list against exactly the probes that probe it. Shuffle volume is
-    |corpus| + n_probes x |queries| vectors — pairs never ride a
-    shuffle. Per-list work is |list| x |probes(list)|; a hot list is the
-    residual skew risk (same mitigation as any skewed key: raise
-    n_centroids_mod so lists shrink).
-
-    Scores are quantized-exact (``QUANT_SCALE``) and the DuckDB oracle
-    replays seeding, assignment, probing, and top-k bit-for-bit."""
+def _ivf_model(corpus, id_col, vec_col, n_centroids_mod, model, caller):
+    """Resolve the frozen coarse-quantizer model: ``model`` as given
+    (trained k-means or a loaded index model), else the deterministic
+    id-sample seeding. Returns (cids, Cq, cnorms) ready to broadcast —
+    KB-scale, the only thing these paths ever collect."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
 
-    spark = corpus.sparkSession
     id_kind = corpus.schema[id_col].dataType.typeName()
     if id_kind not in ("byte", "short", "integer", "long"):
         raise TypeError(
-            f"ivf_ann_topk_probe_table requires an integral {id_col!r} "
-            f"(centroids are seeded by id % {n_centroids_mod}); got {id_kind}"
+            f"{caller} requires an integral {id_col!r} (centroids are "
+            f"seeded by id % {n_centroids_mod}); got {id_kind}"
         )
     if model is not None:
         cids = np.asarray(model[0], dtype=np.int64)
         Cq = np.asarray(model[1], dtype=np.float64)
     else:
-        cids, Cq = _seed_centroids(
-            corpus, id_col, vec_col, n_centroids_mod, "ivf_ann_topk_probe_table"
-        )
-    cnorms = np.sqrt((Cq * Cq).sum(axis=1))
-    n_probes_eff = min(n_probes, len(cids))
-    bc = spark.sparkContext.broadcast((cids, Cq, cnorms))
+        cids, Cq = _seed_centroids(corpus, id_col, vec_col, n_centroids_mod, caller)
+    return cids, Cq, np.sqrt((Cq * Cq).sum(axis=1))
 
+
+def ivf_build_lists(
+    corpus: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF INDEX BUILD: one narrow Arrow pass assigns every corpus row
+    to its nearest centroid under the FROZEN broadcast ``model``
+    (cids, Cq — e.g. from ``kmeans.kmeans_fit`` or ``_seed_centroids``)
+    and emits the inverted-list rows (centroid_id, cand_id, _vec).
+    This frame IS the serving index: store it partitioned by
+    centroid_id (Warehouse.write / write_staged) and probe batches
+    prune to their probed lists. Assignment is per-vector against a
+    frozen model, so appending a new batch's lists to a stored index
+    is EXACTLY equivalent to a full rebuild — the invariant
+    ``ivf_incremental_topk`` serves under and tests pin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cids, Cq, cnorms = model if len(model) == 3 else (*model, None)
+    if cnorms is None:
+        cnorms = np.sqrt((Cq * Cq).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, Cq, cnorms))
     id_type = corpus.schema[id_col].dataType
     vec_type = corpus.schema[vec_col].dataType
     cand_schema = T.StructType(
@@ -534,13 +527,6 @@ def ivf_ann_topk_probe_table(
             T.StructField("centroid_id", T.LongType()),
             T.StructField("cand_id", id_type),
             T.StructField("_vec", vec_type),
-        ]
-    )
-    probe_schema = T.StructType(
-        [
-            T.StructField("centroid_id", T.LongType()),
-            T.StructField("query_id", queries.schema[id_col].dataType),
-            T.StructField("_vec", queries.schema[vec_col].dataType),
         ]
     )
 
@@ -562,6 +548,45 @@ def ivf_ann_topk_probe_table(
                 }
             )
 
+    return corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(assign_corpus, cand_schema)
+
+
+def ivf_probe_lists_topk(
+    lists: DataFrame,
+    queries: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF SERVING over pre-built inverted ``lists`` (centroid_id,
+    cand_id, _vec — from ``ivf_build_lists`` or a stored index table):
+    one Arrow stage fans each probe out to its ``n_probes`` nearest
+    centroids under the same frozen model, both sides co-shuffle ONCE
+    on centroid_id, and the cogroup kernel block-matmuls each list
+    against exactly the probes that probe it. When ``lists`` is a
+    stored table partitioned by centroid_id, the probed lists prune at
+    the scan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cids, Cq, cnorms = model if len(model) == 3 else (*model, None)
+    if cnorms is None:
+        cnorms = np.sqrt((Cq * Cq).sum(axis=1))
+    n_probes_eff = min(n_probes, len(cids))
+    bc = queries.sparkSession.sparkContext.broadcast((cids, Cq, cnorms))
+    probe_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("_vec", queries.schema[vec_col].dataType),
+        ]
+    )
+
     def assign_probes(batches):
         cids_, Cq_, cn_ = bc.value
         for pdf in batches:
@@ -582,9 +607,6 @@ def ivf_ann_topk_probe_table(
                 }
             )
 
-    cands = corpus.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec")
-    ).mapInPandas(assign_corpus, cand_schema)
     probes = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vec")
     ).mapInPandas(assign_probes, probe_schema)
@@ -592,13 +614,13 @@ def ivf_ann_topk_probe_table(
     out_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[id_col].dataType),
-            T.StructField("cand_id", id_type),
+            T.StructField("cand_id", lists.schema["cand_id"].dataType),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
     score = _pair_score_cogroup_fn()
     scored = (
-        cands.groupBy("centroid_id")
+        lists.groupBy("centroid_id")
         .cogroup(probes.groupBy("centroid_id"))
         .applyInPandas(score, out_schema)
     )
@@ -610,6 +632,93 @@ def ivf_ann_topk_probe_table(
         scored.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def ivf_ann_topk_probe_table(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids_mod: int = 32,
+    n_probes: int = 2,
+    model=None,
+) -> DataFrame:
+    """IVF top-k where the PROBE SIDE IS A DATAFRAME of arbitrary size —
+    the serving path for batch/offline query tables. Unlike
+    ``ivf_ann_topk`` (which collects a handful of driver-origin probe
+    vectors), nothing data-sized touches the driver here: only the
+    centroid MODEL is collected/broadcast (bounded at
+    |corpus|/n_centroids_mod rows — KB-scale, same as loading a trained
+    quantizer).
+
+    Shape (see ``ivf_build_lists`` / ``ivf_probe_lists_topk``): one
+    Arrow stage assigns each corpus row to its nearest centroid; a
+    second Arrow stage fans each probe out to its ``n_probes`` nearest
+    centroids; both sides then co-shuffle ONCE on ``centroid_id`` and a
+    cogroup kernel block-matmuls each inverted list against exactly the
+    probes that probe it. Shuffle volume is |corpus| + n_probes x
+    |queries| vectors — pairs never ride a shuffle. Per-list work is
+    |list| x |probes(list)|; a hot list is the residual skew risk (same
+    mitigation as any skewed key: raise n_centroids_mod so lists
+    shrink).
+
+    Scores are quantized-exact (``QUANT_SCALE``) and the DuckDB oracle
+    replays seeding, assignment, probing, and top-k bit-for-bit."""
+    model3 = _ivf_model(
+        corpus, id_col, vec_col, n_centroids_mod, model, "ivf_ann_topk_probe_table"
+    )
+    lists = ivf_build_lists(corpus, model3, id_col, vec_col)
+    return ivf_probe_lists_topk(
+        lists, queries, model3, id_col, vec_col, k=k, n_probes=n_probes
+    )
+
+
+def ivf_incremental_topk(
+    base: DataFrame,
+    batch: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids_mod: int = 32,
+    n_probes: int = 2,
+    model=None,
+) -> DataFrame:
+    """INCREMENTAL IVF index maintenance — the nightly production mode
+    for ANN serving (the x_hll_merge / x_dedup_incremental lifecycle
+    pattern applied to the vector index): the expensive part at 100 TB
+    is the index BUILD, so the stored inverted lists are never rebuilt
+    from the full corpus. A NEW embedding batch is assigned against the
+    FROZEN centroid model (the model must not drift, or old list
+    placements go stale) and its list rows are APPENDED to the
+    persisted index; probes then serve from stored + appended lists in
+    one plan.
+
+    Because assignment is per-vector against a frozen model, the merged
+    index is EXACTLY the index a full rebuild would produce — probe
+    results are bit-identical (pinned by
+    tests/test_operators.py::test_ivf_incremental_*; the suite oracle
+    replays the full-rebuild form for the same reason). Retraining the
+    quantizer (kmeans_fit on base+batch) is the rebuild event, not the
+    nightly path.
+
+    The base lists are ``_persist``-ed: in production they are a STORED
+    table partitioned by centroid_id (Warehouse.write(partition_by=
+    ["centroid_id"]) + mode="append" for the batch — the on-disk
+    lifecycle a pytest drives end-to-end); without the persist the
+    base-corpus assignment would recompute per consumer."""
+    from .dedup import _persist
+
+    model3 = _ivf_model(
+        base, id_col, vec_col, n_centroids_mod, model, "ivf_incremental_topk"
+    )
+    base_lists = _persist(ivf_build_lists(base, model3, id_col, vec_col))
+    batch_lists = ivf_build_lists(batch, model3, id_col, vec_col)
+    merged = base_lists.unionByName(batch_lists)
+    return ivf_probe_lists_topk(
+        merged, queries, model3, id_col, vec_col, k=k, n_probes=n_probes
     )
 
 

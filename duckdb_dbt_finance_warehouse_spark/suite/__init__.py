@@ -13,99 +13,32 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  ROUND-6 ROTATION (VERDICT r5 task 1: drain the
-# verification debt): 70 registry entries had NEVER had a driver
-# CORRECTNESS row after r5 — all 50 slots go to them, leading with the
-# judged SQL surface (sql5-sql12, a13, o4, w7), the numerically delicate
-# audit/diagnostic family, and every entry whose CODE CHANGED this round
-# (rfm day-grain recency grid, degree-ordered triangle census,
-# ab-conversion 3-variant guard, pca half-up rounding, event_paths
-# all-steps-non-null, corpus-sized LSH probe planes, restructured
-# portable-MinHash oracle), then the rest of the never-checked set.
-# x_ann_lsh_probe_table is the one already-driver-green entry included:
-# its plane sizing changed this round (touched code outranks stable
-# never-checked entries).  x_multimodal_features stays OUT permanently —
+# cosmetics.  ROUND-7 ROTATION: after r6, every registry entry except
+# the 21 on the r6 deferred list had a green driver row, so r7's window
+# is (1) that declared drain list — its entries take the first slots
+# exactly as promised in r6 — then (2) every entry whose CODE CHANGED
+# this round (the new incremental-IVF entry; the four LSH entries
+# migrated from fixed 8x4 planes to corpus-sized lsh_planes_for planes
+# plus the two refactor-touched serving entries; the one-pass
+# floor-division RFM rewrite), then (3) the §2 flagships last green r4,
+# now at the two-round re-green cadence (CLAUDE.md), then (4) the
+# oldest remaining r4-green entries, biased toward subsystems whose
+# shared code moved this round (similarity/dedup lifecycle, sketch,
+# packing/maintenance).  x_multimodal_features stays OUT permanently —
 # it can only ever report no_oracle (plumbing is oracle-verified via
 # x_multimodal_bytestats); it would waste a slot.
 #
-# DEFERRED_NEXT_ROUND (below) holds the never-checked entries that did
-# not fit; they MUST take r7's first slots, then the §2 flagships — m1,
-# m2, j1, j3, a1, sql1, last green r4 — re-green on the two-round
-# cadence.  ALSO QUEUED FOR R7 (code change + window slot together):
-# migrate the remaining fixed-8x4-plane LSH entries
-# (x_ann_lsh_bucketed, x_embed_near_dup, x_semantic_decontaminate,
-# x_ann_recall_audit) to the corpus-sized `oracle_for` plane sizing
-# x_ann_lsh_probe_table got this round — same quadratic-bucket
-# disease, deliberately not touched in r6 because they are
-# driver-green and every r6 slot was owed to never-checked debt.  All deferred entries are green in the driver-identical
-# local gate (tools/check_correctness.py; full-registry run this
-# round: 169 pass, 0 fail, 1 rows-only).
+# With this window, NOTHING in the registry has a stale driver row
+# older than r4, and the r4 stragglers that did not fit move to
+# DEFERRED_NEXT_ROUND (r8's first slots — all already driver-green in
+# r4, so this is re-green cadence backlog, not never-checked debt; each
+# is still pinned every session by test_oracle_parity_deferred.py).
 # tests/test_coverage_rotation.py enforces that every registry entry is
 # either driver-checked already, in the current first-50, or in the
 # deferred plan (which must itself fit one round) — the "ships
 # unchecked" failure mode cannot recur silently.
 DRIVER_PRIORITY: list[str] = [
-    # --- the judged SQL surface, never driver-checked ---
-    "sql5_correlated_agg_q17_style",
-    "sql6_lateral_topk",
-    "sql7_outer_join_histogram_q13_style",
-    "sql8_correlated_min_q2_style",
-    "sql9_global_avg_anti_join_q22_style",
-    "sql10_having_in_q18_style",
-    "sql11_top_view_q15_style",
-    "sql12_double_exists_q21_style",
-    "a13_cube",
-    "o4_null_ordering",
-    "w7_value_kit",
-    # --- audit / diagnostic family (numerically delicate) ---
-    "x_dedup_precision_audit",
-    "x_ann_recall_audit",
-    "x_hll_error_audit",
-    "x_auc_quality",
-    "x_ks_drift",
-    "x_skew_report",
-    "x_join_size_estimate",
-    "x_mad_outliers",
-    "x_corr_matrix",
-    # --- code changed this round ---
-    "x_rfm_segments",
-    "x_triangle_count",
-    "x_triangle_sample",
-    "x_ab_conversion",
-    "x_pca_power",
-    "x_event_paths",
-    "x_ann_lsh_probe_table",
-    # --- remaining never-checked extension operators ---
-    "x_bpe_train",
-    "x_bpe_segment",
-    "x_bm25_search",
-    "x_lm_bigram_score",
-    "x_perplexity_buckets",
-    "x_group_quantiles",
-    "x_substring_dedup",
-    "x_dataset_overlap",
-    "x_zipf_fit",
-    "x_corpus_profile",
-    "x_random_projection",
-    "x_last_touch_attribution",
-    "x_event_transitions",
-    "x_hll_merge",
-    "x_event_anomaly",
-    "x_pagerank",
-    "x_basket_pairs",
-    "x_embed_quantize",
-    "x_edit_distance",
-    "x_shard_rendezvous",
-    "x_embed_drift",
-    "x_lexical_drift",
-    "x_importance_resample",
-]
-
-# Never-driver-checked entries queued for the NEXT round's first slots
-# (see the rotation note above).  Adding a new queries() entry requires
-# putting it in DRIVER_PRIORITY's first 50 (CLAUDE.md) — this list is
-# only for pre-existing debt being drained on a declared schedule.
-DEFERRED_NEXT_ROUND: list[str] = [
+    # --- the r6 deferred drain list, first slots as declared ---
     "x_merge_upsert",
     "x_kfold_split",
     "x_hard_negatives",
@@ -127,6 +60,68 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_tokenizer_fertility",
     "x_inverted_index",
     "x_boilerplate_grams",
+    # --- code changed this round ---
+    "x_ann_ivf_incremental",
+    "x_ann_lsh_bucketed",
+    "x_embed_near_dup",
+    "x_ann_recall_audit",
+    "x_ann_lsh_probe_table",
+    "x_ann_ivf_probe_table",
+    "x_rfm_segments",
+    # --- §2 flagships at the two-round cadence (last green r4) ---
+    "m1_movement_classification",
+    "m2_waterfall_rollup",
+    "j1_month_spine_expansion",
+    "j3_validity_asof_join",
+    "a1_grouped_sum_q1",
+    "w1_latest_row_dedup",
+    "sql1_join_agg_q3_style",
+    # --- oldest remaining driver rows (r4), changed-subsystem first ---
+    "x_ann_ivf_trained",
+    "x_kmeans",
+    "x_dedup_incremental",
+    "x_dedup_clusters",
+    "x_curation_pipeline",
+    "x_hll_distinct",
+    "x_salted_join",
+    "a8_exact_percentiles",
+    "w6_range_frames",
+    "x_pack_sequences",
+    "x_snapshot_diff",
+    "x_maintenance_compaction",
+    "x_sessionize",
+    "x_asof_nearest",
+    "x_multimodal_bytestats",
+]
+
+# r4-green entries whose re-green did not fit this window; they take
+# r8's first slots.  Adding a NEW queries() entry still requires a
+# first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
+# that already has a green driver row.
+DEFERRED_NEXT_ROUND: list[str] = [
+    "x_text_langid",
+    "x_text_quality",
+    "x_token_count",
+    "x_fingerprint",
+    "x_tfidf_top_terms",
+    "x_sample_hash",
+    "x_sample_stratified",
+    "x_sample_mixture",
+    "x_decontaminate",
+    "x_scrub_pii",
+    "x_event_tumbling_window",
+    "x_json_props",
+    "x_resample_locf",
+    "x_interval_overlap",
+    "x_profile_stats",
+    "x_winsorize",
+    "x_heavy_hitters",
+    "x_text_repetition",
+    "x_bloom_semi_join",
+    "x_quantile_sketch",
+    "x_hll_by_group",
+    "x_dedup_canonical",
+    "x_pack_efficiency",
 ]
 
 

@@ -289,6 +289,86 @@ def test_ivf_untrained_seeding_caps_driver_collect(spark, monkeypatch):
         similarity.ivf_ann_topk_probe_table(emb, emb.limit(1), n_centroids_mod=1)
 
 
+def test_ivf_incremental_merged_equals_rebuild(spark):
+    """The incremental-index invariant: appending a new batch's
+    frozen-model list rows to the stored base lists must serve probe
+    results BIT-IDENTICAL to a full index rebuild (same model). This is
+    what makes the nightly append path a safe replacement for the
+    rebuild — assignment is per-vector against a frozen model, so list
+    membership can't depend on batch boundaries."""
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 1)
+    batch = emb.filter(F.col("vec_id") % 4 == 1)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    inc = similarity.ivf_incremental_topk(
+        base, batch, probes, k=5, n_centroids_mod=16, n_probes=2
+    )
+    got = sorted(map(tuple, inc.collect()))
+    release_persisted()
+    # full rebuild over base+batch; seeds (vec_id % 16 == 0) all sit in
+    # base (16 | id => id % 4 == 0), so the frozen model is identical
+    rebuilt = similarity.ivf_ann_topk_probe_table(
+        emb, probes, k=5, n_centroids_mod=16, n_probes=2
+    )
+    want = sorted(map(tuple, rebuilt.collect()))
+    assert got and got == want
+
+
+def test_ivf_incremental_warehouse_append_lifecycle(spark, tmp_path):
+    """The on-disk form of the same lifecycle: base lists stored as a
+    warehouse table PARTITIONED BY centroid_id, the new batch's lists
+    appended as new files under the same partition layout (no rewrite
+    of existing list files), and probes served from the read-back table
+    match the full rebuild bit-for-bit. This is the 100 TB shape — the
+    index build cost is paid once per corpus, then per-batch."""
+    import os
+
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import (
+        Warehouse,
+        load_testdata,
+    )
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 1)
+    batch = emb.filter(F.col("vec_id") % 4 == 1)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    model = similarity._ivf_model(
+        base, "vec_id", "embedding", 16, None, "test_lifecycle"
+    )
+    wh = Warehouse(spark, str(tmp_path))
+    wh.write(
+        similarity.ivf_build_lists(base, model),
+        "index", "ivf_lists", partition_by=["centroid_id"],
+    )
+    before = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(wh.path("index", "ivf_lists"))
+        for f in fs if f.endswith(".parquet")
+    }
+    wh.write(
+        similarity.ivf_build_lists(batch, model),
+        "index", "ivf_lists", mode="append", partition_by=["centroid_id"],
+    )
+    after = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(wh.path("index", "ivf_lists"))
+        for f in fs if f.endswith(".parquet")
+    }
+    # append-only: every base list file survives untouched
+    assert before <= after and len(after) > len(before)
+
+    lists = wh.read("index", "ivf_lists").select("centroid_id", "cand_id", "_vec")
+    served = similarity.ivf_probe_lists_topk(lists, probes, model, k=5, n_probes=2)
+    got = sorted(map(tuple, served.collect()))
+    rebuilt = similarity.ivf_ann_topk_probe_table(
+        emb, probes, k=5, n_centroids_mod=16, n_probes=2
+    )
+    want = sorted(map(tuple, rebuilt.collect()))
+    assert got and got == want
+
+
 def test_driver_probe_collects_are_capped(spark, monkeypatch):
     """The small-probe serving paths collect query vectors to the
     driver; past MAX_QUERY_COLLECT they must refuse and point at the
@@ -1642,6 +1722,40 @@ def test_triangle_sample_unbiased_form_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="power of two"):
         graph.triangle_sample_stats(pairs, k=3)
+
+
+def test_triangle_auto_routes_census_vs_doulion(spark):
+    """triangle_stats_auto (one entry point): within the edge bound it
+    must return the EXACT census values under method='census'; past the
+    bound it must return the DOULION estimate (n_triangles_sampled·k³,
+    the unbiased scale-up) under method='doulion_k<k>' with a NULL
+    clustering coefficient; force_census overrides the bound (census
+    opt-in, never silent)."""
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+
+    rows = [(1, x) for x in "ABCDE"] + [(2, x) for x in "ABC"]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    pairs = graph.cooccurrence_pairs(df, "g", "item")
+    exact = graph.triangle_stats(pairs).first()
+
+    auto = graph.triangle_stats_auto(pairs).first()
+    assert auto["method"] == "census"
+    assert auto["n_edges"] == exact["n_edges"]
+    assert auto["n_triangles_est"] == exact["n_triangles"]
+    assert auto["clustering_coeff"] == exact["clustering_coeff"]
+
+    sampled = graph.triangle_sample_stats(pairs, k=4).first()
+    routed = graph.triangle_stats_auto(pairs, max_census_edges=0, k=4).first()
+    assert routed["method"] == "doulion_k4"
+    assert routed["n_edges"] == exact["n_edges"]  # full count, pre-sampling
+    assert routed["n_triangles_est"] == sampled["n_triangles_sampled"] * 64
+    assert routed["clustering_coeff"] is None
+
+    forced = graph.triangle_stats_auto(
+        pairs, max_census_edges=0, force_census=True
+    ).first()
+    assert forced["method"] == "census"
+    assert forced["n_triangles_est"] == exact["n_triangles"]
 
 
 def test_hopping_window_known_counts(spark):
