@@ -782,6 +782,105 @@ def lsh_ann_topk_probe_table(
     )
 
 
+def lsh_build_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    out_id: str = "cand_id",
+) -> DataFrame:
+    """LSH INDEX BUILD: one narrow Arrow pass hashes every vector into
+    its bucket in each of the ``n_tables`` hash tables under the
+    deterministic ±1 plane matrix (``_sign_matrix`` — a pure function of
+    (n_tables, n_planes, dim), i.e. the planes are FROZEN by
+    construction, the LSH analogue of the frozen IVF centroid model)
+    and emits the index rows (tbl, bucket, ``out_id``, _vec).
+
+    This frame IS the serving index: store it partitioned by ``tbl``
+    (or (tbl, bucket-range) at scale) via Warehouse.write and probe
+    batches prune to their probed buckets. Hashing is per-vector under
+    frozen planes, so appending a new batch's bucket rows to a stored
+    index is EXACTLY equivalent to a full rebuild — the invariant
+    ``lsh_incremental_topk`` serves under and tests pin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    S = _sign_matrix(n_tables, n_planes, dim)
+    bc = df.sparkSession.sparkContext.broadcast(S)
+    schema = T.StructType(
+        [
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField(out_id, df.schema[id_col].dataType),
+            T.StructField("_vec", df.schema[vec_col].dataType),
+        ]
+    )
+
+    def assign(batches):
+        S_ = bc.value
+        tbls = np.arange(n_tables, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            B = _np_bucket_ids(V, S_, n_tables, n_planes)
+            n = len(pdf)
+            idx = np.repeat(np.arange(n), n_tables)
+            yield pd.DataFrame(
+                {
+                    "tbl": np.tile(tbls, n),
+                    "bucket": B.ravel(),
+                    out_id: pdf[out_id].to_numpy()[idx],
+                    "_vec": pdf["_vec"].to_numpy()[idx],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("_vec")
+    ).mapInPandas(assign, schema)
+
+
+def _lsh_score_buckets(
+    buckets: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+) -> DataFrame:
+    """Probe stage over pre-built index ``buckets`` (tbl, bucket,
+    cand_id, _vec — from ``lsh_build_buckets`` or a stored index
+    table): bucket-assign the probes in one Arrow pass under the same
+    frozen planes, co-shuffle once on (tbl, bucket), score each
+    bucket's probes against its candidates via the cogroup kernel, and
+    DISTINCT the multi-table collisions (quantized scores are identical
+    across collisions, so the dedup is safe). Returns (query_id,
+    cand_id, cosine) — consumers add top-k or threshold semantics."""
+    from pyspark.sql import types as T
+
+    probes = lsh_build_buckets(
+        queries, id_col, vec_col, n_tables, n_planes, dim, out_id="query_id"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("cand_id", buckets.schema["cand_id"].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    score = _pair_score_cogroup_fn()
+    return (
+        buckets.groupBy("tbl", "bucket")
+        .cogroup(probes.groupBy("tbl", "bucket"))
+        .applyInPandas(score, out_schema)
+        .distinct()
+    )
+
+
 def _lsh_scored_pairs(
     corpus: DataFrame,
     queries: DataFrame,
@@ -791,76 +890,77 @@ def _lsh_scored_pairs(
     n_planes: int,
     dim: int,
 ) -> DataFrame:
-    """Shared probe-table pair stage: bucket-assign both sides (one
-    Arrow pass each), co-shuffle once on (tbl, bucket), score each
-    bucket's probes against its candidates via the cogroup kernel, and
-    DISTINCT the multi-table collisions (quantized scores are identical
-    across collisions, so the dedup is safe). Returns (query_id,
-    cand_id, cosine) — consumers add top-k or threshold semantics."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    S = _sign_matrix(n_tables, n_planes, dim)
-    bc = corpus.sparkSession.sparkContext.broadcast(S)
-
-    def bucketed(df: DataFrame, out_id: str, src_id_type, src_vec_type):
-        schema = T.StructType(
-            [
-                T.StructField("tbl", T.IntegerType()),
-                T.StructField("bucket", T.LongType()),
-                T.StructField(out_id, src_id_type),
-                T.StructField("_vec", src_vec_type),
-            ]
-        )
-
-        def assign(batches):
-            S_ = bc.value
-            tbls = np.arange(n_tables, dtype=np.int32)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
-                B = _np_bucket_ids(V, S_, n_tables, n_planes)
-                n = len(pdf)
-                idx = np.repeat(np.arange(n), n_tables)
-                yield pd.DataFrame(
-                    {
-                        "tbl": np.tile(tbls, n),
-                        "bucket": B.ravel(),
-                        out_id: pdf[out_id].to_numpy()[idx],
-                        "_vec": pdf["_vec"].to_numpy()[idx],
-                    }
-                )
-
-        return df.mapInPandas(assign, schema)
-
-    cands = bucketed(
-        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_vec")),
-        "cand_id",
-        corpus.schema[id_col].dataType,
-        corpus.schema[vec_col].dataType,
-    )
-    probes = bucketed(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vec")),
-        "query_id",
-        queries.schema[id_col].dataType,
-        queries.schema[vec_col].dataType,
+    """Shared probe-table pair stage: build the bucket index for the
+    corpus (``lsh_build_buckets``) and score the probe table against it
+    (``_lsh_score_buckets``)."""
+    cands = lsh_build_buckets(corpus, id_col, vec_col, n_tables, n_planes, dim)
+    return _lsh_score_buckets(
+        cands, queries, id_col, vec_col, n_tables, n_planes, dim
     )
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema[id_col].dataType),
-            T.StructField("cand_id", corpus.schema[id_col].dataType),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+
+def lsh_probe_buckets_topk(
+    buckets: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH SERVING over a pre-built (possibly stored) bucket index:
+    ``_lsh_score_buckets`` + the per-query top-k window. The
+    (n_tables, n_planes, dim) parameters MUST match the build — they
+    define the frozen plane matrix the probes are hashed under."""
+    scored = _lsh_score_buckets(
+        buckets, queries, id_col, vec_col, n_tables, n_planes, dim
     )
-    score = _pair_score_cogroup_fn()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
-        cands.groupBy("tbl", "bucket")
-        .cogroup(probes.groupBy("tbl", "bucket"))
-        .applyInPandas(score, out_schema)
-        .distinct()
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def lsh_incremental_topk(
+    base: DataFrame,
+    batch: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """INCREMENTAL LSH index maintenance — the ``ivf_incremental_topk``
+    lifecycle applied to the hash-bucket index: the stored bucket rows
+    are never rebuilt from the full corpus. A NEW embedding batch is
+    hashed under the FROZEN plane matrix (deterministic in the index
+    parameters, so it cannot drift) and its bucket rows are APPENDED to
+    the persisted index; probes then serve from stored + appended
+    buckets in one plan. Because hashing is per-vector, the merged
+    index is EXACTLY the index a full rebuild would produce — probe
+    results are bit-identical (pinned by
+    tests/test_operators.py::test_lsh_incremental_*; the suite oracle
+    replays the full-rebuild form for the same reason).
+
+    The base buckets are ``_persist``-ed: in production they are a
+    STORED table partitioned by tbl (Warehouse.write(partition_by=
+    ["tbl"]) + mode="append" for the batch — the on-disk lifecycle a
+    pytest drives end-to-end); without the persist the base-corpus
+    hashing would recompute per consumer."""
+    from .dedup import _persist
+
+    base_b = _persist(
+        lsh_build_buckets(base, id_col, vec_col, n_tables, n_planes, dim)
+    )
+    batch_b = lsh_build_buckets(batch, id_col, vec_col, n_tables, n_planes, dim)
+    merged = base_b.unionByName(batch_b)
+    return lsh_probe_buckets_topk(
+        merged, queries, id_col, vec_col, k, n_tables, n_planes, dim
     )
 
 

@@ -17,7 +17,7 @@ from . import extensions  # noqa: E402,F401
 # the 21 on the r6 deferred list had a green driver row, so r7's window
 # is (1) that declared drain list — its entries take the first slots
 # exactly as promised in r6 — then (2) every entry whose CODE CHANGED
-# this round (the new incremental-IVF entry; the four LSH entries
+# this round (the new incremental-IVF and incremental-LSH entries; the four LSH entries
 # migrated from fixed 8x4 planes to corpus-sized lsh_planes_for planes
 # plus the two refactor-touched serving entries; the one-pass
 # floor-division RFM rewrite), then (3) the §2 flagships last green r4,
@@ -62,6 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_boilerplate_grams",
     # --- code changed this round ---
     "x_ann_ivf_incremental",
+    "x_ann_lsh_incremental",
     "x_ann_lsh_bucketed",
     "x_embed_near_dup",
     "x_ann_recall_audit",
@@ -91,7 +92,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_maintenance_compaction",
     "x_sessionize",
     "x_asof_nearest",
-    "x_multimodal_bytestats",
 ]
 
 # r4-green entries whose re-green did not fit this window; they take
@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
 # first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
 # that already has a green driver row.
 DEFERRED_NEXT_ROUND: list[str] = [
+    "x_multimodal_bytestats",
     "x_text_langid",
     "x_text_quality",
     "x_token_count",

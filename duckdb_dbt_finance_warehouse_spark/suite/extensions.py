@@ -844,6 +844,55 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_incremental_oracle(sf_dir: str) -> str:
+    """Full-rebuild replay of the incremental LSH serve: hashing is
+    per-vector under frozen planes, so the merged (stored base +
+    appended batch) index is bit-identical to one built from the whole
+    corpus — which is the only form DuckDB needs to replay. Probe side
+    is vec_id % 10 = 0. Lazy (reads parquet footers for plane sizing)."""
+    return f"""
+    WITH bk AS (SELECT * FROM {_lsh_buckets_sql(sf_dir)} AS raw),
+    cands AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+      FROM (SELECT * FROM bk WHERE vec_id % 10 = 0) qb
+      JOIN bk cb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                AND cb.vec_id != qb.vec_id),
+    scored AS (
+      SELECT cands.query_id, cands.cand_id, {_QCOS_PAIR} AS cosine
+      FROM cands
+      JOIN embeddings q ON q.vec_id = cands.query_id
+      JOIN embeddings c ON c.vec_id = cands.cand_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, cand_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query("x_ann_lsh_incremental", oracle_for=_lsh_incremental_oracle)
+def x_ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL LSH index maintenance (operators/similarity.
+    lsh_incremental_topk) — the hash-bucket twin of
+    x_ann_ivf_incremental: the stored bucket index (vec_id % 4 != 1,
+    persisted — a Warehouse table partitioned by tbl in production)
+    absorbs a new embedding batch (vec_id % 4 == 1) by hashing ONLY the
+    batch under the FROZEN plane matrix and appending its bucket rows;
+    probes (vec_id % 10 == 0) serve from stored + appended buckets in
+    one plan. Frozen-plane hashing makes the merged index bit-identical
+    to a full rebuild, so the oracle replays the rebuild form — the
+    driver row IS the merged==rebuilt proof; the on-disk append
+    lifecycle is pinned by pytest. Planes are corpus-sized
+    (lsh_planes_for) like every LSH entry."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return similarity.lsh_incremental_topk(
+        emb.filter(F.col("vec_id") % 4 != 1),
+        emb.filter(F.col("vec_id") % 4 == 1),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        k=5, n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
+    )
+
+
 def _ann_recall_audit_oracle(sf_dir: str) -> str:
     return f"""
     WITH ex_scored AS (

@@ -369,6 +369,82 @@ def test_ivf_incremental_warehouse_append_lifecycle(spark, tmp_path):
     assert got and got == want
 
 
+def test_lsh_incremental_merged_equals_rebuild(spark):
+    """The LSH twin of the incremental-index invariant: appending a new
+    batch's frozen-plane bucket rows to the stored base index must
+    serve probe results BIT-IDENTICAL to a full index rebuild. The
+    plane matrix is a pure function of (n_tables, n_planes, dim), so
+    bucket membership can't depend on batch boundaries."""
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 1)
+    batch = emb.filter(F.col("vec_id") % 4 == 1)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    inc = similarity.lsh_incremental_topk(
+        base, batch, probes, k=5, n_tables=4, n_planes=4, dim=64
+    )
+    got = sorted(map(tuple, inc.collect()))
+    release_persisted()
+    rebuilt = similarity.lsh_ann_topk_probe_table(
+        emb, probes, k=5, n_tables=4, n_planes=4, dim=64
+    )
+    want = sorted(map(tuple, rebuilt.collect()))
+    assert got and got == want
+
+
+def test_lsh_incremental_warehouse_append_lifecycle(spark, tmp_path):
+    """On-disk form: base bucket rows stored as a warehouse table
+    PARTITIONED BY tbl, the new batch's rows appended as new files
+    under the same layout (no rewrite of existing index files), and
+    probes served from the read-back table match the full rebuild
+    bit-for-bit."""
+    import os
+
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import (
+        Warehouse,
+        load_testdata,
+    )
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 1)
+    batch = emb.filter(F.col("vec_id") % 4 == 1)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    wh = Warehouse(spark, str(tmp_path))
+    wh.write(
+        similarity.lsh_build_buckets(base, n_tables=4, n_planes=4, dim=64),
+        "index", "lsh_buckets", partition_by=["tbl"],
+    )
+    before = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(wh.path("index", "lsh_buckets"))
+        for f in fs if f.endswith(".parquet")
+    }
+    wh.write(
+        similarity.lsh_build_buckets(batch, n_tables=4, n_planes=4, dim=64),
+        "index", "lsh_buckets", mode="append", partition_by=["tbl"],
+    )
+    after = {
+        os.path.join(d, f)
+        for d, _, fs in os.walk(wh.path("index", "lsh_buckets"))
+        for f in fs if f.endswith(".parquet")
+    }
+    assert before <= after and len(after) > len(before)
+
+    buckets = wh.read("index", "lsh_buckets").select(
+        "tbl", "bucket", "cand_id", "_vec"
+    )
+    served = similarity.lsh_probe_buckets_topk(
+        buckets, probes, k=5, n_tables=4, n_planes=4, dim=64
+    )
+    got = sorted(map(tuple, served.collect()))
+    rebuilt = similarity.lsh_ann_topk_probe_table(
+        emb, probes, k=5, n_tables=4, n_planes=4, dim=64
+    )
+    want = sorted(map(tuple, rebuilt.collect()))
+    assert got and got == want
+
+
 def test_driver_probe_collects_are_capped(spark, monkeypatch):
     """The small-probe serving paths collect query vectors to the
     driver; past MAX_QUERY_COLLECT they must refuse and point at the
