@@ -336,6 +336,54 @@ def stream_dedup_incremental(
     q.awaitTermination()
 
 
+def stream_ann_index_append(
+    embed_stream: DataFrame,
+    model,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Continuous ANN index maintenance: each micro-batch of new
+    embeddings is assigned to its inverted list under the FROZEN
+    coarse-quantizer ``model`` (``similarity.ivf_build_lists`` — the
+    same batch operator ``ivf_incremental_topk`` uses, so streamed and
+    nightly-batch index rows are identical by construction) and
+    APPENDED to the stored index at ``index_path``.
+
+    Layout: partitioned by (_epoch, centroid_id) with dynamic partition
+    overwrite — a replayed epoch overwrites exactly its own partitions,
+    so retries don't duplicate list rows (exactly-once end-to-end with
+    the checkpointed source offsets), while centroid_id stays a
+    partition column so probe-time list pruning still works on the
+    read-back table. Per trigger the work is O(batch): one narrow Arrow
+    assignment pass, no shuffle, no touch of existing index files.
+    Retraining the quantizer is the (batch-side) rebuild event — under
+    a frozen model the appended index is bit-identical to a full
+    rebuild, which is what makes this safe as a standing stream."""
+    from pyspark.sql import functions as F2
+
+    from ..operators import similarity
+
+    def append_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        lists = similarity.ivf_build_lists(batch_df, model, id_col, vec_col)
+        (
+            lists.withColumn("_epoch", F2.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch", "centroid_id")
+            .parquet(index_path)
+        )
+
+    q = (
+        embed_stream.writeStream.foreachBatch(append_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion against currently
     available input (availableNow) into an in-memory table ``name``."""
