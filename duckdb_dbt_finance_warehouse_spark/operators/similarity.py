@@ -747,6 +747,7 @@ def lsh_ann_topk_probe_table(
     n_tables: int = 8,
     n_planes: int = 4,
     dim: int = 64,
+    prune_to_probed: bool = False,
 ) -> DataFrame:
     """LSH ANN top-k with a DataFrame probe side of arbitrary size — the
     serving path when queries arrive as a table, not a handful of
@@ -770,9 +771,20 @@ def lsh_ann_topk_probe_table(
     with ``n_tables``. The suite entry sizes n_planes from the corpus
     row count (``lsh_planes_for``, parquet-footer stat) and pins the
     resulting plane LITERALS per sf, so the oracle replays exactly at
-    every scale."""
+    every scale.
+
+    ``prune_to_probed``: when the probe side is BOUNDED by construction
+    (a recall-audit panel, a held-out eval set), set True — the corpus
+    bucket stream is pre-filtered map-side by a broadcast semi join on
+    the probed (tbl, bucket) keys, so corpus rows in never-probed
+    buckets don't ride the cogroup shuffle at all. At a fixed probe
+    panel that turns the scan's shuffle volume from corpus-sized into
+    probed-neighborhood-sized. Leave False when probes cover the key
+    space (a table-sized probe side) — the semi join would only add
+    work."""
     scored = _lsh_scored_pairs(
-        corpus, queries, id_col, vec_col, n_tables, n_planes, dim
+        corpus, queries, id_col, vec_col, n_tables, n_planes, dim,
+        prune_to_probed=prune_to_probed,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return (
@@ -851,6 +863,7 @@ def _lsh_score_buckets(
     n_tables: int,
     n_planes: int,
     dim: int,
+    prune_to_probed: bool = False,
 ) -> DataFrame:
     """Probe stage over pre-built index ``buckets`` (tbl, bucket,
     cand_id, _vec — from ``lsh_build_buckets`` or a stored index
@@ -859,12 +872,27 @@ def _lsh_score_buckets(
     bucket's probes against its candidates via the cogroup kernel, and
     DISTINCT the multi-table collisions (quantized scores are identical
     across collisions, so the dedup is safe). Returns (query_id,
-    cand_id, cosine) — consumers add top-k or threshold semantics."""
+    cand_id, cosine) — consumers add top-k or threshold semantics.
+
+    ``prune_to_probed``: broadcast-semi-join the index stream on the
+    DISTINCT probed (tbl, bucket) keys before the cogroup exchange —
+    rows in never-probed buckets are dropped MAP-SIDE and never
+    shuffle. Only valid when the probe side is bounded by construction
+    (the broadcast is |probes| x n_tables keys at most); it cannot
+    change the result, because a bucket with no probe produces no
+    pairs. The probe assignment runs twice under the flag (once for
+    keys, once for the cogroup) — O(probes) Arrow work, the price of
+    keeping corpus-sized data off the wire."""
     from pyspark.sql import types as T
 
     probes = lsh_build_buckets(
         queries, id_col, vec_col, n_tables, n_planes, dim, out_id="query_id"
     )
+    if prune_to_probed:
+        probed_keys = probes.select("tbl", "bucket").distinct()
+        buckets = buckets.join(
+            F.broadcast(probed_keys), ["tbl", "bucket"], "left_semi"
+        )
     out_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[id_col].dataType),
@@ -889,13 +917,15 @@ def _lsh_scored_pairs(
     n_tables: int,
     n_planes: int,
     dim: int,
+    prune_to_probed: bool = False,
 ) -> DataFrame:
     """Shared probe-table pair stage: build the bucket index for the
     corpus (``lsh_build_buckets``) and score the probe table against it
     (``_lsh_score_buckets``)."""
     cands = lsh_build_buckets(corpus, id_col, vec_col, n_tables, n_planes, dim)
     return _lsh_score_buckets(
-        cands, queries, id_col, vec_col, n_tables, n_planes, dim
+        cands, queries, id_col, vec_col, n_tables, n_planes, dim,
+        prune_to_probed=prune_to_probed,
     )
 
 
@@ -992,9 +1022,15 @@ def semantic_decontaminate(
     aggregate. Nothing collects; the eval set rides as a DataFrame.
     Recall is the LSH recall — raise ``n_tables`` for a tighter sweep
     or run the exact ``cosine_topk`` on the (tiny) flagged closure.
-    Same ``n_planes`` scale lever as ``lsh_ann_topk_probe_table``."""
+    Same ``n_planes`` scale lever as ``lsh_ann_topk_probe_table``.
+
+    The eval set is BOUNDED by construction (a held-out benchmark), so
+    the index stream is pruned to the probed buckets map-side
+    (``prune_to_probed``) — corpus rows nowhere near an eval example
+    never ride the cogroup shuffle."""
     scored = _lsh_scored_pairs(
-        corpus, eval_set, id_col, vec_col, n_tables, n_planes, dim
+        corpus, eval_set, id_col, vec_col, n_tables, n_planes, dim,
+        prune_to_probed=True,
     )
     return (
         scored.filter(F.col("cosine") >= threshold)
@@ -1615,14 +1651,18 @@ def ann_recall_audit(
 
     Shape: the exact side broadcasts the (constant-size) probe panel
     over one corpus stream + a WindowGroupLimit top-k; the approximate
-    side is the shared LSH probe-table stage; the comparison is a
-    semi join at top-k volume. Keep the panel fixed-size (it rides a
-    broadcast nested-loop by design); the corpus side scales freely."""
+    side is the shared LSH probe-table stage with the index stream
+    pruned to the panel's probed buckets (``prune_to_probed`` — the
+    panel is constant-size, so the probed-keys broadcast is bounded);
+    the comparison is a semi join at top-k volume. Keep the panel
+    fixed-size (it rides a broadcast nested-loop by design); the
+    corpus side scales freely."""
     exact = cosine_topk(corpus, probes, id_col, vec_col, k).select(
         "query_id", "cand_id"
     )
     approx = lsh_ann_topk_probe_table(
-        corpus, probes, id_col, vec_col, k, n_tables, n_planes, dim
+        corpus, probes, id_col, vec_col, k, n_tables, n_planes, dim,
+        prune_to_probed=True,
     ).select("query_id", "cand_id")
     hits = exact.join(approx, ["query_id", "cand_id"], "left_semi")
     n_exact = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))

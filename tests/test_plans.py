@@ -410,3 +410,19 @@ def test_gram_verify_joins_never_broadcast_corpus_grams(spark):
         ):
             assert not ("corpus_id" in be and "gram" in be), (name, be)
             assert not ("id_b" in be and "gram" in be), (name, be)
+
+
+def test_bounded_probe_lsh_prunes_index_to_probed_buckets(spark):
+    """When the probe side is bounded by construction (decontaminate's
+    eval set, the recall-audit panel), the corpus bucket stream must be
+    pre-filtered by a broadcast LEFT SEMI on the probed (tbl, bucket)
+    keys BEFORE the cogroup exchange — rows in never-probed buckets are
+    dropped map-side instead of riding a corpus-sized shuffle. The
+    table-sized probe path (x_ann_lsh_probe_table) must NOT pay the
+    semi join: its probes cover the key space."""
+    for name in ("x_semantic_decontaminate", "x_ann_recall_audit"):
+        p = plan_of(spark, name)
+        assert "BroadcastHashJoin LeftSemi" in p, name
+        assert "Left keys [2]: [tbl" in p, name
+    p = plan_of(spark, "x_ann_lsh_probe_table")
+    assert "LeftSemi" not in p
