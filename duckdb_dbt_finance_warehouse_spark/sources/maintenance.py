@@ -34,17 +34,48 @@ def compact_table(
     table: str,
     target_files: int = 1,
     sort_within: list[str] | None = None,
+    drop_partitions: list[str] | None = None,
 ) -> int:
     """Rewrite ``schema.table`` with ``target_files`` files per
     partition (partitioning layout is preserved), optionally sorting
     rows within each output file by ``sort_within`` for row-group
     pruning. Returns the new data-file count. Metadata-only readers are
-    unaffected: the path and schema do not change."""
+    unaffected: the path and schema do not change.
+
+    ``drop_partitions`` folds away BOOKKEEPING partition columns that
+    accreted during appends — the ``_epoch`` partition the streaming
+    appenders (``streaming.pipeline.stream_ann_index_append``,
+    ``stream_append_to_warehouse``) add for exactly-once replay:
+    compacting with drop_partitions=["_epoch"] collapses every epoch
+    into the remaining layout (e.g. centroid_id stays the pruning key).
+    Epoch idempotence is only needed until the stream checkpoint makes
+    an epoch durable; after compaction a restart starts FRESH epochs
+    against the compacted base, so the replay guarantee is preserved."""
     path = wh.path(schema, table)
-    part_cols = sorted(
-        {d.split("=")[0] for d in os.listdir(path) if "=" in d and os.path.isdir(os.path.join(path, d))}
-    )
+    # walk the Hive layout DEPTH-wise: nested partition columns
+    # (_epoch=…/centroid_id=…) appear one per directory level, in order
+    part_cols: list[str] = []
+    level = path
+    while True:
+        dirs = [
+            d
+            for d in os.listdir(level)
+            if "=" in d and os.path.isdir(os.path.join(level, d))
+        ]
+        if not dirs:
+            break
+        part_cols.append(dirs[0].split("=")[0])
+        level = os.path.join(level, dirs[0])
     df = wh.read(schema, table)
+    if drop_partitions:
+        missing = [c for c in drop_partitions if c not in part_cols]
+        if missing:
+            raise ValueError(
+                f"drop_partitions {missing} are not partition columns of "
+                f"{schema}.{table} (found: {part_cols})"
+            )
+        df = df.drop(*drop_partitions)
+        part_cols = [c for c in part_cols if c not in drop_partitions]
     if part_cols:
         # one shuffle keyed by partition value (+ a deterministic row
         # salt when >1 file per partition is wanted)

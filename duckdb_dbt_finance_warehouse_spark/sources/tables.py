@@ -236,7 +236,10 @@ class Warehouse:
         crash-safe staged swap (``write_staged``), so a failure mid-
         compaction leaves the original table intact. Returns the file
         count written. Round-robin repartition gives equal-size outputs;
-        on a cluster each output file is one task's single sorted write."""
+        on a cluster each output file is one task's single sorted write.
+        For PARTITIONED tables use ``sources.maintenance.compact_table``
+        — it preserves the partition layout (and can fold away
+        bookkeeping partitions like the streaming appenders' _epoch)."""
         df = self.read(schema, table)
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))

@@ -164,3 +164,57 @@ def test_compact_table_unpartitioned_and_partitioned(spark, tmp_path):
     assert sorted(tuple(r) for r in after_p.collect()) == before_p
     # partition pruning still works on the compacted layout
     assert after_p.filter("bucket_key = '1'").count() == 2500
+
+
+def test_compact_table_drops_epoch_bookkeeping_partitions(spark, tmp_path):
+    """Closing the incremental-index lifecycle: an ANN index that
+    accreted per-epoch partitions from the streaming appender compacts
+    with drop_partitions=["_epoch"] into a centroid_id-only layout —
+    epoch dirs gone, centroid pruning intact, and probe results over
+    the compacted index bit-identical to before (and to a full
+    rebuild). Dropping a non-partition column must refuse."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.operators import similarity
+    from duckdb_dbt_finance_warehouse_spark.sources.maintenance import compact_table
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import (
+        Warehouse,
+        load_testdata,
+    )
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    model = similarity._ivf_model(emb, "vec_id", "embedding", 16, None, "test_compact")
+    wh = Warehouse(spark, str(tmp_path))
+    # simulate base + two streamed epochs
+    for epoch, m in ((-1, 0), (0, 1), (1, 2)):
+        batch = emb.filter(F.col("vec_id") % 3 == m)
+        wh.write(
+            similarity.ivf_build_lists(batch, model).withColumn(
+                "_epoch", F.lit(epoch)
+            ),
+            "index", "ivf", mode="append", partition_by=["_epoch", "centroid_id"],
+        )
+    def serve():
+        lists = wh.read("index", "ivf").select("centroid_id", "cand_id", "_vec")
+        return sorted(
+            map(
+                tuple,
+                similarity.ivf_probe_lists_topk(
+                    lists, probes, model, k=5, n_probes=2
+                ).collect(),
+            )
+        )
+
+    before = serve()
+    with pytest.raises(ValueError, match="not partition columns"):
+        compact_table(wh, "index", "ivf", drop_partitions=["cand_id"])
+    compact_table(wh, "index", "ivf", target_files=1, drop_partitions=["_epoch"])
+    top = os.listdir(wh.path("index", "ivf"))
+    assert not any(d.startswith("_epoch=") for d in top)
+    assert any(d.startswith("centroid_id=") for d in top)
+    assert "_epoch" not in wh.read("index", "ivf").columns
+    assert serve() == before and len(before) > 0

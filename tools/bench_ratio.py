@@ -19,11 +19,19 @@ import json
 
 
 def _load(path: str) -> dict:
+    best = None
     with open(path) as f:
         for line in f:
             line = line.strip()
             if line.startswith("{"):
-                return json.loads(line)
+                d = json.loads(line)
+                # bench.py emits a compact headline line WITHOUT the
+                # per-query map alongside the full one — prefer the full
+                if d.get("queries"):
+                    return d
+                best = best or d
+    if best is not None:
+        return best
     raise SystemExit(f"{path}: no JSON line found")
 
 
