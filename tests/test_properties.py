@@ -440,3 +440,59 @@ def test_rfm_segments_invariants(spark, events):
         if p:
             want_mq[u] = want_mq.get(u, 0) + cents
     assert sum(r["monetary_q"] for r in out) == sum(want_mq.values())
+
+
+@given(
+    vals=st.lists(
+        st.lists(st.integers(-4, 4), min_size=4, max_size=4),
+        min_size=6,
+        max_size=24,
+    ),
+    mod=st.integers(2, 4),
+)
+@settings(
+    max_examples=6,  # two full ANN serving pipelines per example
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_index_invariant_under_batching(spark, vals, mod):
+    """The round-7 index-lifecycle invariant as a law: HOWEVER the
+    corpus is split into (base, appended batch), frozen-model IVF and
+    frozen-plane LSH serving over the merged index must equal the
+    full-rebuild serving — batch boundaries cannot change assignment,
+    so they cannot change any probe's top-k."""
+    from duckdb_dbt_finance_warehouse_spark.operators import similarity
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import release_persisted
+
+    rows = [
+        # first component >=1 so no vector has zero norm
+        (i, [float(abs(v[0]) + 1)] + [float(x) for x in v[1:]])
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = df.filter(F.col("vec_id") % mod != 0)
+    batch = df.filter(F.col("vec_id") % mod == 0)
+    if base.limit(1).count() == 0:
+        return
+    probes = df
+
+    model = similarity._ivf_model(df, "vec_id", "embedding", 4, None, "prop")
+    inc = similarity.ivf_incremental_topk(
+        base, batch, probes, k=3, n_centroids_mod=4, n_probes=2, model=model
+    )
+    got = sorted(map(tuple, inc.collect()))
+    release_persisted()
+    full = similarity.ivf_ann_topk_probe_table(
+        df, probes, k=3, n_centroids_mod=4, n_probes=2, model=model
+    )
+    assert got == sorted(map(tuple, full.collect()))
+
+    inc_l = similarity.lsh_incremental_topk(
+        base, batch, probes, k=3, n_tables=2, n_planes=2, dim=4
+    )
+    got_l = sorted(map(tuple, inc_l.collect()))
+    release_persisted()
+    full_l = similarity.lsh_ann_topk_probe_table(
+        df, probes, k=3, n_tables=2, n_planes=2, dim=4
+    )
+    assert got_l == sorted(map(tuple, full_l.collect()))
