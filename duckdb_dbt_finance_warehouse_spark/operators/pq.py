@@ -1,0 +1,282 @@
+"""Product quantization (PQ) — compressed-domain ANN serving.
+
+At 100 TB the raw embedding table is the cost: a 64-dim float array is
+256+ bytes/row, and every ANN scan (brute force, IVF list scoring,
+recall audits) pays to move it. PQ stores each vector as M small CODE
+IDS instead — split the vector into M subvectors, quantize each against
+a per-subspace codebook, keep only the code ids (M bytes at K<=256).
+Serving runs ASYMMETRIC DISTANCE COMPUTATION (ADC): per query, build a
+(M x K) lookup table of exact subspace distances once, then every
+corpus row's approximate distance is M table lookups — a narrow scan
+over the 30-60x smaller codes table, no vector math per row. This is
+the FAISS IVF-PQ serving shape (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011), re-expressed as DataFrame +
+Arrow stages.
+
+Determinism contract (same stack as operators/similarity and
+operators/kmeans, so the DuckDB oracle replays everything bit-for-bit):
+- components quantized to the 2^-18 grid (``_np_quant``) — every
+  subspace squared distance is an exact integer (|x| <= ~30 keeps the
+  M-subspace ADC sum far below 2^53);
+- codebooks are stride-seeded (``vec_id % seed_mod == 0``), cid-sorted,
+  code id = rank in that order — the IVF seeding convention; swap in
+  per-subspace ``kmeans.kmeans_fit`` codebooks at deployment for a
+  FIXED K (the seeded K grows with the corpus and carries the same
+  MAX_SEED_COLLECT cap);
+- encode ties go to the LOWEST code id (np.argmin first occurrence ==
+  SQL ``min(code) WHERE d2 = min_d2``);
+- ADC ranks ascending by exact-integer distance, ties to the lowest
+  cand_id.
+
+Scale shape: ``pq_encode`` is one narrow Arrow pass (broadcast
+codebooks, int64 BLAS), no shuffle — the codes frame IS the stored
+index (append new batches under the frozen codebooks exactly like
+``similarity.ivf_build_lists``; frozen codebooks make append ==
+rebuild). ``pq_adc_topk`` broadcasts the (bounded) probe panel's LUT,
+streams the codes table once, and pays one query-keyed window for the
+top-k — the same envelope as the exact ``cosine_topk`` but over codes
+instead of vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import similarity
+from .similarity import QUANT_SCALE, _np_quant
+
+
+def pq_seed_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    seed_mod: int = 32,
+):
+    """Stride-seeded PQ model: (code_vids, Cq) where Cq is the (K x dim)
+    QUANT_SCALE-quantized seed matrix, cid-sorted — code id m for
+    subspace s is row m's s-th subvector. K = corpus/seed_mod rows on
+    the driver (the model, not the data) — capped like every seeding
+    collect; train per-subspace k-means for a fixed K in production."""
+    import numpy as np
+
+    cids, Cq = similarity._seed_centroids(
+        corpus, id_col, vec_col, seed_mod, "pq_seed_codebooks"
+    )
+    Cq = np.asarray(Cq, dtype=np.float64)
+    if Cq.shape[1] % n_subspaces != 0:
+        raise ValueError(
+            f"pq: dim {Cq.shape[1]} not divisible into {n_subspaces} subspaces"
+        )
+    return np.asarray(cids, dtype=np.int64), Cq
+
+
+def pq_encode(
+    corpus: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest-code ids under
+    the FROZEN ``model`` (code_vids, Cq): one narrow Arrow pass,
+    broadcast codebooks, exact-integer squared distances, ties to the
+    lowest code id. Output (cand_id, codes array<int> length M) — the
+    stored PQ index; 30-60x smaller than the vector table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _cids, Cq = model
+    bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(Cq, np.float64))
+    out_schema = T.StructType(
+        [
+            T.StructField("cand_id", corpus.schema[id_col].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        C = bc.value
+        K, dim = C.shape
+        dsub = dim // n_subspaces
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_quant(np.stack(pdf["_vec"].to_numpy()).astype(np.float64))
+            n = len(pdf)
+            codes = np.empty((n, n_subspaces), dtype=np.int32)
+            for m in range(n_subspaces):
+                Vm = V[:, m * dsub : (m + 1) * dsub]
+                Cm = C[:, m * dsub : (m + 1) * dsub]
+                d2 = (
+                    (Vm * Vm).sum(axis=1)[:, None]
+                    - 2.0 * (Vm @ Cm.T)
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)  # tie -> lowest code id
+            yield pd.DataFrame(
+                {"cand_id": pdf["_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(encode, out_schema)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """ADC serving over a pre-built (possibly stored) ``codes`` table:
+    collect the bounded probe panel (capped — a table-sized query side
+    belongs on the IVF/LSH cogroup paths), build each query's exact
+    (M x K) subspace-distance LUT driver-side, broadcast the LUTs, and
+    stream the codes once — each row costs M integer lookups. One
+    query-keyed window ranks ascending by the exact-integer approximate
+    distance (ties to lowest cand_id). Output (query_id, cand_id,
+    adist, rank)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = similarity._collect_queries(
+        queries, id_col, vec_col, "pq_adc_topk", "ivf_ann_topk_probe_table"
+    )
+    _cids, Cq = model
+    C = np.asarray(Cq, np.float64)
+    K, dim = C.shape
+    dsub = dim // n_subspaces
+    qids = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    Q = _np_quant(np.array([r["q_vec"] for r in rows], dtype=np.float64))
+    luts = np.empty((n_subspaces, len(qids), K), dtype=np.float64)
+    for m in range(n_subspaces):
+        Qm = Q[:, m * dsub : (m + 1) * dsub]
+        Cm = C[:, m * dsub : (m + 1) * dsub]
+        luts[m] = (
+            (Qm * Qm).sum(axis=1)[:, None]
+            - 2.0 * (Qm @ Cm.T)
+            + (Cm * Cm).sum(axis=1)[None, :]
+        )
+    bc = codes.sparkSession.sparkContext.broadcast((qids, luts))
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("cand_id", codes.schema["cand_id"].dataType),
+            T.StructField("adist", T.LongType()),
+        ]
+    )
+
+    def score(batches):
+        qids_, luts_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n = len(pdf)
+            S = np.zeros((len(qids_), n), dtype=np.float64)
+            for m in range(n_subspaces):
+                S += luts_[m][:, Cd[:, m]]
+            cand = pdf["cand_id"].to_numpy()
+            qi, ci = np.meshgrid(
+                np.arange(len(qids_)), np.arange(n), indexing="ij"
+            )
+            qi, ci = qi.ravel(), ci.ravel()
+            keep = qids_[qi] != cand[ci]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_[qi[keep]],
+                    "cand_id": cand[ci[keep]],
+                    "adist": S[qi[keep], ci[keep]].astype(np.int64),
+                }
+            )
+
+    scored = codes.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 4,
+    seed_mod: int = 32,
+    model=None,
+) -> DataFrame:
+    """End-to-end PQ ANN: seed (or take) the codebook model, encode the
+    corpus, ADC-rank the probe panel. ``model=None`` uses the stride
+    seeding; pass per-subspace-trained codebooks in production."""
+    if model is None:
+        model = pq_seed_codebooks(corpus, id_col, vec_col, n_subspaces, seed_mod)
+    codes = pq_encode(corpus, model, id_col, vec_col, n_subspaces)
+    return pq_adc_topk(
+        codes, queries, model, id_col, vec_col, k, n_subspaces
+    )
+
+
+def pq_oracle_sql(
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    panel_pred: str = "vid < 16",
+    k: int = 5,
+    n_subspaces: int = 4,
+    seed_mod: int = 32,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL replaying seed -> encode -> ADC -> top-k bit-for-bit:
+    same quantized grid, same exact-integer squared distances, same
+    tie-breaks (lowest code id on encode, lowest cand_id on rank)."""
+    qs = f"{int(QUANT_SCALE)}.0"
+    dsub = dim // n_subspaces
+    return f"""
+    WITH q AS (
+      SELECT {id_col} AS vid, CAST(i AS INT) AS dim,
+             round(CAST({vec_col}[CAST(i AS INT) + 1] AS DOUBLE) * {qs}) AS qv
+      FROM {src}, unnest(generate_series(0, {dim - 1})) AS u(i)),
+    sub AS (SELECT vid, dim // {dsub} AS m, dim % {dsub} AS d, qv FROM q),
+    cb AS (
+      SELECT dense_rank() OVER (ORDER BY vid) - 1 AS code, m, d, qv AS qc
+      FROM sub WHERE vid % {seed_mod} = 0),
+    enc_d AS (
+      SELECT s.vid, s.m, c.code,
+             sum((s.qv - c.qc) * (s.qv - c.qc)) AS d2
+      FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
+      GROUP BY 1, 2, 3),
+    enc AS (
+      SELECT vid, m, min(code) AS code
+      FROM (SELECT vid, m, code, d2,
+                   min(d2) OVER (PARTITION BY vid, m) AS mn
+            FROM enc_d)
+      WHERE d2 = mn GROUP BY 1, 2),
+    lut AS (
+      SELECT s.vid AS qid, s.m, c.code,
+             sum((s.qv - c.qc) * (s.qv - c.qc)) AS d2
+      FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
+      WHERE s.{panel_pred}
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT l.qid AS query_id, e.vid AS cand_id,
+             CAST(sum(l.d2) AS BIGINT) AS adist
+      FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+      WHERE e.vid != l.qid GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist ASC, cand_id) AS INT) AS rank
+      FROM adc)
+    SELECT query_id, cand_id, adist, rank FROM ranked WHERE rank <= {k}
+    """

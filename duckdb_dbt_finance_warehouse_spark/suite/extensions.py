@@ -27,6 +27,7 @@ from ..operators import (
     multimodal,
     packing,
     pca,
+    pq,
     sampling,
     sessionize,
     similarity,
@@ -841,6 +842,25 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk_probe_table(
         emb, emb.filter(F.col("vec_id") % 2 == 0), k=5,
         n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
+    )
+
+
+@query("x_ann_pq_topk", oracle=pq.pq_oracle_sql(panel_pred="vid < 16"))
+def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZED ANN (operators/pq): the corpus is stored as
+    per-subspace code ids (4 subspaces over the 64-dim embeddings,
+    stride-seeded codebooks) and a fixed 16-probe panel is served by
+    asymmetric distance computation — per query one exact (M x K)
+    subspace-distance LUT, then every corpus row costs 4 integer
+    lookups over the 30-60x smaller codes table. Encode is one narrow
+    Arrow pass (broadcast codebooks); serving pays one query-keyed
+    top-k window. All arithmetic exact-integer on the QUANT_SCALE grid,
+    ties lowest-code/lowest-cand — the oracle replays seed -> encode ->
+    ADC -> top-k bit-for-bit."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return pq.pq_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 16),
+        k=5, n_subspaces=4, seed_mod=32,
     )
 
 

@@ -2722,3 +2722,41 @@ def test_ab_conversion_degenerate_and_mixed_guard(spark):
         assert False, "expected 3-variant raise"
     except Exception as e:
         assert "exactly two variant values" in str(e)
+
+
+def test_pq_encode_and_adc_invariants(spark):
+    """PQ invariants: a SEED vector encodes to its own code in every
+    subspace (exact zero subspace distance to itself); an exact
+    duplicate of a corpus vector gets ADC distance 0 and rank 1 when
+    probed; codes are M ints in [0, K)."""
+    import numpy as np
+
+    from duckdb_dbt_finance_warehouse_spark.operators import pq
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    model = pq.pq_seed_codebooks(emb, n_subspaces=4, seed_mod=32)
+    cids, Cq = model
+    K = len(cids)
+    codes = pq.pq_encode(emb, model, n_subspaces=4)
+    rows = {r["cand_id"]: r["codes"] for r in codes.collect()}
+    assert all(len(c) == 4 and all(0 <= x < K for x in c) for c in rows.values())
+    # every seed's nearest code in every subspace is itself (d2 = 0)
+    rank_of = {int(v): i for i, v in enumerate(cids)}
+    for vid, idx in rank_of.items():
+        assert rows[vid] == [idx] * 4, (vid, rows[vid])
+
+    # ADC is CODE-based: a duplicate of a SEED vector encodes to the
+    # seed's own code in every subspace, and the seed-query's LUT entry
+    # for its own code is exactly 0 — so the twin surfaces at adist 0.
+    # (A twin of a NON-seed vector lands at the quantization residual,
+    # not 0 — that asymmetry is the 'A' in ADC.)
+    seed_q = emb.filter(F.col("vec_id") == 0)  # 0 % 32 == 0 -> a seed
+    twin = seed_q.withColumn("vec_id", F.lit(1_000_000).cast("long"))
+    out = pq.pq_ann_topk(
+        emb.unionByName(twin), seed_q, k=5, n_subspaces=4, seed_mod=32
+    ).collect()
+    hits = {r["cand_id"]: r["adist"] for r in out}
+    assert hits[1_000_000] == 0
+    # ranks follow (adist asc, cand_id asc) exactly
+    assert [r["rank"] for r in sorted(out, key=lambda r: (r["adist"], r["cand_id"]))] == [1, 2, 3, 4, 5]
