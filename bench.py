@@ -76,6 +76,7 @@ HEADLINE = [
     "x_ann_lsh_probe_table",      # LSH serving: cogrouped table probes
     "x_ann_lsh_incremental",      # frozen-plane batch append + merged probe
     "x_ann_pq_topk",              # product-quantized ADC serving
+    "x_ann_ivf_pq_topk",          # IVF-pruned ADC over code lists
     "x_dedup_incremental",        # batch-vs-index incremental near-dup
     "x_pack_sequences",           # concat-and-chunk sequence packing
     "x_leakage_safe_split",       # cluster-coherent train/val split

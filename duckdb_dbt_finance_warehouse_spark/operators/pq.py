@@ -228,6 +228,216 @@ def pq_ann_topk(
     )
 
 
+def ivf_pq_build(
+    corpus: DataFrame,
+    ivf_model,
+    pq_model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """IVF-PQ INDEX BUILD — the full FAISS serving stack's stored form:
+    ONE narrow Arrow pass assigns each vector to its nearest coarse
+    centroid (same argmax-cosine/lowest-cid contract as
+    ``similarity.ivf_build_lists``) AND product-quantizes it, emitting
+    (centroid_id, cand_id, codes). The inverted lists carry CODE IDS
+    instead of raw vectors — 30-60x smaller, which is what makes the
+    list scan affordable at 100 TB. Both models are frozen, so batch
+    append == full rebuild, same as every index here."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cids, Cq, cnorms = ivf_model if len(ivf_model) == 3 else (*ivf_model, None)
+    if cnorms is None:
+        cnorms = np.sqrt((Cq * Cq).sum(axis=1))
+    _pq_ids, PQC = pq_model
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (cids, Cq, cnorms, np.asarray(PQC, np.float64))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("cand_id", corpus.schema[id_col].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def build(batches):
+        cids_, Cq_, cn_, PQC_ = bc.value
+        K, dim = PQC_.shape
+        dsub = dim // n_subspaces
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_quant(np.stack(pdf["_vec"].to_numpy()).astype(np.float64))
+            vn = np.sqrt((V * V).sum(axis=1))
+            cos = (V @ Cq_.T) / (vn[:, None] * cn_[None, :])
+            n = len(pdf)
+            codes = np.empty((n, n_subspaces), dtype=np.int32)
+            for m in range(n_subspaces):
+                Vm = V[:, m * dsub : (m + 1) * dsub]
+                Cm = PQC_[:, m * dsub : (m + 1) * dsub]
+                d2 = (
+                    (Vm * Vm).sum(axis=1)[:, None]
+                    - 2.0 * (Vm @ Cm.T)
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": cids_[np.argmax(cos, axis=1)],
+                    "cand_id": pdf["_id"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(build, out_schema)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids_mod: int = 32,
+    n_probes: int = 2,
+    n_subspaces: int = 4,
+    seed_mod: int = 32,
+    ivf_model=None,
+    pq_model=None,
+) -> DataFrame:
+    """IVF-PQ serving with an UNBOUNDED probe table — coarse pruning to
+    ``n_probes`` inverted lists per query, then ADC scoring of each
+    list's CODES against exactly the probes that probe it, via one
+    (centroid_id) cogroup. Unlike ``pq_adc_topk`` (bounded panel +
+    broadcast LUTs) nothing data-sized touches the driver: probe
+    vectors ride the cogroup shuffle and each kernel call builds its
+    probes' LUTs locally against the broadcast codebook (K x dim ints).
+    Shuffle volume is |codes| + n_probes x |queries| — with codes 30-60x
+    narrower than vectors, this is the cheapest serving exchange in the
+    family. Ranks ascend by exact-integer approximate distance, ties to
+    the lowest cand_id; the oracle replays both quantizers end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ivf3 = similarity._ivf_model(
+        corpus, id_col, vec_col, n_centroids_mod, ivf_model, "ivf_pq_topk"
+    )
+    if pq_model is None:
+        if ivf_model is None and seed_mod == n_centroids_mod:
+            # both untrained models seed from the SAME stride rows —
+            # reuse the ivf collect instead of scanning the seeds twice
+            if ivf3[1].shape[1] % n_subspaces != 0:
+                raise ValueError(
+                    f"pq: dim {ivf3[1].shape[1]} not divisible into "
+                    f"{n_subspaces} subspaces"
+                )
+            pq_model = (ivf3[0], ivf3[1])
+        else:
+            pq_model = pq_seed_codebooks(
+                corpus, id_col, vec_col, n_subspaces, seed_mod
+            )
+    lists = ivf_pq_build(corpus, ivf3, pq_model, id_col, vec_col, n_subspaces)
+
+    cids, Cq, cnorms = ivf3
+    _pq_ids, PQC = pq_model
+    n_probes_eff = min(n_probes, len(cids))
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (cids, Cq, cnorms, np.asarray(PQC, np.float64))
+    )
+    probe_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("_vec", queries.schema[vec_col].dataType),
+        ]
+    )
+
+    def assign_probes(batches):
+        cids_, Cq_, cn_, _ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Qq = _np_quant(np.stack(pdf["_vec"].to_numpy()).astype(np.float64))
+            qn = np.sqrt((Qq * Qq).sum(axis=1))
+            cos = (Qq @ Cq_.T) / (qn[:, None] * cn_[None, :])
+            # stable sort on -cos keeps cid-ascending order among ties
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probes_eff]
+            n = len(pdf)
+            idx = np.repeat(np.arange(n), n_probes_eff)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": cids_[order.ravel()],
+                    "query_id": pdf["query_id"].to_numpy()[idx],
+                    "_vec": pdf["_vec"].to_numpy()[idx],
+                }
+            )
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(assign_probes, probe_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("cand_id", corpus.schema[id_col].dataType),
+            T.StructField("adist", T.LongType()),
+        ]
+    )
+
+    def score(cands: "pd.DataFrame", prbs: "pd.DataFrame") -> "pd.DataFrame":
+        if len(cands) == 0 or len(prbs) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "cand_id": [], "adist": []}
+            ).astype({"adist": "int64"})
+        _, _, _, PQC_ = bc.value
+        K, dim = PQC_.shape
+        dsub = dim // n_subspaces
+        Q = _np_quant(np.stack(prbs["_vec"].to_numpy()).astype(np.float64))
+        Cd = np.stack(cands["codes"].to_numpy()).astype(np.int64)
+        S = np.zeros((len(prbs), len(cands)), dtype=np.float64)
+        for m in range(n_subspaces):
+            Qm = Q[:, m * dsub : (m + 1) * dsub]
+            Cm = PQC_[:, m * dsub : (m + 1) * dsub]
+            lut = (
+                (Qm * Qm).sum(axis=1)[:, None]
+                - 2.0 * (Qm @ Cm.T)
+                + (Cm * Cm).sum(axis=1)[None, :]
+            )
+            S += lut[:, Cd[:, m]]
+        qids = prbs["query_id"].to_numpy()
+        cand = cands["cand_id"].to_numpy()
+        qi, ci = np.meshgrid(
+            np.arange(len(qids)), np.arange(len(cand)), indexing="ij"
+        )
+        qi, ci = qi.ravel(), ci.ravel()
+        keep = qids[qi] != cand[ci]
+        return pd.DataFrame(
+            {
+                "query_id": qids[qi[keep]],
+                "cand_id": cand[ci[keep]],
+                "adist": S[qi[keep], ci[keep]].astype(np.int64),
+            }
+        )
+
+    scored = (
+        lists.groupBy("centroid_id")
+        .cogroup(probes.groupBy("centroid_id"))
+        .applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+    )
+
+
 def pq_oracle_sql(
     src: str = "embeddings",
     id_col: str = "vec_id",

@@ -64,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_ann_ivf_incremental",
     "x_ann_lsh_incremental",
     "x_ann_pq_topk",
+    "x_ann_ivf_pq_topk",
     "x_ann_lsh_bucketed",
     "x_embed_near_dup",
     "x_ann_recall_audit",
@@ -91,7 +92,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_pack_sequences",
     "x_snapshot_diff",
     "x_maintenance_compaction",
-    "x_sessionize",
 ]
 
 # r4-green entries whose re-green did not fit this window; they take
@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
 # first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
 # that already has a green driver row.
 DEFERRED_NEXT_ROUND: list[str] = [
+    "x_sessionize",
     "x_asof_nearest",
     "x_multimodal_bytestats",
     "x_text_langid",

@@ -845,6 +845,77 @@ def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_ann_ivf_pq_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 32 = 0),
+    assign AS (
+      SELECT v.vec_id AS cand_id, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {{cc_v}} DESC, c.centroid_id) AS crank
+      FROM embeddings v CROSS JOIN cents c),
+    lists AS (SELECT cand_id, centroid_id FROM assign WHERE crank = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, c.centroid_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {{cc_q}} DESC, c.centroid_id) AS crank
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 50 = 0),
+    qq AS (
+      SELECT vec_id AS vid, CAST(i AS INT) AS dim,
+             round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * {_QS}) AS qv
+      FROM embeddings, unnest(generate_series(0, 63)) AS u(i)),
+    sub AS (SELECT vid, dim // 16 AS m, dim % 16 AS d, qv FROM qq),
+    cb AS (
+      SELECT dense_rank() OVER (ORDER BY vid) - 1 AS code, m, d, qv AS qc
+      FROM sub WHERE vid % 32 = 0),
+    enc_d AS (
+      SELECT s.vid, s.m, c.code,
+             sum((s.qv - c.qc) * (s.qv - c.qc)) AS d2
+      FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
+      GROUP BY 1, 2, 3),
+    enc AS (
+      SELECT vid, m, min(code) AS code
+      FROM (SELECT vid, m, code, d2,
+                   min(d2) OVER (PARTITION BY vid, m) AS mn
+            FROM enc_d)
+      WHERE d2 = mn GROUP BY 1, 2),
+    adc AS (
+      SELECT p.query_id, l.cand_id, CAST(sum(ed.d2) AS BIGINT) AS adist
+      FROM (SELECT * FROM probes WHERE crank <= 2) p
+      JOIN lists l ON l.centroid_id = p.centroid_id
+                  AND l.cand_id != p.query_id
+      JOIN enc e ON e.vid = l.cand_id
+      JOIN enc_d ed ON ed.vid = p.query_id AND ed.m = e.m
+                   AND ed.code = e.code
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist ASC, cand_id) AS INT) AS rank
+      FROM adc)
+    SELECT query_id, cand_id, adist, rank FROM ranked WHERE rank <= 5
+    """.format(cc_v=_CENT_COS.format(a='v'), cc_q=_CENT_COS.format(a='q')),
+)
+def x_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving (operators/pq.ivf_pq_topk) — the full FAISS
+    stack: coarse quantizer prunes each probe to its 2 nearest inverted
+    lists; within a probed list, candidates are scored by ADC over
+    their PQ CODES (lists store code ids, 30-60x narrower than
+    vectors); probe side is TABLE-SIZED (vec_id % 50) and rides one
+    centroid_id cogroup — no driver collect of probes, LUTs built
+    per-group against the broadcast codebook. Exact-integer distances,
+    lowest-code/lowest-cand ties; the oracle replays coarse assignment,
+    encode, probe fan-out, ADC, and top-k bit-for-bit. Note the probe
+    LUT is enc_d reused: probes are corpus members here, so their
+    subspace-to-code distances are already materialized."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return pq.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k=5, n_centroids_mod=32, n_probes=2, n_subspaces=4, seed_mod=32,
+    )
+
+
 @query("x_ann_pq_topk", oracle=pq.pq_oracle_sql(panel_pred="vid < 16"))
 def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZED ANN (operators/pq): the corpus is stored as

@@ -2760,3 +2760,23 @@ def test_pq_encode_and_adc_invariants(spark):
     assert hits[1_000_000] == 0
     # ranks follow (adist asc, cand_id asc) exactly
     assert [r["rank"] for r in sorted(out, key=lambda r: (r["adist"], r["cand_id"]))] == [1, 2, 3, 4, 5]
+
+
+def test_ivf_pq_with_all_lists_probed_equals_flat_adc(spark):
+    """Cross-validation of the two PQ serving paths: when every
+    inverted list is probed (n_probes >= K), IVF-PQ pruning keeps the
+    whole corpus, so its cogrouped per-list ADC must produce EXACTLY
+    the flat broadcast-LUT ADC ranking — same codes, same exact-integer
+    distances, same tie-breaks, different execution shapes."""
+    from duckdb_dbt_finance_warehouse_spark.operators import pq
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    panel = emb.filter(F.col("vec_id") < 16)
+    flat = pq.pq_ann_topk(emb, panel, k=5, n_subspaces=4, seed_mod=32)
+    ivfpq = pq.ivf_pq_topk(
+        emb, panel, k=5, n_centroids_mod=32, n_probes=10_000,
+        n_subspaces=4, seed_mod=32,
+    )
+    got = sorted(map(tuple, ivfpq.collect()))
+    assert got == sorted(map(tuple, flat.collect())) and got
