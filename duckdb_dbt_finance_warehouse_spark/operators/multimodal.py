@@ -130,3 +130,70 @@ def frame_sample(
         F.length(F.encode(slice_, "utf-8")).cast("bigint").alias("frame_n_bytes"),
         F.md5(slice_).alias("frame_md5"),
     )
+
+
+def resize_stub(
+    blobs: DataFrame,
+    id_col: str = "doc_id",
+    target_bytes: int = 32,
+) -> DataFrame:
+    """RESIZE plumbing (binary in -> binary out, metadata updated) with
+    the decode/re-encode STUBBED: the deterministic fake "resamples"
+    each payload to exactly ``target_bytes`` by strided byte selection
+    (downscale) or cyclic repetition (upscale) — the same batch shape,
+    schema contract, and narrow no-shuffle plan a real
+    PIL ``Image.resize`` + re-encode would use; swap the body of
+    ``_fake_resize`` at deployment, nothing else changes.
+
+    Output mirrors the input (id, payload, media_meta) with the new
+    byte length and a bumped version in the metadata struct — resized
+    payloads can re-enter every downstream blob operator
+    (``extract_features``, ``frame_sample``) unchanged. Payload bytes
+    never leave the scan task; at 100 TB this is a pure map stage whose
+    output is strictly smaller than its input when downscaling."""
+    import pandas as pd
+
+    if target_bytes < 1:
+        raise ValueError(f"resize_stub: target_bytes must be >= 1 (got {target_bytes})")
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        n = len(payload)
+        # strided nearest-neighbor byte sampling, exact target size
+        return bytes(payload[(i * n) // target_bytes] for i in range(target_bytes))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.IntegerType()),
+                        T.StructField("version", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            resized = [_fake_resize(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": resized,
+                    "media_meta": [
+                        {"mime": m["mime"], "n_bytes": len(r), "version": int(m["version"]) + 1}
+                        for m, r in zip(pdf["media_meta"], resized)
+                    ],
+                }
+            )
+
+    return blobs.select(
+        F.col(id_col).alias("doc_id"), "payload", "media_meta"
+    ).mapInPandas(run, out_schema)

@@ -2780,3 +2780,33 @@ def test_ivf_pq_with_all_lists_probed_equals_flat_adc(spark):
     )
     got = sorted(map(tuple, ivfpq.collect()))
     assert got == sorted(map(tuple, flat.collect())) and got
+
+
+def test_multimodal_resize_stub_plumbing(spark):
+    """Resize plumbing: every payload lands at exactly target_bytes
+    (empty stays empty), metadata n_bytes matches the new payload,
+    version bumps, and the resized frame round-trips through
+    extract_features (the downstream blob contract). Downscaling is a
+    strided byte selection — deterministic, so repeated runs agree."""
+    from duckdb_dbt_finance_warehouse_spark.operators import multimodal
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    docs = load_testdata(spark, SF, "documents")["documents"].limit(50)
+    import pytest
+
+    blobs = multimodal.synthesize_blobs(docs, "doc_id", "text")
+    resized = multimodal.resize_stub(blobs, target_bytes=16)
+    rows = resized.collect()
+    assert rows
+    for r in rows:
+        n = len(r["payload"]) if r["payload"] is not None else 0
+        assert n in (0, 16)
+        assert r["media_meta"]["n_bytes"] == n
+        assert r["media_meta"]["version"] == 2
+    feats = multimodal.extract_features(resized).collect()
+    assert {f["n_bytes"] for f in feats} <= {0, 16}
+    again = sorted(map(tuple, multimodal.resize_stub(blobs, target_bytes=16).collect()))
+    assert again == sorted(map(tuple, rows))
+
+    with pytest.raises(ValueError, match="target_bytes"):
+        multimodal.resize_stub(blobs, target_bytes=0)
