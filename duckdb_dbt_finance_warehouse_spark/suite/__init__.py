@@ -17,10 +17,11 @@ from . import extensions  # noqa: E402,F401
 # the 21 on the r6 deferred list had a green driver row, so r7's window
 # is (1) that declared drain list — its entries take the first slots
 # exactly as promised in r6 — then (2) every entry whose CODE CHANGED
-# this round (the new incremental-IVF and incremental-LSH entries; the four LSH entries
-# migrated from fixed 8x4 planes to corpus-sized lsh_planes_for planes
-# plus the two refactor-touched serving entries; the one-pass
-# floor-division RFM rewrite), then (3) the §2 flagships last green r4,
+# this round (the new incremental-IVF/LSH and PQ/IVF-PQ entries; the
+# four LSH entries migrated from fixed 8x4 planes to corpus-sized
+# lsh_planes_for planes plus the two refactor-touched serving entries;
+# the bounded-probe bucket prune on decontaminate/recall-audit; the
+# one-pass floor-division RFM rewrite), then (3) the §2 flagships last green r4,
 # now at the two-round re-green cadence (CLAUDE.md), then (4) the
 # oldest remaining r4-green entries, biased toward subsystems whose
 # shared code moved this round (similarity/dedup lifecycle, sketch,
