@@ -365,7 +365,9 @@ def triangle_stats_auto(
         )
     return triangle_sample_stats(e, k=k, salt=salt, _edges_prepared=True).select(
         F.lit(f"doulion_k{k}").alias("method"),
-        F.lit(n_edges).alias("n_edges"),
+        # cast: lit(int) infers IntegerType under 2^31, but the census
+        # route's count() is LongType — one schema across both routes
+        F.lit(n_edges).cast("long").alias("n_edges"),
         F.col("est_n_triangles").cast("long").alias("n_triangles_est"),
         F.lit(None).cast("double").alias("clustering_coeff"),
     )

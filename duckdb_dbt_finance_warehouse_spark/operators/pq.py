@@ -16,8 +16,11 @@ Arrow stages.
 Determinism contract (same stack as operators/similarity and
 operators/kmeans, so the DuckDB oracle replays everything bit-for-bit):
 - components quantized to the 2^-18 grid (``_np_quant``) — every
-  subspace squared distance is an exact integer (|x| <= ~30 keeps the
-  M-subspace ADC sum far below 2^53);
+  subspace squared distance is an exact integer; the full ADC sum is
+  bounded by dim·(2·|x|·2^18)², so it stays exact in float64 while
+  |x| <= ~15 at dim=64 (the embeddings here are |x| <= ~1 — ample
+  headroom; larger component ranges need a smaller QUANT_SCALE or an
+  int64 ADC accumulator);
 - codebooks are stride-seeded (``vec_id % seed_mod == 0``), cid-sorted,
   code id = rank in that order — the IVF seeding convention; swap in
   per-subspace ``kmeans.kmeans_fit`` codebooks at deployment for a
@@ -62,6 +65,12 @@ def pq_seed_codebooks(
     collect; train per-subspace k-means for a fixed K in production."""
     import numpy as np
 
+    id_kind = corpus.schema[id_col].dataType.typeName()
+    if id_kind not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"pq_seed_codebooks requires an integral {id_col!r} (codebooks "
+            f"are seeded by id % {seed_mod}); got {id_kind}"
+        )
     cids, Cq = similarity._seed_centroids(
         corpus, id_col, vec_col, seed_mod, "pq_seed_codebooks"
     )
@@ -147,9 +156,21 @@ def pq_adc_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
+    id_kind = queries.schema[id_col].dataType.typeName()
+    if id_kind not in ("byte", "short", "integer", "long"):
+        # same structural guard as similarity._ivf_model: the LUT/kernel
+        # paths carry ids as int64 numpy arrays
+        raise TypeError(
+            f"pq_adc_topk requires an integral {id_col!r}; got {id_kind}"
+        )
     rows = similarity._collect_queries(
         queries, id_col, vec_col, "pq_adc_topk", "ivf_ann_topk_probe_table"
     )
+    if not rows:
+        raise ValueError(
+            "pq_adc_topk: empty probe panel — nothing to serve (an empty "
+            "query frame is almost always an upstream filter bug)"
+        )
     _cids, Cq = model
     C = np.asarray(Cq, np.float64)
     K, dim = C.shape

@@ -375,10 +375,15 @@ def mad_outliers(
     from the exact interpolated percentile over those ints (k or
     k + 0.5 — so DOUBLING each yields an exact integer: med2 = 2·med,
     mad4 = 2·median(|2·x − med2|)); the flag is the integer
-    cross-multiplication 1349·dev2 > 1000·z_threshold·mad4 and the
-    reported z is one fixed IEEE expression over those exact ints —
-    bit-identical in the DuckDB oracle. MAD = 0 (a majority-constant
-    column) yields NULL z / no flag in both engines.
+    cross-multiplication 1349·dev2 > 1000·z_threshold·mad4; the
+    reported z is rounded to 6 decimals ENTIRELY in integers
+    (half-away-from-zero: z6 = sign·((2·|1349000·(2q−med2)| + mad4)
+    div (2·mad4)), |z6| < 2^53) and published as the single exact
+    division z6/10^6 — no engine-specific HALF_UP/banker's round()
+    anywhere, so Spark, the DuckDB oracle, and a Python brute force
+    agree bit-for-bit (the r7 pytest red was a 1-ulp round() tie).
+    MAD = 0 (a majority-constant column) yields NULL z / no flag in
+    both engines.
 
     Shape: two grid-bounded percentile aggregates (each a 1-row
     broadcast — the aggregate state is bounded by DISTINCT quantized
@@ -395,12 +400,12 @@ def mad_outliers(
     mad = dev.agg(
         F.round(F.expr("percentile(_dev2, 0.5)") * 2).cast("long").alias("_mad4")
     )
-    z = F.round(
-        F.lit(1.349)
-        * (2 * F.col("_vq") - F.col("_med2")).cast("double")
-        / F.col("_mad4").cast("double"),
-        6,
+    z6 = F.expr(
+        "(CASE WHEN 2 * _vq - _med2 < 0 THEN -1 ELSE 1 END)"
+        " * ((2 * abs(1349000 * (2 * _vq - _med2)) + _mad4)"
+        " div (2 * _mad4))"
     )
+    z = z6.cast("double") / F.lit(1000000.0)
     zt = int(round(z_threshold * 1000))
     return dev.crossJoin(F.broadcast(mad)).select(
         id_col,

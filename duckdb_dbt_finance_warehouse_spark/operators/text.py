@@ -771,7 +771,11 @@ def fertility_by_lang(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def inverted_index(
-    df: DataFrame, id_col: str, text_col: str, block_size: int = 1024
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_size: int = 1024,
+    postings_as_string: bool = False,
 ) -> DataFrame:
     """Materialize a BLOCK-PARTITIONED inverted index: for every term,
     the sorted posting list of documents containing it, split into
@@ -787,9 +791,14 @@ def inverted_index(
     aggregation; ``sort_array`` makes each array deterministic. The
     (term, block) key fans stopword postings across blocks, so the
     worst aggregation group is block_size rows — skew-capped by
-    construction."""
+    construction.
+
+    ``postings_as_string=True`` emits the posting list as a
+    comma-joined string instead of ``array<long>`` — a hashable scalar
+    for harnesses whose canonicalizers can't digest array columns
+    (identical information; real index consumers keep the array)."""
     toks = tokens(df, id_col, text_col).filter(F.col("tok") != "").distinct()
-    return (
+    out = (
         toks.withColumn("block", F.expr(f"{id_col} div {block_size}"))
         .groupBy("tok", "block")
         .agg(
@@ -798,6 +807,9 @@ def inverted_index(
         )
         .select("tok", "block", "n_docs", "postings")
     )
+    if postings_as_string:
+        out = out.withColumn("postings", F.array_join("postings", ","))
+    return out
 
 
 def lexical_drift(

@@ -51,22 +51,18 @@ def compact_table(
     Epoch idempotence is only needed until the stream checkpoint makes
     an epoch durable; after compaction a restart starts FRESH epochs
     against the compacted base, so the replay guarantee is preserved."""
-    path = wh.path(schema, table)
-    # walk the Hive layout DEPTH-wise: nested partition columns
-    # (_epoch=…/centroid_id=…) appear one per directory level, in order
-    part_cols: list[str] = []
-    level = path
-    while True:
-        dirs = [
-            d
-            for d in os.listdir(level)
-            if "=" in d and os.path.isdir(os.path.join(level, d))
-        ]
-        if not dirs:
-            break
-        part_cols.append(dirs[0].split("=")[0])
-        level = os.path.join(level, dirs[0])
     df = wh.read(schema, table)
+    # Partition columns = reader-inferred columns absent from the data
+    # files themselves (Spark appends them, in nesting order, after the
+    # file columns).  This uses Spark's OWN partition discovery — which
+    # already unions every directory chain — instead of descending one
+    # arbitrary os.listdir chain, where a shallow/partial partition dir
+    # would silently flatten the deeper levels on rewrite.
+    files = data_files(wh, schema, table)
+    part_cols: list[str] = []
+    if files:
+        file_cols = set(df.sparkSession.read.parquet(files[0]).columns)
+        part_cols = [c for c in df.columns if c not in file_cols]
     if drop_partitions:
         missing = [c for c in drop_partitions if c not in part_cols]
         if missing:

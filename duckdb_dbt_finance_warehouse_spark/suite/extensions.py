@@ -1958,8 +1958,10 @@ def x_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     md AS (SELECT CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4 FROM d)
     SELECT event_id, value,
            CASE WHEN mad4 > 0
-                THEN round(CAST(1.349 AS DOUBLE) * CAST(2 * vq - med2 AS DOUBLE)
-                           / CAST(mad4 AS DOUBLE), 6) END AS robust_z,
+                THEN CAST((CASE WHEN 2 * vq - med2 < 0 THEN -1 ELSE 1 END)
+                          * ((2 * abs(1349000 * (2 * vq - med2)) + mad4)
+                             // (2 * mad4)) AS DOUBLE) / 1000000.0
+           END AS robust_z,
            CASE WHEN mad4 > 0 THEN 1349 * dev2 > 3500 * mad4
                 ELSE FALSE END AS is_outlier
     FROM d, md
@@ -1980,15 +1982,80 @@ def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("x_multimodal_features", oracle=None)
+@query(
+    "x_multimodal_features",
+    # The synthesized payload is utf-8 of the (pure-ASCII) document
+    # text, so bytes == codepoints and DuckDB can replay the stub
+    # decoder's byte stats exactly: char-explode -> ord().  byte_mean is
+    # the single IEEE division exact-int-sum / exact-int-count in both
+    # engines.  The Spark side stays charset-agnostic (real bytes via
+    # Arrow); only the oracle leans on the corpus being ASCII.
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents),
+    agg AS (
+      SELECT doc_id, count(*) AS n, sum(ord(c)) AS s,
+             max(ord(c)) AS mx, count(DISTINCT c) AS dc
+      FROM ch GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+           CASE WHEN length(d.text) = 0 THEN 0.0
+                ELSE CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+           END AS byte_mean,
+           CAST(coalesce(a.mx, 0) AS INT) AS byte_max,
+           CAST(coalesce(a.dc, 0) AS INT) AS distinct_bytes
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct -> Arrow-batched mapInPandas
     feature extraction (operators/multimodal; decode step stubbed with
-    deterministic byte stats). Rows-only check — the Python decode can't
-    run inside DuckDB; the binary plumbing itself is oracle-verified by
-    x_multimodal_bytestats."""
+    deterministic byte stats).  First oracle-paired in r8: the stub's
+    byte stats ARE DuckDB-expressible over the synthesized ASCII
+    payloads, so the one formerly rows-only entry now value-checks."""
     blobs = multimodal.synthesize_blobs(_docs(spark, sf_dir), "doc_id", "text")
     return multimodal.extract_features(blobs, "doc_id")
+
+
+@query(
+    "x_multimodal_resize",
+    # The fake resize is strided nearest-neighbor byte selection —
+    # list/substring arithmetic DuckDB replays over the ASCII text
+    # (byte i of the resize = char at (i*n)//32 + 1).  md5 over the
+    # resized payload proves byte identity without shipping binary
+    # through the harness canonicalizer.
+    oracle="""
+    SELECT doc_id, 'blob/fake' AS mime,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE 32 END AS INT)
+             AS n_bytes,
+           CAST(2 AS INT) AS version,
+           CASE WHEN length(text) = 0 THEN md5('')
+                ELSE md5(array_to_string(list_transform(range(0, 32),
+                       i -> substring(text,
+                              CAST((i * length(text)) // 32 AS INT) + 1,
+                              1)), ''))
+           END AS payload_md5
+    FROM documents
+    """,
+)
+def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.resize_stub): binary in ->
+    binary out with metadata bumped, decode/re-encode stubbed as
+    deterministic strided byte sampling.  Judged projection emits the
+    resized payload's md5 + updated metadata scalars; the byte-level
+    fake is exactly replayed by the DuckDB oracle's substring
+    arithmetic, so the r7 pytest-only plumbing now has a value-checked
+    driver row."""
+    blobs = multimodal.synthesize_blobs(_docs(spark, sf_dir), "doc_id", "text")
+    resized = multimodal.resize_stub(blobs, "doc_id", target_bytes=32)
+    return resized.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.version").alias("version"),
+        F.md5("payload").alias("payload_md5"),
+    )
 
 
 @query(
@@ -3681,7 +3748,7 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM toks WHERE tok != '')
     SELECT tok, CAST(block AS BIGINT) AS block,
            CAST(count(*) AS BIGINT) AS n_docs,
-           list(doc_id ORDER BY doc_id) AS postings
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
     FROM b GROUP BY tok, block
     """,
 )
@@ -3689,8 +3756,17 @@ def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-partitioned inverted-index build
     (operators/text.inverted_index): sorted posting lists per (term,
     1024-doc block) — state capped at block_size entries per array, so
-    stopword-grade terms never concentrate in one task."""
-    return text.inverted_index(_docs(spark, sf_dir), "doc_id", "text", block_size=1024)
+    stopword-grade terms never concentrate in one task.  The judged
+    entry emits postings comma-joined (the driver canonicalizer can't
+    hash array columns — r7 red); the array form stays the operator
+    default."""
+    return text.inverted_index(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        block_size=1024,
+        postings_as_string=True,
+    )
 
 
 @query(

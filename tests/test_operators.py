@@ -1551,6 +1551,13 @@ def test_inverted_index_blocks_cap_posting_arrays(spark):
     assert common[2]["postings"] == [8, 9]
     rare = [r for r in out if r["tok"] == "rare"]
     assert len(rare) == 1 and rare[0]["postings"] == [7]
+    # the driver-facing scalar form: same information, comma-joined
+    s = inverted_index(
+        df, "doc_id", "text", block_size=4, postings_as_string=True
+    )
+    assert dict(s.dtypes)["postings"] == "string"
+    s0 = {(r["tok"], r["block"]): r["postings"] for r in s.collect()}
+    assert s0[("common", 0)] == "0,1,2,3" and s0[("rare", 1)] == "7"
 
 
 def test_hll_merge_equals_direct_estimate_of_union(spark):

@@ -334,7 +334,9 @@ def test_mad_outliers_match_bruteforce(spark, vals):
         if mad4 == 0:
             assert got[i]["robust_z"] is None and got[i]["is_outlier"] is False
         else:
-            want_z = round(1.349 * (2 * q - med2) / mad4, 6)
+            num = 1349000 * (2 * q - med2)
+            z6 = (-1 if num < 0 else 1) * ((2 * abs(num) + mad4) // (2 * mad4))
+            want_z = z6 / 1000000.0
             assert got[i]["robust_z"] == want_z
             assert got[i]["is_outlier"] == (1349 * dev2[i] > 3500 * mad4)
 
