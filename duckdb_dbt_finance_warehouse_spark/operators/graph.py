@@ -141,61 +141,119 @@ def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str) -> DataFram
     )
 
 
+def _vertex_ranks(deg: DataFrame, buckets: int = 32) -> DataFrame:
+    """Dense int32 vertex ranks under the census total order
+    ≺ = (degree, id) — the per-stage dictionary that lets the wedge
+    exchange carry 4-byte ranks instead of 8-byte ids (+ the carried
+    degree column): rank comparisons reproduce ≺ exactly, and the
+    census only ever AGGREGATES wedges, so nothing translates back.
+
+    Computed with the house two-pass global-rank form (the
+    ``stats.ordered_prefix_sums`` shape — no partitionless
+    ``Window.orderBy`` anywhere): range-partition by (d, v), local
+    row_number per bucket, per-bucket counts folded to exclusive
+    offsets driver-free, broadcast the offsets back. Ranks are
+    1..|V| ≤ 2^31-1; a graph with more vertices than int32 raises
+    (raise_error) rather than silently wrapping — at that size the
+    DOULION route is the default anyway."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _persist
+
+    b = _persist(
+        deg.repartitionByRange(buckets, F.col("d"), F.col("v")).withColumn(
+            "_bucket", F.spark_partition_id()
+        )
+    )
+    w = W.partitionBy("_bucket").orderBy("d", "v")
+    local = b.withColumn("_lr", F.row_number().over(w))
+    offsets = (
+        b.groupBy("_bucket")
+        .agg(F.count("*").alias("_n"))
+        .agg(F.sort_array(F.collect_list(F.struct("_bucket", "_n"))).alias("_ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(_ts, (t, i) -> struct(t._bucket AS _bucket, "
+                    "aggregate(slice(_ts, 1, i), 0L, (acc, x) -> acc + x._n)"
+                    " AS _off))"
+                )
+            ).alias("_o")
+        )
+        .select("_o.*")
+    )
+    r = F.col("_lr") + F.col("_off")
+    return local.join(F.broadcast(offsets), "_bucket").select(
+        "v",
+        F.when(r <= F.lit(2**31 - 1), r.cast("int"))
+        .otherwise(
+            F.expr(
+                "CAST(raise_error('triangle census: >=2^31 vertices "
+                "overflow the int32 rank dictionary — use "
+                "triangle_sample_stats') AS INT)"
+            )
+        )
+        .alias("r"),
+    )
+
+
 def _degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
     """Re-orient an undirected (a, b) edge list so each edge points
     from its lower endpoint to its higher endpoint under the total
     order ≺ = (degree, id) — the compact-forward relabeling that caps
-    per-vertex out-degree at O(√edges) on power-law graphs. Two
-    vertex-keyed joins attach the endpoint degrees; the swap itself is
-    a projection. ``deg`` must be the undirected degree table (v, d).
-    The degree side is the hash build (vertex-sized ≤ edge-sized; no
-    reason to sort the edge stream twice just to attach two ints).
+    per-vertex out-degree at O(√edges) on power-law graphs — AND
+    rank-encode both endpoints (``_vertex_ranks``) so everything
+    downstream of this point is 4-byte ints: the oriented edge frame
+    shrinks (a, b, db) long×3 = 24 B to (ra, rb) int×2 = 8 B, and the
+    wedge exchange (the census cost driver — 1.48 B rows at sf1)
+    halves its key bytes. Two vertex-keyed joins attach the endpoint
+    ranks; the swap itself is a projection. ``deg`` must be the
+    undirected degree table (v, d). The rank side is the hash build
+    (vertex-sized ≤ edge-sized; no reason to sort the edge stream
+    twice just to attach two ints).
 
-    Output (a, b, db): the edge oriented low≺ → high≺ plus the HIGH
-    endpoint's degree — kept so the wedge stage can order a vertex's
-    two out-neighbors by the same ≺ without re-joining degrees."""
+    Output (ra, rb) with ra ≺ rb: rank order IS ≺, so no degree
+    column rides along — the wedge stage orders out-neighbors by rb
+    directly."""
+    ranks = _vertex_ranks(deg)
     ed = e.join(
-        deg.withColumnsRenamed({"v": "a", "d": "_da"}).hint("shuffle_hash"),
+        ranks.withColumnsRenamed({"v": "a", "r": "_ra"}).hint("shuffle_hash"),
         "a",
     ).join(
-        deg.withColumnsRenamed({"v": "b", "d": "_db"}).hint("shuffle_hash"),
+        ranks.withColumnsRenamed({"v": "b", "r": "_rb"}).hint("shuffle_hash"),
         "b",
     )
-    lower_first = (F.col("_da") < F.col("_db")) | (
-        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
-    )
+    lower_first = F.col("_ra") < F.col("_rb")
     return ed.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("a"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("b"),
-        F.when(lower_first, F.col("_db")).otherwise(F.col("_da")).alias("db"),
+        F.when(lower_first, F.col("_ra")).otherwise(F.col("_rb")).alias("ra"),
+        F.when(lower_first, F.col("_rb")).otherwise(F.col("_ra")).alias("rb"),
     )
 
 
 def _closed_wedge_count(e: DataFrame, out_col: str = "n_triangles") -> DataFrame:
     """Count closed wedges (= triangles, each exactly once) over a
-    degree-oriented edge list from ``_degree_oriented``.
+    rank-oriented edge list from ``_degree_oriented``.
 
     OUT-PAIR form: a wedge is a pair of out-neighbors (u, w) of the
-    same low vertex, ordered u≺w by the carried (db, id) — so the
-    closing edge, which ``_degree_oriented`` stored as u→w, matches a
-    plain equi-join. Per-vertex wedge fan-out is C(out, 2) instead of
-    the path-join's in·out: half the closing-join input on uniform
-    graphs (measured sf1: 22.8 s → 19.1 s end-to-end) and immune to
-    the in-degree of hubs (a hub's out-degree is 0 → zero wedges).
-    Both joins keep the ``shuffle_hash`` hint — sorting a
-    wedge-volume stream to probe an edge list is the thing the hint
-    exists to prevent."""
+    same low vertex, ordered u < w in rank space (rank order is the
+    census ≺, so this is the same wedge set as ordering by (degree,
+    id)) — the closing edge, stored as u→w, matches a plain equi-join.
+    Per-vertex wedge fan-out is C(out, 2) instead of the path-join's
+    in·out: half the closing-join input on uniform graphs and immune
+    to the in-degree of hubs (a hub's out-degree is 0 → zero wedges).
+    Every row here is two int32s. Both joins keep the ``shuffle_hash``
+    hint — sorting a wedge-volume stream to probe an edge list is the
+    thing the hint exists to prevent."""
     p = (
         e.alias("x")
-        .join(e.alias("y").hint("shuffle_hash"), F.col("x.a") == F.col("y.a"))
-        .filter(
-            (F.col("x.db") < F.col("y.db"))
-            | ((F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b")))
-        )
-        .select(F.col("x.b").alias("u"), F.col("y.b").alias("w"))
+        .join(e.alias("y").hint("shuffle_hash"), F.col("x.ra") == F.col("y.ra"))
+        .filter(F.col("x.rb") < F.col("y.rb"))
+        .select(F.col("x.rb").alias("u"), F.col("y.rb").alias("w"))
     )
     return p.join(
-        e.select(F.col("a").alias("u"), F.col("b").alias("w")).hint("shuffle_hash"),
+        e.select(F.col("ra").alias("u"), F.col("rb").alias("w")).hint(
+            "shuffle_hash"
+        ),
         ["u", "w"],
     ).agg(F.count("*").alias(out_col))
 

@@ -82,6 +82,116 @@ def pq_seed_codebooks(
     return np.asarray(cids, dtype=np.int64), Cq
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+    seed_mod: int = 32,
+    n_iter: int = 2,
+):
+    """TRAINED PQ codebooks — per-subspace EUCLIDEAN Lloyd rounds (ADC
+    ranks by squared L2, so the codebooks must be trained in that
+    metric, not the spherical-cosine one ``kmeans.kmeans_fit`` uses for
+    the coarse quantizer). Seeded from the same deterministic stride as
+    ``pq_seed_codebooks``; each round runs ONE Arrow pass over the
+    corpus that assigns EVERY subspace (argmin exact-integer d2, ties
+    to the lowest code id) and emits per-(subspace, code) component
+    sums, map-combined per batch — the shuffle carries at most
+    M x K x (dsub+1) rows per batch and the corpus is never shuffled.
+    The driver-side update re-quantizes each mean half-away-from-zero
+    (one IEEE division of exact ints per component — bit-replayable in
+    SQL); empty codes keep their previous codeword.
+
+    Returns (code_vids, Cq) in the exact ``pq_seed_codebooks`` shape —
+    row r of Cq concatenates code r's codeword in every subspace — so
+    the model drops into ``pq_encode`` / ``pq_adc_topk`` / ``ivf_pq_build``
+    unchanged, and the model stays FROZEN afterwards (append == rebuild,
+    the index lifecycle invariant). At 100 TB: n_iter linear scans, a
+    KB-scale model on the driver."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cids, Cq = pq_seed_codebooks(corpus, id_col, vec_col, n_subspaces, seed_mod)
+    spark = corpus.sparkSession
+    K, dim = Cq.shape
+    dsub = dim // n_subspaces
+    src = corpus.select(F.col(vec_col).alias("_vec"))
+    sums_schema = T.StructType(
+        [
+            T.StructField("m", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("d", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+
+    def make_kernel(bc):
+        def kernel(batches):
+            C = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = _np_quant(np.stack(pdf["_vec"].to_numpy()).astype(np.float64))
+                out_m, out_code, out_d, out_s = [], [], [], []
+                for m in range(n_subspaces):
+                    Vm = V[:, m * dsub : (m + 1) * dsub]
+                    Cm = C[:, m * dsub : (m + 1) * dsub]
+                    d2 = (
+                        (Vm * Vm).sum(axis=1)[:, None]
+                        - 2.0 * (Vm @ Cm.T)
+                        + (Cm * Cm).sum(axis=1)[None, :]
+                    )
+                    idx = np.argmin(d2, axis=1)  # tie -> lowest code id
+                    for c in np.unique(idx):
+                        rows = np.nonzero(idx == c)[0]
+                        sums = Vm[rows].sum(axis=0)  # exact ints in f64
+                        ds = np.arange(dsub, dtype=np.int32)
+                        out_m.append(np.full(dsub + 1, m, dtype=np.int32))
+                        out_code.append(np.full(dsub + 1, c, dtype=np.int32))
+                        out_d.append(np.concatenate([ds, [-1]]))
+                        out_s.append(np.concatenate([sums, [float(rows.size)]]))
+                yield pd.DataFrame(
+                    {
+                        "m": np.concatenate(out_m),
+                        "code": np.concatenate(out_code),
+                        "d": np.concatenate(out_d).astype(np.int32),
+                        "s": np.concatenate(out_s).astype(np.int64),
+                    }
+                )
+
+        return kernel
+
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(Cq)
+        cells = (
+            src.mapInPandas(make_kernel(bc), sums_schema)
+            .groupBy("m", "code", "d")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        counts: dict[tuple[int, int], int] = {}
+        sums: dict[tuple[int, int], np.ndarray] = {}
+        for r in cells:
+            key = (r["m"], r["code"])
+            if r["d"] == -1:
+                counts[key] = r["s"]
+            else:
+                sums.setdefault(key, np.zeros(dsub))[r["d"]] = r["s"]
+        newC = Cq.copy()  # empty codes keep their previous codeword
+        for m in range(n_subspaces):
+            for c in range(K):
+                n = counts.get((m, c))
+                if n:
+                    mean = sums[(m, c)].astype(np.float64) / float(n)
+                    newC[c, m * dsub : (m + 1) * dsub] = np.sign(mean) * np.floor(
+                        np.abs(mean) + 0.5
+                    )
+        Cq = newC
+    return cids, Cq
+
+
 def pq_encode(
     corpus: DataFrame,
     model,
@@ -459,31 +569,24 @@ def ivf_pq_topk(
     )
 
 
-def pq_oracle_sql(
-    src: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    panel_pred: str = "vid < 16",
-    k: int = 5,
-    n_subspaces: int = 4,
-    seed_mod: int = 32,
-    dim: int = 64,
+def _pq_base_ctes(
+    src: str, id_col: str, vec_col: str, n_subspaces: int, dim: int
 ) -> str:
-    """DuckDB SQL replaying seed -> encode -> ADC -> top-k bit-for-bit:
-    same quantized grid, same exact-integer squared distances, same
-    tie-breaks (lowest code id on encode, lowest cand_id on rank)."""
+    """Shared oracle prefix: quantized component explode (q) and the
+    per-subspace view (sub)."""
     qs = f"{int(QUANT_SCALE)}.0"
     dsub = dim // n_subspaces
-    return f"""
-    WITH q AS (
+    return f"""q AS (
       SELECT {id_col} AS vid, CAST(i AS INT) AS dim,
              round(CAST({vec_col}[CAST(i AS INT) + 1] AS DOUBLE) * {qs}) AS qv
       FROM {src}, unnest(generate_series(0, {dim - 1})) AS u(i)),
-    sub AS (SELECT vid, dim // {dsub} AS m, dim % {dsub} AS d, qv FROM q),
-    cb AS (
-      SELECT dense_rank() OVER (ORDER BY vid) - 1 AS code, m, d, qv AS qc
-      FROM sub WHERE vid % {seed_mod} = 0),
-    enc_d AS (
+    sub AS (SELECT vid, dim // {dsub} AS m, dim % {dsub} AS d, qv FROM q)"""
+
+
+def _pq_serving_ctes(panel_pred: str, k: int) -> str:
+    """Shared oracle suffix: encode -> LUT -> ADC -> top-k over a ``cb``
+    CTE of shape (code, m, d, qc) — seeded or trained, same serving."""
+    return f"""enc_d AS (
       SELECT s.vid, s.m, c.code,
              sum((s.qv - c.qc) * (s.qv - c.qc)) AS d2
       FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
@@ -509,5 +612,82 @@ def pq_oracle_sql(
       SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                      ORDER BY adist ASC, cand_id) AS INT) AS rank
       FROM adc)
-    SELECT query_id, cand_id, adist, rank FROM ranked WHERE rank <= {k}
+    SELECT query_id, cand_id, adist, rank FROM ranked WHERE rank <= {k}"""
+
+
+def pq_oracle_sql(
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    panel_pred: str = "vid < 16",
+    k: int = 5,
+    n_subspaces: int = 4,
+    seed_mod: int = 32,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL replaying seed -> encode -> ADC -> top-k bit-for-bit:
+    same quantized grid, same exact-integer squared distances, same
+    tie-breaks (lowest code id on encode, lowest cand_id on rank)."""
+    return f"""
+    WITH {_pq_base_ctes(src, id_col, vec_col, n_subspaces, dim)},
+    cb AS (
+      SELECT dense_rank() OVER (ORDER BY vid) - 1 AS code, m, d, qv AS qc
+      FROM sub WHERE vid % {seed_mod} = 0),
+    {_pq_serving_ctes(panel_pred, k)}
     """
+
+
+def pq_trained_oracle_sql(
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    panel_pred: str = "vid < 16",
+    k: int = 5,
+    n_subspaces: int = 4,
+    seed_mod: int = 32,
+    n_iter: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB SQL replaying the TRAINED-codebook pipeline bit-for-bit:
+    stride seed -> ``n_iter`` unrolled per-subspace Euclidean Lloyd
+    rounds (argmin exact-int d2, ties to lowest code; mean re-quantized
+    half-away-from-zero; empty codes keep the previous codeword) ->
+    encode -> ADC -> top-k. Mirrors ``pq_train_codebooks`` +
+    ``pq_ann_topk(model=...)``."""
+    parts = [
+        _pq_base_ctes(src, id_col, vec_col, n_subspaces, dim),
+        f"""cb0 AS (
+      SELECT dense_rank() OVER (ORDER BY vid) - 1 AS code, m, d, qv AS qc
+      FROM sub WHERE vid % {seed_mod} = 0)""",
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""td{t} AS (
+      SELECT s.vid, s.m, c.code,
+             sum((s.qv - c.qc) * (s.qv - c.qc)) AS d2
+      FROM sub s JOIN cb{t} c ON c.m = s.m AND c.d = s.d
+      GROUP BY 1, 2, 3),
+    ta{t} AS (
+      SELECT vid, m, min(code) AS code
+      FROM (SELECT vid, m, code, d2,
+                   min(d2) OVER (PARTITION BY vid, m) AS mn
+            FROM td{t})
+      WHERE d2 = mn GROUP BY 1, 2),
+    tu{t} AS (
+      SELECT a.m, a.code, s.d,
+             CAST(sum(s.qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+      FROM ta{t} a JOIN sub s ON s.vid = a.vid AND s.m = a.m
+      GROUP BY 1, 2, 3),
+    cb{t + 1} AS (
+      SELECT c.code, c.m, c.d,
+             CASE WHEN u.mean IS NULL THEN c.qc
+                  WHEN u.mean < 0 THEN -floor(-u.mean + 0.5)
+                  ELSE floor(u.mean + 0.5)
+             END AS qc
+      FROM cb{t} c LEFT JOIN tu{t} u
+        ON u.m = c.m AND u.code = c.code AND u.d = c.d)"""
+        )
+    parts.append(f"cb AS (SELECT code, m, d, qc FROM cb{n_iter})")
+    parts.append(_pq_serving_ctes(panel_pred, k))
+    return "\n    WITH " + ",\n    ".join(parts) + "\n    "
+

@@ -704,19 +704,24 @@ def ivf_incremental_topk(
     quantizer (kmeans_fit on base+batch) is the rebuild event, not the
     nightly path.
 
-    The base lists are ``_persist``-ed: in production they are a STORED
-    table partitioned by centroid_id (Warehouse.write(partition_by=
-    ["centroid_id"]) + mode="append" for the batch — the on-disk
-    lifecycle a pytest drives end-to-end); without the persist the
-    base-corpus assignment would recompute per consumer."""
+    The MERGED lists are ``_persist``-ed: after the append, the stored
+    index table contains base + batch rows, and every probe batch
+    serves from THAT table — persisting the merged frame (not just the
+    base) is the in-memory model of the post-append stored table
+    (Warehouse.write(partition_by=["centroid_id"]) + mode="append" for
+    the batch — the on-disk lifecycle a pytest drives end-to-end).
+    Without it the whole index assignment would recompute per probe
+    batch."""
     from .dedup import _persist
 
     model3 = _ivf_model(
         base, id_col, vec_col, n_centroids_mod, model, "ivf_incremental_topk"
     )
-    base_lists = _persist(ivf_build_lists(base, model3, id_col, vec_col))
-    batch_lists = ivf_build_lists(batch, model3, id_col, vec_col)
-    merged = base_lists.unionByName(batch_lists)
+    merged = _persist(
+        ivf_build_lists(base, model3, id_col, vec_col).unionByName(
+            ivf_build_lists(batch, model3, id_col, vec_col)
+        )
+    )
     return ivf_probe_lists_topk(
         merged, queries, model3, id_col, vec_col, k=k, n_probes=n_probes
     )
@@ -784,14 +789,9 @@ def lsh_ann_topk_probe_table(
     work."""
     scored = _lsh_scored_pairs(
         corpus, queries, id_col, vec_col, n_tables, n_planes, dim,
-        prune_to_probed=prune_to_probed,
+        prune_to_probed=prune_to_probed, dedup=False,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
-    )
+    return _lsh_topk(scored, k)
 
 
 def lsh_build_buckets(
@@ -864,6 +864,7 @@ def _lsh_score_buckets(
     n_planes: int,
     dim: int,
     prune_to_probed: bool = False,
+    dedup: bool = True,
 ) -> DataFrame:
     """Probe stage over pre-built index ``buckets`` (tbl, bucket,
     cand_id, _vec — from ``lsh_build_buckets`` or a stored index
@@ -883,11 +884,33 @@ def _lsh_score_buckets(
     pairs. The probe assignment runs twice under the flag (once for
     keys, once for the cogroup) — O(probes) Arrow work, the price of
     keeping corpus-sized data off the wire."""
-    from pyspark.sql import types as T
-
     probes = lsh_build_buckets(
         queries, id_col, vec_col, n_tables, n_planes, dim, out_id="query_id"
     )
+    return _lsh_score_prehashed(
+        buckets,
+        probes,
+        queries.schema[id_col].dataType,
+        prune_to_probed=prune_to_probed,
+        dedup=dedup,
+    )
+
+
+def _lsh_score_prehashed(
+    buckets: DataFrame,
+    probes: DataFrame,
+    qid_type,
+    prune_to_probed: bool = False,
+    dedup: bool = True,
+) -> DataFrame:
+    """Score PRE-HASHED probe bucket rows (tbl, bucket, query_id, _vec)
+    against the index — the serving tail of ``_lsh_score_buckets`` for
+    callers whose probe bucket assignments already exist (e.g. the
+    probe panel is an indexed subset, so its rows come straight out of
+    the stored/persisted index instead of re-hashing through an extra
+    Arrow stage)."""
+    from pyspark.sql import types as T
+
     if prune_to_probed:
         probed_keys = probes.select("tbl", "bucket").distinct()
         buckets = buckets.join(
@@ -895,17 +918,38 @@ def _lsh_score_buckets(
         )
     out_schema = T.StructType(
         [
-            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("query_id", qid_type),
             T.StructField("cand_id", buckets.schema["cand_id"].dataType),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
     score = _pair_score_cogroup_fn()
-    return (
+    scored = (
         buckets.groupBy("tbl", "bucket")
         .cogroup(probes.groupBy("tbl", "bucket"))
         .applyInPandas(score, out_schema)
+    )
+    # dedup=False: a top-k consumer folds the multi-table dedup into its
+    # rank window (_lsh_topk) instead of paying a pair-sized exchange
+    return scored.distinct() if dedup else scored
+
+
+def _lsh_topk(scored_raw: DataFrame, k: int) -> DataFrame:
+    """Top-k over RAW (collision-duplicated) scored pairs in ONE window
+    pass: exact duplicates carry identical (cosine, cand_id) keys, so
+    ``dense_rank`` assigns them one rank — dense_rank <= k over the raw
+    stream equals row_number <= k over the deduped stream, and the
+    leftover duplicate rows (at most n_tables x k per query) are
+    dropped by a DISTINCT that is output-sized, not pair-sized. Saves
+    the full pair-sized dedup exchange the old distinct-then-rank form
+    paid; rank-function group-limit pushdown (WindowGroupLimit) applies
+    to dense_rank the same as row_number."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored_raw.withColumn("rank", F.dense_rank().over(w))
+        .filter(F.col("rank") <= k)
         .distinct()
+        .select("query_id", "cand_id", "cosine", "rank")
     )
 
 
@@ -918,6 +962,7 @@ def _lsh_scored_pairs(
     n_planes: int,
     dim: int,
     prune_to_probed: bool = False,
+    dedup: bool = True,
 ) -> DataFrame:
     """Shared probe-table pair stage: build the bucket index for the
     corpus (``lsh_build_buckets``) and score the probe table against it
@@ -926,6 +971,7 @@ def _lsh_scored_pairs(
     return _lsh_score_buckets(
         cands, queries, id_col, vec_col, n_tables, n_planes, dim,
         prune_to_probed=prune_to_probed,
+        dedup=dedup,
     )
 
 
@@ -944,26 +990,23 @@ def lsh_probe_buckets_topk(
     (n_tables, n_planes, dim) parameters MUST match the build — they
     define the frozen plane matrix the probes are hashed under."""
     scored = _lsh_score_buckets(
-        buckets, queries, id_col, vec_col, n_tables, n_planes, dim
+        buckets, queries, id_col, vec_col, n_tables, n_planes, dim,
+        dedup=False,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
-    )
+    return _lsh_topk(scored, k)
 
 
 def lsh_incremental_topk(
     base: DataFrame,
     batch: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     n_tables: int = 8,
     n_planes: int = 4,
     dim: int = 64,
+    probe_pred=None,
 ) -> DataFrame:
     """INCREMENTAL LSH index maintenance — the ``ivf_incremental_topk``
     lifecycle applied to the hash-bucket index: the stored bucket rows
@@ -977,18 +1020,42 @@ def lsh_incremental_topk(
     tests/test_operators.py::test_lsh_incremental_*; the suite oracle
     replays the full-rebuild form for the same reason).
 
-    The base buckets are ``_persist``-ed: in production they are a
-    STORED table partitioned by tbl (Warehouse.write(partition_by=
-    ["tbl"]) + mode="append" for the batch — the on-disk lifecycle a
-    pytest drives end-to-end); without the persist the base-corpus
-    hashing would recompute per consumer."""
+    The MERGED buckets are ``_persist``-ed: after the append, the
+    stored index table contains base + batch rows and every probe batch
+    serves from THAT table — persisting the merged frame models the
+    post-append stored table (Warehouse.write(partition_by=["tbl"]) +
+    mode="append" for the batch — the on-disk lifecycle a pytest drives
+    end-to-end). Without it the whole index hashing would recompute per
+    probe batch.
+
+    ``probe_pred``: when the probe panel is an INDEXED SUBSET (a
+    standing eval panel drawn from the corpus), pass a boolean Column
+    over ``cand_id`` instead of a ``queries`` frame — the probe bucket
+    rows are then read straight out of the persisted index (their
+    hashes already exist; re-hashing the panel through a second Arrow
+    stage is pure waste). Identical results by construction: hashing is
+    per-vector under frozen planes. Exactly one of ``queries`` /
+    ``probe_pred`` must be given."""
     from .dedup import _persist
 
-    base_b = _persist(
+    if (queries is None) == (probe_pred is None):
+        raise ValueError(
+            "lsh_incremental_topk: pass exactly one of queries / probe_pred"
+        )
+    merged = _persist(
         lsh_build_buckets(base, id_col, vec_col, n_tables, n_planes, dim)
+        .unionByName(
+            lsh_build_buckets(batch, id_col, vec_col, n_tables, n_planes, dim)
+        )
     )
-    batch_b = lsh_build_buckets(batch, id_col, vec_col, n_tables, n_planes, dim)
-    merged = base_b.unionByName(batch_b)
+    if probe_pred is not None:
+        probes = merged.filter(probe_pred).select(
+            "tbl", "bucket", F.col("cand_id").alias("query_id"), "_vec"
+        )
+        scored = _lsh_score_prehashed(
+            merged, probes, merged.schema["cand_id"].dataType, dedup=False
+        )
+        return _lsh_topk(scored, k)
     return lsh_probe_buckets_topk(
         merged, queries, id_col, vec_col, k, n_tables, n_planes, dim
     )

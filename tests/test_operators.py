@@ -1756,17 +1756,19 @@ def test_triangle_degree_ordering_kills_star_wedges(spark):
         .agg(F.count("*").alias("d"))
     )
     oriented = graph._degree_oriented(e0, deg)
-    # every star edge must point leaf -> hub (each leaf's out-degree is
-    # 1, the hub's is 0), so no vertex has TWO out-neighbors and the
-    # out-pair wedge frame is empty
-    assert oriented.filter(F.col("b") != center).count() == 0
+    # rank space: the hub carries the top (degree, id) rank, so every
+    # star edge must point leaf -> hub (one distinct rb = the hub's
+    # rank |V|), each leaf's out-degree is 1 and the hub's 0 — no
+    # vertex has TWO out-neighbors and the out-pair wedge frame is
+    # empty
+    assert dict(oriented.dtypes) == {"ra": "int", "rb": "int"}
+    rbs = oriented.select("rb").distinct().collect()
+    assert len(rbs) == 1 and rbs[0]["rb"] == n  # |V| = n vertices
+    assert oriented.groupBy("ra").count().filter(F.col("count") >= 2).count() == 0
     wedge_rows = (
         oriented.alias("x")
-        .join(oriented.alias("y"), F.col("x.a") == F.col("y.a"))
-        .filter(
-            (F.col("x.db") < F.col("y.db"))
-            | ((F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b")))
-        )
+        .join(oriented.alias("y"), F.col("x.ra") == F.col("y.ra"))
+        .filter(F.col("x.rb") < F.col("y.rb"))
         .count()
     )
     assert wedge_rows == 0
@@ -2767,6 +2769,41 @@ def test_pq_encode_and_adc_invariants(spark):
     assert hits[1_000_000] == 0
     # ranks follow (adist asc, cand_id asc) exactly
     assert [r["rank"] for r in sorted(out, key=lambda r: (r["adist"], r["cand_id"]))] == [1, 2, 3, 4, 5]
+
+
+def test_pq_trained_codebooks_append_equals_rebuild(spark):
+    """Trained-PQ lifecycle invariants: (1) the trained model keeps the
+    seed shape (same code ids, same matrix shape, quantized-int
+    entries) so it drops into every PQ consumer; (2) training moves the
+    codebooks off the raw seeds (the Lloyd rounds actually update); (3)
+    under the FROZEN trained model, encoding a base corpus and a new
+    batch separately and appending equals encoding base+batch in one
+    pass — the index-lifecycle invariant every stored index here pins."""
+    import numpy as np
+
+    from duckdb_dbt_finance_warehouse_spark.operators import pq
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    seeded = pq.pq_seed_codebooks(emb, n_subspaces=4, seed_mod=32)
+    trained = pq.pq_train_codebooks(emb, n_subspaces=4, seed_mod=32, n_iter=2)
+    assert np.array_equal(seeded[0], trained[0])
+    assert seeded[1].shape == trained[1].shape
+    assert np.array_equal(trained[1], np.floor(trained[1]))  # quantized ints
+    assert not np.array_equal(seeded[1], trained[1])  # rounds updated it
+
+    base = emb.filter(F.col("vec_id") % 4 != 1)
+    batch = emb.filter(F.col("vec_id") % 4 == 1)
+    merged = (
+        pq.pq_encode(base, trained, n_subspaces=4)
+        .unionByName(pq.pq_encode(batch, trained, n_subspaces=4))
+    )
+    rebuilt = pq.pq_encode(emb, trained, n_subspaces=4)
+    as_set = lambda df: sorted(
+        (r["cand_id"], tuple(r["codes"])) for r in df.collect()
+    )
+    got = as_set(merged)
+    assert got == as_set(rebuilt) and got
 
 
 def test_ivf_pq_with_all_lists_probed_equals_flat_adc(spark):
