@@ -13,93 +13,44 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  ROUND-7 ROTATION: after r6, every registry entry except
-# the 21 on the r6 deferred list had a green driver row, so r7's window
-# is (1) that declared drain list — its entries take the first slots
-# exactly as promised in r6 — then (2) every entry whose CODE CHANGED
-# this round (the new incremental-IVF/LSH and PQ/IVF-PQ entries; the
-# four LSH entries migrated from fixed 8x4 planes to corpus-sized
-# lsh_planes_for planes plus the two refactor-touched serving entries;
-# the bounded-probe bucket prune on decontaminate/recall-audit; the
-# one-pass floor-division RFM rewrite), then (3) the §2 flagships last green r4,
-# now at the two-round re-green cadence (CLAUDE.md), then (4) the
-# oldest remaining r4-green entries, biased toward subsystems whose
-# shared code moved this round (similarity/dedup lifecycle, sketch,
-# packing/maintenance).  x_multimodal_features stays OUT permanently —
-# it can only ever report no_oracle (plumbing is oracle-verified via
-# x_multimodal_bytestats); it would waste a slot.
+# cosmetics.  ROUND-8 ROTATION: (1) the two never-green entries, both
+# FIXED this round — x_inverted_index (postings now a comma-joined
+# scalar the driver canonicalizer can hash) and x_multimodal_features
+# (first-ever value oracle: the ASCII corpus makes the stub decoder's
+# byte stats DuckDB-expressible) — then (2) entries NEW or code-changed
+# this round (x_multimodal_resize, x_ann_pq_trained, the integer-exact
+# robust_z rewrite in x_mad_outliers, the dense_rank LSH top-k +
+# merged-index persist on the LSH/IVF serving family, the int32
+# rank-dictionary census), then (3) the 26-entry r7 deferred drain
+# list, first slots as promised, then (4) the oldest remaining
+# r5-green entries, biased toward the similarity/dedup subsystem whose
+# shared code moved this round.
 #
-# With this window, NOTHING in the registry has a stale driver row
-# older than r4, and the r4 stragglers that did not fit move to
-# DEFERRED_NEXT_ROUND (r8's first slots — all already driver-green in
-# r4, so this is re-green cadence backlog, not never-checked debt; each
-# is still pinned every session by test_oracle_parity_deferred.py).
-# tests/test_coverage_rotation.py enforces that every registry entry is
-# either driver-checked already, in the current first-50, or in the
-# deferred plan (which must itself fit one round) — the "ships
-# unchecked" failure mode cannot recur silently.
+# With this window, every registry entry's latest green row is >= r5
+# after this round's run; the r5 stragglers that did not fit move to
+# DEFERRED_NEXT_ROUND (r9's first slots — cadence backlog, not
+# never-checked debt; each is still pinned every session by
+# test_oracle_parity_deferred.py).  tests/test_coverage_rotation.py
+# enforces that every registry entry is either driver-checked already,
+# in the current first-50, or in the deferred plan (which must itself
+# fit one round) — the "ships unchecked" failure mode cannot recur
+# silently.
 DRIVER_PRIORITY: list[str] = [
-    # --- the r6 deferred drain list, first slots as declared ---
-    "x_merge_upsert",
-    "x_kfold_split",
-    "x_hard_negatives",
-    "x_negative_sampling",
-    "x_semantic_decontaminate",
-    "x_vocab_coverage",
-    "x_max_concurrency",
-    "x_event_hopping_window",
-    "x_event_funnel",
-    "x_cohort_retention",
-    "x_ewma_smooth",
-    "x_multimodal_frames",
-    "x_zorder_layout",
-    "x_incremental_rollup",
-    "x_chunk_overlap",
-    "x_table_fingerprint",
-    "x_collocations",
-    "x_length_buckets",
-    "x_tokenizer_fertility",
+    # --- never driver-green, both fixed this round ---
     "x_inverted_index",
-    "x_boilerplate_grams",
-    # --- code changed this round ---
-    "x_ann_ivf_incremental",
+    "x_multimodal_features",
+    # --- new entries / code changed this round ---
+    "x_multimodal_resize",
+    "x_ann_pq_trained",
+    "x_mad_outliers",
     "x_ann_lsh_incremental",
-    "x_ann_pq_topk",
-    "x_ann_ivf_pq_topk",
+    "x_ann_ivf_incremental",
+    "x_ann_lsh_probe_table",
     "x_ann_lsh_bucketed",
     "x_embed_near_dup",
-    "x_ann_recall_audit",
-    "x_ann_lsh_probe_table",
-    "x_ann_ivf_probe_table",
-    "x_rfm_segments",
-    # --- §2 flagships at the two-round cadence (last green r4) ---
-    "m1_movement_classification",
-    "m2_waterfall_rollup",
-    "j1_month_spine_expansion",
-    "j3_validity_asof_join",
-    "a1_grouped_sum_q1",
-    "w1_latest_row_dedup",
-    "sql1_join_agg_q3_style",
-    # --- oldest remaining driver rows (r4), changed-subsystem first ---
-    "x_ann_ivf_trained",
-    "x_kmeans",
-    "x_dedup_incremental",
-    "x_dedup_clusters",
-    "x_curation_pipeline",
-    "x_hll_distinct",
-    "x_salted_join",
-    "a8_exact_percentiles",
-    "w6_range_frames",
-    "x_pack_sequences",
-    "x_snapshot_diff",
-    "x_maintenance_compaction",
-]
-
-# r4-green entries whose re-green did not fit this window; they take
-# r8's first slots.  Adding a NEW queries() entry still requires a
-# first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
-# that already has a green driver row.
-DEFERRED_NEXT_ROUND: list[str] = [
+    "x_triangle_count",
+    "x_triangle_sample",
+    # --- the r7 deferred drain list, first slots as declared ---
     "x_sessionize",
     "x_asof_nearest",
     "x_multimodal_bytestats",
@@ -126,6 +77,64 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_hll_by_group",
     "x_dedup_canonical",
     "x_pack_efficiency",
+    # --- oldest remaining driver rows (r5), changed-subsystem first ---
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_minhash_portable",
+    "x_dedup_simhash",
+    "x_ann_cosine_topk",
+    "x_ann_ivf_topk",
+    "x_semantic_dedup",
+    "x_paragraph_dedup",
+    "a4_multi_sum_rollup",
+    "p9_topk_per_group",
+    "w2_lag_prev_month",
+    "sql2_join_agg_q5_style",
+]
+
+# r5-green entries whose re-green did not fit this window; they take
+# r9's first slots.  Adding a NEW queries() entry still requires a
+# first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
+# that already has a green driver row.
+DEFERRED_NEXT_ROUND: list[str] = [
+    "a10_salted_agg",
+    "a11_pivot",
+    "a12_unpivot",
+    "a2_grouped_min_max",
+    "a3_global_scalar_agg",
+    "a5_conditional_count_distinct",
+    "a6_select_distinct",
+    "a7_spine_zero_fill",
+    "a9_rollup",
+    "f19_date_spine",
+    "f_date_kit",
+    "f_misc_scalars",
+    "j2_left_equi_zero_fill",
+    "j4_first_version_backfill",
+    "j5_fk_anti_join",
+    "j6_scalar_subquery_filter",
+    "o1_ordered_topn",
+    "o3_set_ops",
+    "p10_predicate_filter",
+    "p1_typed_projection",
+    "p3_clean_strings",
+    "p5_negative_to_null",
+    "p6_record_hash",
+    "p7_derived_boolean",
+    "p8_hwm_filter",
+    "s5_lineage_columns",
+    "sql3_exists_q4_style",
+    "sql4_recursive_spine",
+    "w3_prior_history_flag",
+    "w4_partition_min",
+    "w5_rank_kit",
+    "x_containment_pairs",
+    "x_fuzzy_join",
+    "x_leakage_safe_split",
+    "x_ngram_jaccard",
+    "x_quality_classifier",
+    "x_sample_temperature",
+    "x_simhash_near_dup",
 ]
 
 

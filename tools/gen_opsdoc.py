@@ -34,10 +34,12 @@ def main() -> None:
         "",
         f"{len(REGISTRY)} registry entries; every entry is a `queries()` "
         "callable `(spark, sf_dir) -> DataFrame`. `oracle` = DuckDB SQL "
-        "replay exists (the driver hash-compares results); the one "
-        "rows-only entry is Python decode the oracle cannot express. "
-        "`window` marks membership in the driver's 50-entry per-round "
-        "correctness rotation (CLAUDE.md).",
+        "replay exists (the driver hash-compares results) — since r8 "
+        "EVERY entry is oracle-paired (the last rows-only entry, "
+        "x_multimodal_features, gained a byte-stats value oracle over "
+        "the ASCII-synthesized payloads). `window` marks membership in "
+        "the driver's 50-entry per-round correctness rotation "
+        "(CLAUDE.md).",
         "",
         "| entry | module | oracle | window | summary |",
         "|---|---|---|---|---|",
