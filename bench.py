@@ -76,6 +76,7 @@ HEADLINE = [
     "x_ann_lsh_probe_table",      # LSH serving: cogrouped table probes
     "x_ann_lsh_incremental",      # frozen-plane batch append + merged probe
     "x_ann_pq_topk",              # product-quantized ADC serving
+    "x_ann_pq_trained",           # per-subspace Lloyd-trained codebooks
     "x_ann_ivf_pq_topk",          # IVF-pruned ADC over code lists
     "x_dedup_incremental",        # batch-vs-index incremental near-dup
     "x_pack_sequences",           # concat-and-chunk sequence packing
@@ -130,6 +131,8 @@ HEADLINE = [
     "x_triangle_sample",          # DOULION 1/4-edge-sampled estimate
     "x_table_fingerprint",        # order-independent table checksum
     "x_multimodal_frames",        # strided frame sampling, codegen-only
+    "x_multimodal_features",      # Arrow mapInPandas byte-stat decode stub
+    "x_multimodal_resize",        # strided-byte resize plumbing + md5
     "x_kfold_split",              # deterministic k-fold CV assignment
     "sql9_global_avg_anti_join_q22_style",  # Q22 scalar-avg + anti join
     "x_auc_quality",              # exact ROC-AUC, two-pass prefix sum
