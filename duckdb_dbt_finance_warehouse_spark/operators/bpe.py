@@ -143,6 +143,11 @@ def bpe_segment(
         F.explode(F.split(normalize_text(text_col), " ")).alias("word"),
     )
     if vocab_join:
+        # the corpus word explode feeds BOTH the distinct-vocab step and
+        # the (word -> tokens) join — localCheckpoint so it runs once
+        # (CLAUDE.md intra-query-sharing rule; recomputed per run, not a
+        # stored table)
+        words = words.localCheckpoint(eager=False)
         seg = (
             words.select("word")
             .distinct()

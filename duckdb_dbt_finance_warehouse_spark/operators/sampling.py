@@ -390,7 +390,13 @@ def importance_resample(
         ).cast("long")
         % b
     )
-    tb = toks.select(F.col("_k._id").alias("_id"), F.col("_k._tgt").alias("_tgt"), bucket.alias("_bkt"))
+    # consumed TWICE (the weights aggregate and the scoring join) and
+    # genuinely recomputed per run — localCheckpoint, not persist
+    # (CLAUDE.md intra-query-sharing rule): without it the tokenize +
+    # md5-bucket explode runs once per consumer
+    tb = toks.select(
+        F.col("_k._id").alias("_id"), F.col("_k._tgt").alias("_tgt"), bucket.alias("_bkt")
+    ).localCheckpoint(eager=False)
     counts = tb.groupBy("_bkt").agg(
         F.count("*").alias("_cs"),
         F.count_if(F.col("_tgt")).alias("_ct"),

@@ -887,6 +887,12 @@ def _lsh_score_buckets(
     probes = lsh_build_buckets(
         queries, id_col, vec_col, n_tables, n_planes, dim, out_id="query_id"
     )
+    if prune_to_probed:
+        # the flag's contract is a BOUNDED probe side, and its probed
+        # (tbl, bucket) keys are consumed by the semi join AND the
+        # cogroup — checkpoint the (panel x n_tables)-row frame so the
+        # probe Arrow stage runs once, not twice
+        probes = probes.localCheckpoint(eager=False)
     return _lsh_score_prehashed(
         buckets,
         probes,

@@ -166,6 +166,41 @@ def test_compact_table_unpartitioned_and_partitioned(spark, tmp_path):
     assert after_p.filter("bucket_key = '1'").count() == 2500
 
 
+def test_compact_table_survives_shallow_partition_chain(spark, tmp_path):
+    """ADVICE r7: the old partition-column discovery descended ONE
+    arbitrary os.listdir chain, so a shallower-than-others partition
+    directory (an empty, partially-written chain) could yield an
+    incomplete column list and the rewrite silently FLATTENED the
+    missing level. Discovery now rides Spark's own partition inference:
+    plant an empty one-level decoy dir that sorts first and assert the
+    two-level layout survives compaction intact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.sources.maintenance import compact_table
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = spark.range(2_000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("lvl1"),
+        (F.col("id") % 3).cast("string").alias("lvl2"),
+    )
+    wh.write(df.repartition(8), "mart", "deep", partition_by=["lvl1", "lvl2"])
+    # the decoy: an empty lvl1 partition dir with NO lvl2 level below —
+    # '=' in the name, sorts before 'lvl1=0' under os.listdir ordering
+    os.makedirs(os.path.join(wh.path("mart", "deep"), "lvl1=!empty"))
+    before = sorted(tuple(r) for r in wh.read("mart", "deep").collect())
+    compact_table(wh, "mart", "deep", target_files=1)
+    root = wh.path("mart", "deep")
+    lvl1_dirs = [d for d in os.listdir(root) if d.startswith("lvl1=") and "!e" not in d]
+    assert lvl1_dirs, "lvl1 partition level flattened away"
+    inner = os.listdir(os.path.join(root, lvl1_dirs[0]))
+    assert any(d.startswith("lvl2=") for d in inner), "lvl2 level flattened away"
+    assert sorted(tuple(r) for r in wh.read("mart", "deep").collect()) == before
+
+
 def test_compact_table_drops_epoch_bookkeeping_partitions(spark, tmp_path):
     """Closing the incremental-index lifecycle: an ANN index that
     accreted per-epoch partitions from the streaming appender compacts

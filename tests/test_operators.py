@@ -1830,7 +1830,13 @@ def test_triangle_auto_routes_census_vs_doulion(spark):
     assert auto["clustering_coeff"] == exact["clustering_coeff"]
 
     sampled = graph.triangle_sample_stats(pairs, k=4).first()
-    routed = graph.triangle_stats_auto(pairs, max_census_edges=0, k=4).first()
+    routed_df = graph.triangle_stats_auto(pairs, max_census_edges=0, k=4)
+    # both routes must share ONE schema (ADVICE r7: the sampled path's
+    # lit(n_edges) inferred IntegerType; census counts are LongType)
+    assert dict(routed_df.dtypes) == dict(
+        graph.triangle_stats_auto(pairs).dtypes
+    )
+    routed = routed_df.first()
     assert routed["method"] == "doulion_k4"
     assert routed["n_edges"] == exact["n_edges"]  # full count, pre-sampling
     assert routed["n_triangles_est"] == sampled["n_triangles_sampled"] * 64
