@@ -474,7 +474,40 @@ def ivf_pq_topk(
                 corpus, id_col, vec_col, n_subspaces, seed_mod
             )
     lists = ivf_pq_build(corpus, ivf3, pq_model, id_col, vec_col, n_subspaces)
+    return ivf_pq_probe_lists_topk(
+        lists, queries, ivf3, pq_model, id_col, vec_col, k, n_probes,
+        n_subspaces, _corpus_id_type=corpus.schema[id_col].dataType,
+    )
 
+
+def ivf_pq_probe_lists_topk(
+    lists: DataFrame,
+    queries: DataFrame,
+    ivf_model,
+    pq_model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probes: int = 2,
+    n_subspaces: int = 4,
+    _corpus_id_type=None,
+) -> DataFrame:
+    """IVF-PQ SERVING over a pre-built (possibly STORED) codes index —
+    the production read path for an index maintained by batch append
+    (``ivf_pq_build`` + Warehouse append) or the streaming twin
+    (``streaming.pipeline.stream_ivf_pq_index_append``): ``lists`` is
+    (centroid_id, cand_id, codes). Probe fan-out, per-list ADC, and the
+    top-k window are identical to ``ivf_pq_topk``'s tail — both models
+    must be the FROZEN pair the index was built under."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ivf3 = ivf_model if len(ivf_model) == 3 else (
+        np.asarray(ivf_model[0], np.int64),
+        np.asarray(ivf_model[1], np.float64),
+        np.sqrt((np.asarray(ivf_model[1], np.float64) ** 2).sum(axis=1)),
+    )
     cids, Cq, cnorms = ivf3
     _pq_ids, PQC = pq_model
     n_probes_eff = min(n_probes, len(cids))
@@ -516,7 +549,9 @@ def ivf_pq_topk(
     out_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[id_col].dataType),
-            T.StructField("cand_id", corpus.schema[id_col].dataType),
+            T.StructField(
+                "cand_id", _corpus_id_type or lists.schema["cand_id"].dataType
+            ),
             T.StructField("adist", T.LongType()),
         ]
     )

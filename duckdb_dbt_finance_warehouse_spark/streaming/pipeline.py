@@ -384,6 +384,57 @@ def stream_ann_index_append(
     q.awaitTermination()
 
 
+def stream_ivf_pq_index_append(
+    embed_stream: DataFrame,
+    ivf_model,
+    pq_model,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+) -> None:
+    """Continuous IVF-PQ index maintenance — the compressed-codes twin
+    of ``stream_ann_index_append``: each micro-batch is coarse-assigned
+    AND product-quantized in one narrow Arrow pass under the FROZEN
+    (ivf_model, pq_model) pair (``pq.ivf_pq_build`` — the same batch
+    operator, so streamed and nightly index rows are identical by
+    construction) and appended to the stored codes index.
+
+    Same exactly-once layout as the IVF twin: partitioned by (_epoch,
+    centroid_id) with dynamic partition overwrite — a replayed epoch
+    overwrites exactly its own partitions; centroid_id stays the
+    probe-time pruning key. Per trigger the work is O(batch) and the
+    appended rows are CODES (M ints/vector, 30-60x narrower than the
+    vectors) — at 100 TB the standing stream's write amplification is
+    code-sized, not vector-sized. Retraining either quantizer is the
+    batch-side rebuild event; under frozen models streamed == rebuilt
+    (pytest-pinned, like every index twin here)."""
+    from pyspark.sql import functions as F2
+
+    from ..operators import pq
+
+    def append_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        lists = pq.ivf_pq_build(
+            batch_df, ivf_model, pq_model, id_col, vec_col, n_subspaces
+        )
+        (
+            lists.withColumn("_epoch", F2.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch", "centroid_id")
+            .parquet(index_path)
+        )
+
+    q = (
+        embed_stream.writeStream.foreachBatch(append_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion against currently
     available input (availableNow) into an in-memory table ``name``."""

@@ -388,6 +388,75 @@ def test_stream_anomaly_matches_batch_across_batch_split(spark, tmp_path_factory
     assert gk == wk and len(gk) > 0
 
 
+def test_stream_ivf_pq_index_append_matches_rebuild(spark, tmp_path_factory):
+    """The compressed-codes streaming twin: micro-batches encoded +
+    appended under the FROZEN (ivf, pq) model pair must serve ADC probe
+    results BIT-IDENTICAL to a full one-shot build over base+batches,
+    and a restart on the drained checkpoint is a no-op."""
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.operators import pq, similarity
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    base = emb.filter(F.col("vec_id") % 4 != 1)
+    new = emb.filter(F.col("vec_id") % 4 == 1)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf_model = similarity._ivf_model(
+        base, "vec_id", "embedding", 16, None, "test_stream_pq"
+    )
+    pq_model = pq.pq_seed_codebooks(base, n_subspaces=4, seed_mod=16)
+
+    src_dir = str(tmp_path_factory.mktemp("pq_stream"))
+    stage = str(tmp_path_factory.mktemp("pq_stage"))
+    for i, m in enumerate((1, 5)):
+        d = os.path.join(stage, f"b{i}")
+        new.filter(F.col("vec_id") % 8 == m).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(d, part), os.path.join(src_dir, f"f{i}.parquet"))
+    index_path = str(tmp_path_factory.mktemp("pq_index"))
+    ckpt = str(tmp_path_factory.mktemp("pq_ckpt"))
+
+    pq.ivf_pq_build(base, ivf_model, pq_model).withColumn(
+        "_epoch", F.lit(-1)
+    ).write.mode("overwrite").partitionBy("_epoch", "centroid_id").parquet(index_path)
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    streaming.pipeline.stream_ivf_pq_index_append(
+        stream, ivf_model, pq_model, index_path, ckpt
+    )
+
+    idx = spark.read.parquet(index_path)
+    assert idx.select("_epoch").distinct().count() == 3  # base + 2 epochs
+    served = pq.ivf_pq_probe_lists_topk(
+        idx.select("centroid_id", "cand_id", "codes"), probes,
+        ivf_model, pq_model, k=5, n_probes=2,
+    )
+    got = sorted(map(tuple, served.collect()))
+    rebuilt = pq.ivf_pq_topk(
+        emb, probes, k=5, n_centroids_mod=16, n_probes=2,
+        ivf_model=ivf_model, pq_model=pq_model,
+    )
+    assert got and got == sorted(map(tuple, rebuilt.collect()))
+
+    # restart on the drained checkpoint: no new epochs, no new rows
+    stream2 = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    streaming.pipeline.stream_ivf_pq_index_append(
+        stream2, ivf_model, pq_model, index_path, ckpt
+    )
+    idx2 = spark.read.parquet(index_path)
+    assert idx2.count() == idx.count()
+    assert idx2.select("_epoch").distinct().count() == 3
+
+
 def test_stream_ann_index_append_matches_rebuild(spark, tmp_path_factory):
     """Streaming ANN index maintenance: two micro-batches of new
     embeddings appended to the stored index under the frozen quantizer
