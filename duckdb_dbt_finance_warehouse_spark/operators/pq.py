@@ -452,10 +452,6 @@ def ivf_pq_topk(
     narrower than vectors, this is the cheapest serving exchange in the
     family. Ranks ascend by exact-integer approximate distance, ties to
     the lowest cand_id; the oracle replays both quantizers end to end."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     ivf3 = similarity._ivf_model(
         corpus, id_col, vec_col, n_centroids_mod, ivf_model, "ivf_pq_topk"
     )
