@@ -67,6 +67,27 @@ def test_window_topk_pushdown(spark, name):
     assert "WindowGroupLimit" in plan_of(spark, name)
 
 
+@pytest.mark.parametrize(
+    "name", ["x_ann_lsh_probe_table", "x_ann_lsh_incremental"]
+)
+def test_lsh_topk_dense_rank_group_limit(spark, name):
+    """The LSH top-k folds the multi-table collision dedup into its
+    rank window (dense_rank <= k over raw pairs == row_number <= k over
+    deduped pairs): the group-limit pushdown must fire for dense_rank,
+    and the pair-sized distinct exchange the old distinct-then-rank
+    form paid must NOT reappear upstream of the window (the only
+    aggregate-style dedup left is the output-sized one after the rank
+    filter)."""
+    p = plan_of(spark, name)
+    assert "WindowGroupLimit" in p
+    # window input comes straight from the cogroup kernel: no
+    # HashAggregate between FlatMapCoGroupsInPandas and Window
+    cogroup_idx = p.index("FlatMapCoGroupsInPandas")
+    window_idx = p.index("WindowGroupLimit")
+    between = p[min(cogroup_idx, window_idx):max(cogroup_idx, window_idx)]
+    assert "HashAggregate" not in between, name
+
+
 def test_order_limit_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "o1_ordered_topn")
 
