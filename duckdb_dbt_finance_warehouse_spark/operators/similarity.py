@@ -1730,8 +1730,13 @@ def ann_recall_audit(
     the comparison is a semi join at top-k volume. Keep the panel
     fixed-size (it rides a broadcast nested-loop by design); the
     corpus side scales freely."""
-    exact = cosine_topk(corpus, probes, id_col, vec_col, k).select(
-        "query_id", "cand_id"
+    # exact feeds BOTH the hit semi join and the per-query n_exact
+    # denominator — checkpoint so the brute-force scan runs once
+    # (CLAUDE.md intra-query-sharing rule)
+    exact = (
+        cosine_topk(corpus, probes, id_col, vec_col, k)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
     )
     approx = lsh_ann_topk_probe_table(
         corpus, probes, id_col, vec_col, k, n_tables, n_planes, dim,
