@@ -959,6 +959,52 @@ def _lsh_topk(scored_raw: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _pair_score_flagged_fn():
+    """Single-frame variant of ``_pair_score_cogroup_fn`` for probe
+    panels that are INDEXED SUBSETS: one group's rows carry an
+    ``_is_probe`` flag, the kernel splits probes out and scores them
+    against the whole group. Lets the serving plan pay ONE (tbl,
+    bucket) exchange instead of the cogroup's two — the probe rows
+    already ride the index stream. Same quantized-exact math and
+    self-match drop as the cogroup kernel, bit-identical output."""
+    import numpy as np
+    import pandas as pd
+
+    empty = {
+        "query_id": np.array([], dtype=object),
+        "cand_id": np.array([], dtype=object),
+        "cosine": np.array([], dtype=np.float64),
+    }
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pr = pdf[pdf["_is_probe"]]
+        if len(pdf) == 0 or len(pr) == 0:
+            return pd.DataFrame(empty)
+        Xq = _np_quant(np.stack(pdf["_vec"].to_numpy()).astype(np.float64))
+        Qq = _np_quant(np.stack(pr["_vec"].to_numpy()).astype(np.float64))
+        xn = np.sqrt((Xq * Xq).sum(axis=1))
+        qn = np.sqrt((Qq * Qq).sum(axis=1))
+        C = (Qq @ Xq.T) / np.outer(qn, xn)
+        # ROUND(x, 6) half away from zero, as both SQL engines do
+        C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+        qids = pr["cand_id"].to_numpy()
+        cids = pdf["cand_id"].to_numpy()
+        qi, ci = np.meshgrid(
+            np.arange(len(qids)), np.arange(len(cids)), indexing="ij"
+        )
+        qi, ci = qi.ravel(), ci.ravel()
+        keep = qids[qi] != cids[ci]
+        return pd.DataFrame(
+            {
+                "query_id": qids[qi[keep]],
+                "cand_id": cids[ci[keep]],
+                "cosine": C[qi[keep], ci[keep]],
+            }
+        )
+
+    return score
+
+
 def _lsh_scored_pairs(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1055,11 +1101,24 @@ def lsh_incremental_topk(
         )
     )
     if probe_pred is not None:
-        probes = merged.filter(probe_pred).select(
-            "tbl", "bucket", F.col("cand_id").alias("query_id"), "_vec"
+        # probes are index rows, so the probe side needn't ride its own
+        # exchange at all: flag them and let a SINGLE (tbl, bucket)
+        # groupBy split probes from candidates inside the kernel — one
+        # exchange instead of the cogroup's two, bit-identical scores
+        from pyspark.sql import types as T
+
+        id_type = merged.schema["cand_id"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("cand_id", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]
         )
-        scored = _lsh_score_prehashed(
-            merged, probes, merged.schema["cand_id"].dataType, dedup=False
+        scored = (
+            merged.withColumn("_is_probe", probe_pred)
+            .groupBy("tbl", "bucket")
+            .applyInPandas(_pair_score_flagged_fn(), out_schema)
         )
         return _lsh_topk(scored, k)
     return lsh_probe_buckets_topk(

@@ -68,23 +68,35 @@ def test_window_topk_pushdown(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["x_ann_lsh_probe_table", "x_ann_lsh_incremental"]
+    # probe_table pairs two frames -> cogroup kernel; the incremental
+    # entry's probe panel is an INDEXED SUBSET, so it pays ONE (tbl,
+    # bucket) exchange with the flagged single-frame kernel instead
+    "name,kernel_node",
+    [
+        ("x_ann_lsh_probe_table", "FlatMapCoGroupsInPandas"),
+        ("x_ann_lsh_incremental", "FlatMapGroupsInPandas"),
+    ],
 )
-def test_lsh_topk_dense_rank_group_limit(spark, name):
+def test_lsh_topk_dense_rank_group_limit(spark, name, kernel_node):
     """The LSH top-k folds the multi-table collision dedup into its
     rank window (dense_rank <= k over raw pairs == row_number <= k over
     deduped pairs): the group-limit pushdown must fire for dense_rank,
     and the pair-sized distinct exchange the old distinct-then-rank
     form paid must NOT reappear upstream of the window (the only
     aggregate-style dedup left is the output-sized one after the rank
-    filter)."""
+    filter). The incremental entry must additionally keep the
+    single-exchange flagged kernel — a cogroup there means the probe
+    panel started riding its own exchange again."""
     p = plan_of(spark, name)
     assert "WindowGroupLimit" in p
-    # window input comes straight from the cogroup kernel: no
-    # HashAggregate between FlatMapCoGroupsInPandas and Window
-    cogroup_idx = p.index("FlatMapCoGroupsInPandas")
+    assert kernel_node in p, name
+    if kernel_node == "FlatMapGroupsInPandas":
+        assert "FlatMapCoGroupsInPandas" not in p, name
+    # window input comes straight from the scoring kernel: no
+    # HashAggregate between the kernel and the rank window
+    kernel_idx = p.index(kernel_node)
     window_idx = p.index("WindowGroupLimit")
-    between = p[min(cogroup_idx, window_idx):max(cogroup_idx, window_idx)]
+    between = p[min(kernel_idx, window_idx):max(kernel_idx, window_idx)]
     assert "HashAggregate" not in between, name
 
 
