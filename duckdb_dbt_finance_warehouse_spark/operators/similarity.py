@@ -1116,7 +1116,13 @@ def lsh_incremental_topk(
             ]
         )
         scored = (
-            merged.withColumn("_is_probe", probe_pred)
+            # coalesce: a NULL predicate result (nullable id column)
+            # must mean "not a probe", not a NaN that breaks the
+            # kernel's pandas boolean mask
+            merged.withColumn(
+                "_is_probe",
+                F.coalesce(probe_pred.cast("boolean"), F.lit(False)),
+            )
             .groupBy("tbl", "bucket")
             .applyInPandas(_pair_score_flagged_fn(), out_schema)
         )
