@@ -209,19 +209,26 @@ def main() -> None:
             "n": len(timings),
         }
     )
-    print(compact)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    full = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
     print(compact)
+    print(full)
+    print(compact)
+    # The driver's BENCH_r{N}.json artifact keeps only ~2000 chars of
+    # stdout tail — a 135-query map never survives it.  Persist the full
+    # map as a sidecar next to this script so every per-query timing is
+    # in-repo; tools/bench_ratio.py falls back to it (matched by exact
+    # total) when handed the driver's tail wrapper.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_full_sf{sf}.json")
+    with open(sidecar, "w") as f:
+        f.write(full + "\n")
     spark.stop()
 
 
