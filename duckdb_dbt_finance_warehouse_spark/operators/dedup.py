@@ -803,45 +803,43 @@ def fuzzy_string_join(
     every corpus row containing it — the quadratic blowup this
     operator exists to avoid.
 
-    Shape: two gram explodes, one gram-keyed candidate join (skew
-    capped by the df filter), and a candidate-volume verification join
-    — corpus strings never cross-join probes. The corpus gram table
-    feeds candidate generation and verification, so it is
-    localCheckpointed."""
-    pg = (
-        spread_input(probes).select(F.col(probe_id), normalize_text(probe_str).alias("_t"))
-        .select(
-            probe_id,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(_t) - {n - 1}, 1)),"
-                    f" i -> substring(_t, i, {n}))"
-                )
-            ).alias("gram"),
+    Shape (r9): a string's distinct gram set is a pure per-ROW
+    function, so the gram sets stay ARRAYS — ``array_distinct`` builds
+    them in-row (no shuffle-DISTINCT), their sizes ride along as
+    ``size(...)`` (no per-id count aggregations), and verification is
+    ``size(array_intersect(...))`` on the two arrays joined back by id
+    (no gram-keyed intersection join + count). What remains distributed
+    is exactly what must be: one gram-keyed shuffle of the exploded
+    corpus grams (df-guard window, reused by the candidate equi-join)
+    and the candidate-volume id joins — the r8 form paid ~12 exchanges
+    for this, this form pays 5. Ids are assumed unique keys per string
+    (both suite panels and the oracle treat them as such; a duplicated
+    id would score per-row here vs per-merged-id before)."""
+    gram_set = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(_t) - {n - 1}, 1)),"
+            f" i -> substring(_t, i, {n}))"
         )
-        .distinct()
+    )
+    # both array frames feed two consumers (their gram explode and the
+    # verification join) — localCheckpoint so the parquet text column is
+    # scanned once per side, and the checkpointed frame is the COMPACT
+    # per-string array, not the 10-50x exploded stream the r8 form
+    # checkpointed
+    p = (
+        spread_input(probes)
+        .select(F.col(probe_id), normalize_text(probe_str).alias("_t"))
+        .select(probe_id, gram_set.alias("_pg"))
         .localCheckpoint(eager=False)
     )
-    cg = (
-        spread_input(corpus).select(F.col(corpus_id), normalize_text(corpus_str).alias("_t"))
-        .select(
-            corpus_id,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(_t) - {n - 1}, 1),"
-                    f" 1), i -> substring(_t, i, {n}))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+    pg = p.select(probe_id, F.explode("_pg").alias("gram"))
+    c = (
+        spread_input(corpus)
+        .select(F.col(corpus_id), normalize_text(corpus_str).alias("_t"))
+        .select(corpus_id, gram_set.alias("_cg"))
         .localCheckpoint(eager=False)
     )
-    # shuffle_hash pins on every join whose big side is the CORPUS gram
-    # frame (or the corpus-growing rare-gram list): both sit under
-    # localCheckpoints whose size estimates undershoot the explode, and
-    # the unpinned sf1 plan broadcast the (corpus_id, gram) frame — the
-    # mid-scale driver-OOM shape (see containment_pairs). The PROBE gram
-    # side is panel-bounded and stays the planner's broadcast call.
+    cg = c.select(corpus_id, F.explode("_cg").alias("gram"))
     cand_cg = cg
     if max_gram_df is not None:
         # df-guard as a gram-partitioned window count, not a
@@ -856,25 +854,32 @@ def fuzzy_string_join(
             .filter(F.col("_df") <= max_gram_df)
             .drop("_df")
         )
-    # shuffle_hash here too: the corpus side must never be the broadcast
-    # build; its gram-keyed window shuffle above is REUSED by this join,
-    # so the pin adds no exchange on the big side
+    # shuffle_hash pins on every join whose big side is CORPUS-derived:
+    # the gram frame is a 10-50x explode whose Catalyst size estimate is
+    # the pre-explode scan bytes, and the unpinned sf1 plan broadcast
+    # the (corpus_id, gram) frame — the mid-scale driver-OOM shape (see
+    # containment_pairs). The gram-keyed window shuffle above is REUSED
+    # by this join, so the pin adds no exchange on the big side; the
+    # PROBE gram side is panel-bounded and stays the planner's call.
     cands = (
         pg.join(cand_cg.hint("shuffle_hash"), "gram")
         .select(probe_id, corpus_id)
         .distinct()
     )
-    p_sizes = pg.groupBy(probe_id).agg(F.count("*").alias("_np"))
-    c_sizes = cg.groupBy(corpus_id).agg(F.count("*").alias("_nc"))
-    inter = (
-        cands.join(pg, probe_id)
-        .join(cg.hint("shuffle_hash"), [corpus_id, "gram"])
-        .groupBy(probe_id, corpus_id)
-        .agg(F.count("*").alias("_inter"))
-    )
+    # verification: join the gram ARRAYS back by id (the corpus side
+    # keeps the shuffle_hash pin — same never-broadcast-the-corpus rule,
+    # the array frame's estimate is still scan bytes) and intersect
+    # in-row
     return (
-        inter.join(p_sizes, probe_id)
-        .join(c_sizes, corpus_id)
+        cands.join(p, probe_id)
+        .join(c.hint("shuffle_hash"), corpus_id)
+        .select(
+            probe_id,
+            corpus_id,
+            F.size(F.array_intersect("_pg", "_cg")).alias("_inter"),
+            F.size("_pg").alias("_np"),
+            F.size("_cg").alias("_nc"),
+        )
         .select(
             probe_id,
             corpus_id,
