@@ -603,37 +603,56 @@ def ivf_pq_probe_lists_topk(
 def _pq_base_ctes(
     src: str, id_col: str, vec_col: str, n_subspaces: int, dim: int
 ) -> str:
-    """Shared oracle prefix: quantized component explode (q) and the
-    per-subspace view (sub)."""
+    """Shared oracle prefix: quantized component explode (q), the
+    per-subspace component view (sub, kept for the training-round mean
+    updates), and the per-(vector, subspace) VECTOR view (svec) every
+    distance computation runs on — see ``_pq_serving_ctes``."""
     qs = f"{int(QUANT_SCALE)}.0"
     dsub = dim // n_subspaces
     return f"""q AS (
       SELECT {id_col} AS vid, CAST(i AS INT) AS dim,
              round(CAST({vec_col}[CAST(i AS INT) + 1] AS DOUBLE) * {qs}) AS qv
       FROM {src}, unnest(generate_series(0, {dim - 1})) AS u(i)),
-    sub AS (SELECT vid, dim // {dsub} AS m, dim % {dsub} AS d, qv FROM q)"""
+    sub AS (SELECT vid, dim // {dsub} AS m, dim % {dsub} AS d, qv FROM q),
+    svec AS (
+      SELECT vid, m, v, list_inner_product(v, v) AS vv
+      FROM (SELECT vid, m, list(qv ORDER BY d) AS v FROM sub GROUP BY 1, 2))"""
+
+
+def _pq_cvec_cte(name: str, cb: str) -> str:
+    """Vectorize a per-component codebook CTE ``cb`` (code, m, d, qc)
+    into (code, m, c list, cc self-product) for the list-form distance."""
+    return f"""{name} AS (
+      SELECT code, m, c, list_inner_product(c, c) AS cc
+      FROM (SELECT code, m, list(qc ORDER BY d) AS c FROM {cb} GROUP BY 1, 2))"""
+
+
+# Exact-integer squared distance in vector form: every qv/qc is an
+# exact integer in a DOUBLE, so vv - 2*<v,c> + cc == sum_d (qv-qc)^2
+# with every product and sum below 2^53 — bit-identical to the r8
+# component-summed form. The vector form exists because the summed
+# form's GROUP BY (vid, m, code) built an N*K*M-group hash table
+# (~300M groups at sf1) that exhausted DuckDB's spill disk; here the
+# N*K join output streams through an N*M-group argmin instead.
+_D2 = "s.vv - 2 * list_inner_product(s.v, c.c) + c.cc"
 
 
 def _pq_serving_ctes(panel_pred: str, k: int) -> str:
     """Shared oracle suffix: encode -> LUT -> ADC -> top-k over a ``cb``
-    CTE of shape (code, m, d, qc) — seeded or trained, same serving."""
-    return f"""enc_d AS (
-      SELECT s.vid, s.m, c.code,
-             sum((s.qv - c.qc) * (s.qv - c.qc)) AS d2
-      FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
-      GROUP BY 1, 2, 3),
+    CTE of shape (code, m, d, qc) — seeded or trained, same serving.
+    Encode is a single streaming argmin (min over a (d2, code) struct:
+    lexicographic, so ties go to the lowest code id, matching the r8
+    window form and the Spark kernel)."""
+    return f"""{_pq_cvec_cte("cvec", "cb")},
     enc AS (
-      SELECT vid, m, min(code) AS code
-      FROM (SELECT vid, m, code, d2,
-                   min(d2) OVER (PARTITION BY vid, m) AS mn
-            FROM enc_d)
-      WHERE d2 = mn GROUP BY 1, 2),
+      SELECT s.vid, s.m,
+             struct_extract(min({{'d2': {_D2}, 'code': c.code}}), 'code') AS code
+      FROM svec s JOIN cvec c USING (m)
+      GROUP BY 1, 2),
     lut AS (
-      SELECT s.vid AS qid, s.m, c.code,
-             sum((s.qv - c.qc) * (s.qv - c.qc)) AS d2
-      FROM sub s JOIN cb c ON c.m = s.m AND c.d = s.d
-      WHERE s.{panel_pred}
-      GROUP BY 1, 2, 3),
+      SELECT s.vid AS qid, s.m, c.code, {_D2} AS d2
+      FROM svec s JOIN cvec c USING (m)
+      WHERE s.{panel_pred}),
     adc AS (
       SELECT l.qid AS query_id, e.vid AS cand_id,
              CAST(sum(l.d2) AS BIGINT) AS adist
@@ -693,17 +712,12 @@ def pq_trained_oracle_sql(
     ]
     for t in range(n_iter):
         parts.append(
-            f"""td{t} AS (
-      SELECT s.vid, s.m, c.code,
-             sum((s.qv - c.qc) * (s.qv - c.qc)) AS d2
-      FROM sub s JOIN cb{t} c ON c.m = s.m AND c.d = s.d
-      GROUP BY 1, 2, 3),
+            f"""{_pq_cvec_cte(f"cvec{t}", f"cb{t}")},
     ta{t} AS (
-      SELECT vid, m, min(code) AS code
-      FROM (SELECT vid, m, code, d2,
-                   min(d2) OVER (PARTITION BY vid, m) AS mn
-            FROM td{t})
-      WHERE d2 = mn GROUP BY 1, 2),
+      SELECT s.vid, s.m,
+             struct_extract(min({{'d2': {_D2}, 'code': c.code}}), 'code') AS code
+      FROM svec s JOIN cvec{t} c USING (m)
+      GROUP BY 1, 2),
     tu{t} AS (
       SELECT a.m, a.code, s.d,
              CAST(sum(s.qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
