@@ -78,6 +78,7 @@ HEADLINE = [
     "x_ann_pq_topk",              # product-quantized ADC serving
     "x_ann_pq_trained",           # per-subspace Lloyd-trained codebooks
     "x_ann_ivf_pq_topk",          # IVF-pruned ADC over code lists
+    "x_ann_ivf_pq_trained",       # trained-codebook IVF-PQ composition
     "x_dedup_incremental",        # batch-vs-index incremental near-dup
     "x_pack_sequences",           # concat-and-chunk sequence packing
     "x_leakage_safe_split",       # cluster-coherent train/val split

@@ -706,6 +706,18 @@ def pq_trained_oracle_sql(
     ``pq_ann_topk(model=...)``."""
     parts = [
         _pq_base_ctes(src, id_col, vec_col, n_subspaces, dim),
+        *_pq_trained_cb_ctes(seed_mod, n_iter),
+        _pq_serving_ctes(panel_pred, k),
+    ]
+    return "\n    WITH " + ",\n    ".join(parts) + "\n    "
+
+
+def _pq_trained_cb_ctes(seed_mod: int, n_iter: int) -> list[str]:
+    """The unrolled Lloyd-round CTE chain (stride seed cb0 ->
+    cb{n_iter} -> final ``cb``) shared by the flat trained oracle and
+    the IVF-PQ trained oracle. Expects ``sub``/``svec`` in scope
+    (``_pq_base_ctes``)."""
+    parts = [
         f"""cb0 AS (
       SELECT dense_rank() OVER (ORDER BY vid) - 1 AS code, m, d, qv AS qc
       FROM sub WHERE vid % {seed_mod} = 0)""",
@@ -733,6 +745,5 @@ def pq_trained_oracle_sql(
         ON u.m = c.m AND u.code = c.code AND u.d = c.d)"""
         )
     parts.append(f"cb AS (SELECT code, m, d, qc FROM cb{n_iter})")
-    parts.append(_pq_serving_ctes(panel_pred, k))
-    return "\n    WITH " + ",\n    ".join(parts) + "\n    "
+    return parts
 

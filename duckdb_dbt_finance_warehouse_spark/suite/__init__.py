@@ -13,90 +13,31 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  ROUND-8 ROTATION: (1) the two never-green entries, both
-# FIXED this round — x_inverted_index (postings now a comma-joined
-# scalar the driver canonicalizer can hash) and x_multimodal_features
-# (first-ever value oracle: the ASCII corpus makes the stub decoder's
-# byte stats DuckDB-expressible) — then (2) entries NEW or code-changed
-# this round (x_multimodal_resize, x_ann_pq_trained, the integer-exact
-# robust_z rewrite in x_mad_outliers, the dense_rank LSH top-k +
-# merged-index persist on the LSH/IVF serving family, the int32
-# rank-dictionary census), then (3) the 26-entry r7 deferred drain
-# list, first slots as promised, then (4) the oldest remaining
-# r5-green entries, biased toward the similarity/dedup subsystem whose
-# shared code moved this round.
+# cosmetics.  ROUND-9 ROTATION: (1) the one NEW entry
+# (x_ann_ivf_pq_trained — the trained-codebook IVF-PQ composition),
+# then (2) the full 38-entry r8 DEFERRED_NEXT_ROUND drain list, first
+# slots exactly as promised (it includes x_fuzzy_join, whose in-row
+# gram-array rework this round needs the re-check anyway), then
+# (3) entries whose code or oracle changed this round — x_pagerank
+# (int32 rank-dictionary iteration), x_ann_pq_trained / x_ann_pq_topk
+# (vectorized list-form oracles), x_multimodal_features /
+# x_multimodal_resize (real PNG decode + ASCII-invariant oracle guard)
+# — then (4) the oldest remaining r6-green entries, biased toward the
+# round's perf-watch list (substring_dedup drift A/B, basket_pairs /
+# embed_drift / precision-audit floor class).
 #
-# With this window, every registry entry's latest green row is >= r5
-# after this round's run; the r5 stragglers that did not fit move to
-# DEFERRED_NEXT_ROUND (r9's first slots — cadence backlog, not
-# never-checked debt; each is still pinned every session by
-# test_oracle_parity_deferred.py).  tests/test_coverage_rotation.py
+# After this round's run no registry entry's latest green driver row is
+# older than r6; the r6 remainder moves to DEFERRED_NEXT_ROUND (r10's
+# first slots), each still session-pinned by
+# test_oracle_parity_deferred.py.  tests/test_coverage_rotation.py
 # enforces that every registry entry is either driver-checked already,
 # in the current first-50, or in the deferred plan (which must itself
 # fit one round) — the "ships unchecked" failure mode cannot recur
 # silently.
 DRIVER_PRIORITY: list[str] = [
-    # --- never driver-green, both fixed this round ---
-    "x_inverted_index",
-    "x_multimodal_features",
-    # --- new entries / code changed this round ---
-    "x_multimodal_resize",
-    "x_ann_pq_trained",
-    "x_mad_outliers",
-    "x_ann_lsh_incremental",
-    "x_ann_ivf_incremental",
-    "x_ann_lsh_probe_table",
-    "x_ann_lsh_bucketed",
-    "x_embed_near_dup",
-    "x_triangle_count",
-    "x_triangle_sample",
-    # --- the r7 deferred drain list, first slots as declared ---
-    "x_sessionize",
-    "x_asof_nearest",
-    "x_multimodal_bytestats",
-    "x_text_langid",
-    "x_text_quality",
-    "x_token_count",
-    "x_fingerprint",
-    "x_tfidf_top_terms",
-    "x_sample_hash",
-    "x_sample_stratified",
-    "x_sample_mixture",
-    "x_decontaminate",
-    "x_scrub_pii",
-    "x_event_tumbling_window",
-    "x_json_props",
-    "x_resample_locf",
-    "x_interval_overlap",
-    "x_profile_stats",
-    "x_winsorize",
-    "x_heavy_hitters",
-    "x_text_repetition",
-    "x_bloom_semi_join",
-    "x_quantile_sketch",
-    "x_hll_by_group",
-    "x_dedup_canonical",
-    "x_pack_efficiency",
-    # --- oldest remaining driver rows (r5), changed-subsystem first ---
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_minhash_portable",
-    "x_dedup_simhash",
-    "x_ann_cosine_topk",
-    "x_ann_ivf_topk",
-    "x_semantic_dedup",
-    "x_paragraph_dedup",
-    "a4_multi_sum_rollup",
-    "p9_topk_per_group",
-    "w2_lag_prev_month",
-    "sql2_join_agg_q5_style",
-]
-
-# r5-green entries whose re-green did not fit this window; they take
-# r9's first slots.  Adding a NEW queries() entry still requires a
-# first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
-# that already has a green driver row.
-DEFERRED_NEXT_ROUND: list[str] = [
+    # --- new entry this round ---
+    "x_ann_ivf_pq_trained",
+    # --- the r8 deferred drain list, first slots as declared ---
     "a10_salted_agg",
     "a11_pivot",
     "a12_unpivot",
@@ -135,6 +76,63 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_quality_classifier",
     "x_sample_temperature",
     "x_simhash_near_dup",
+    # --- code or oracle changed this round ---
+    "x_pagerank",
+    "x_ann_pq_trained",
+    "x_ann_pq_topk",
+    "x_multimodal_features",
+    "x_multimodal_resize",
+    # --- oldest remaining driver rows (r6), perf-watch list first ---
+    "x_substring_dedup",
+    "x_basket_pairs",
+    "x_embed_drift",
+    "x_dedup_precision_audit",
+    "sql10_having_in_q18_style",
+    "sql12_double_exists_q21_style",
+]
+
+# r6-green entries whose re-green did not fit this window; they take
+# r10's first slots.  Adding a NEW queries() entry still requires a
+# first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
+# that already has a green driver row.
+DEFERRED_NEXT_ROUND: list[str] = [
+    "a13_cube",
+    "o4_null_ordering",
+    "sql11_top_view_q15_style",
+    "sql5_correlated_agg_q17_style",
+    "sql6_lateral_topk",
+    "sql7_outer_join_histogram_q13_style",
+    "sql8_correlated_min_q2_style",
+    "sql9_global_avg_anti_join_q22_style",
+    "w7_value_kit",
+    "x_ab_conversion",
+    "x_auc_quality",
+    "x_bm25_search",
+    "x_bpe_segment",
+    "x_bpe_train",
+    "x_corpus_profile",
+    "x_corr_matrix",
+    "x_dataset_overlap",
+    "x_edit_distance",
+    "x_embed_quantize",
+    "x_event_anomaly",
+    "x_event_paths",
+    "x_event_transitions",
+    "x_group_quantiles",
+    "x_hll_error_audit",
+    "x_hll_merge",
+    "x_importance_resample",
+    "x_join_size_estimate",
+    "x_ks_drift",
+    "x_last_touch_attribution",
+    "x_lexical_drift",
+    "x_lm_bigram_score",
+    "x_pca_power",
+    "x_perplexity_buckets",
+    "x_random_projection",
+    "x_shard_rendezvous",
+    "x_skew_report",
+    "x_zipf_fit",
 ]
 
 

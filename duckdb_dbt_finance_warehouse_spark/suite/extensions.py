@@ -940,6 +940,78 @@ def x_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PQ_TRAINED_ORACLE = (
+    "\n    WITH "
+    + ",\n    ".join(
+        [
+            f"""cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cent_vec
+      FROM embeddings WHERE vec_id % 32 = 0),
+    assign AS (
+      SELECT v.vec_id AS cand_id, c.centroid_id,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY {_CENT_COS.format(a='v')} DESC, c.centroid_id) AS crank
+      FROM embeddings v CROSS JOIN cents c),
+    lists AS (SELECT cand_id, centroid_id FROM assign WHERE crank = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, c.centroid_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {_CENT_COS.format(a='q')} DESC, c.centroid_id) AS crank
+      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 50 = 0)""",
+            pq._pq_base_ctes("embeddings", "vec_id", "embedding", 4, 64),
+            *pq._pq_trained_cb_ctes(seed_mod=32, n_iter=2),
+            pq._pq_cvec_cte("cvec", "cb"),
+            f"""enc AS (
+      SELECT s.vid, s.m,
+             struct_extract(min({{'d2': {pq._D2}, 'code': c.code}}), 'code') AS code
+      FROM svec s JOIN cvec c USING (m)
+      GROUP BY 1, 2),
+    lutq AS (
+      SELECT s.vid AS qid, s.m, c.code, {pq._D2} AS d2
+      FROM svec s JOIN cvec c USING (m)
+      WHERE s.vid % 50 = 0),
+    adc AS (
+      SELECT p.query_id, l.cand_id, CAST(sum(lq.d2) AS BIGINT) AS adist
+      FROM (SELECT * FROM probes WHERE crank <= 2) p
+      JOIN lists l ON l.centroid_id = p.centroid_id
+                  AND l.cand_id != p.query_id
+      JOIN enc e ON e.vid = l.cand_id
+      JOIN lutq lq ON lq.qid = p.query_id AND lq.m = e.m
+                  AND lq.code = e.code
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY adist ASC, cand_id) AS INT) AS rank
+      FROM adc)
+    SELECT query_id, cand_id, adist, rank FROM ranked WHERE rank <= 5""",
+        ]
+    )
+    + "\n    "
+)
+
+
+@query("x_ann_ivf_pq_trained", oracle=_IVF_PQ_TRAINED_ORACLE)
+def x_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN stack with TRAINED codebooks
+    (operators/pq.pq_train_codebooks -> ivf_pq_topk(pq_model=...)):
+    per-subspace Euclidean Lloyd rounds refine the PQ codebooks, the
+    frozen trained model drives ivf_pq_build's single Arrow
+    assign+encode pass, and serving is coarse pruning to 2 inverted
+    lists per probe + cogrouped ADC over code ids — x_ann_ivf_pq_topk's
+    shape with the trained model x_ann_pq_trained proves. The oracle
+    composes the coarse-assignment CTEs with the unrolled training
+    rounds and the list-pruned ADC, all exact-integer;
+    tests/test_operators.py cross-validates all-lists-probed trained
+    IVF-PQ == flat trained ADC and trained-build append == rebuild."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    trained = pq.pq_train_codebooks(emb, n_subspaces=4, seed_mod=32, n_iter=2)
+    return pq.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0),
+        k=5, n_centroids_mod=32, n_probes=2, n_subspaces=4,
+        pq_model=trained,
+    )
+
+
 @query("x_ann_pq_topk", oracle=pq.pq_oracle_sql(panel_pred="vid < 16"))
 def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZED ANN (operators/pq): the corpus is stored as

@@ -2832,6 +2832,56 @@ def test_ivf_pq_with_all_lists_probed_equals_flat_adc(spark):
     assert got == sorted(map(tuple, flat.collect())) and got
 
 
+def test_ivf_pq_trained_all_lists_probed_equals_flat_trained_adc(spark):
+    """Same cross-validation for the TRAINED-codebook composition
+    (x_ann_ivf_pq_trained's stack): with every list probed, IVF-PQ
+    serving under a trained pq_model must equal flat trained ADC —
+    and the trained model must actually change the ranking vs seeded
+    (otherwise the composition silently ignored the model)."""
+    from duckdb_dbt_finance_warehouse_spark.operators import pq
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    panel = emb.filter(F.col("vec_id") < 16)
+    trained = pq.pq_train_codebooks(emb, n_subspaces=4, seed_mod=32, n_iter=2)
+    flat = pq.pq_ann_topk(emb, panel, k=5, n_subspaces=4, model=trained)
+    ivfpq = pq.ivf_pq_topk(
+        emb, panel, k=5, n_centroids_mod=32, n_probes=10_000,
+        n_subspaces=4, pq_model=trained,
+    )
+    got = sorted(map(tuple, ivfpq.collect()))
+    assert got == sorted(map(tuple, flat.collect())) and got
+    seeded = pq.ivf_pq_topk(
+        emb, panel, k=5, n_centroids_mod=32, n_probes=10_000,
+        n_subspaces=4, seed_mod=32,
+    )
+    assert got != sorted(map(tuple, seeded.collect()))
+
+
+def test_ivf_pq_build_trained_append_equals_rebuild(spark):
+    """Index lifecycle for the trained composition: both models frozen
+    (collected centroids + trained codebooks), so building the IVF-PQ
+    lists for a base corpus and a new batch separately and unioning
+    them equals one full rebuild — the invariant that makes partition-
+    append the production ingest path."""
+    from duckdb_dbt_finance_warehouse_spark.operators import pq, similarity
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, SF, "embeddings")["embeddings"]
+    ivf3 = similarity._ivf_model(emb, "vec_id", "embedding", 32, None, "t")
+    trained = pq.pq_train_codebooks(emb, n_subspaces=4, seed_mod=32, n_iter=2)
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    merged = (
+        pq.ivf_pq_build(base, ivf3, trained, n_subspaces=4)
+        .unionByName(pq.ivf_pq_build(batch, ivf3, trained, n_subspaces=4))
+        .collect()
+    )
+    rebuilt = pq.ivf_pq_build(emb, ivf3, trained, n_subspaces=4).collect()
+    key = lambda r: (r["centroid_id"], r["cand_id"], tuple(r["codes"]))
+    assert sorted(map(key, merged)) == sorted(map(key, rebuilt)) and merged
+
+
 def test_multimodal_resize_stub_plumbing(spark):
     """Resize plumbing: every payload lands at exactly target_bytes
     (empty stays empty), metadata n_bytes matches the new payload,
