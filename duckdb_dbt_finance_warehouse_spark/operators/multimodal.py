@@ -5,15 +5,17 @@ payloads + a typed metadata struct; decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so each Python worker sees columnar
 batches, never row-at-a-time serde.
 
-The DECODE STEP IS STUBBED: real image/audio libs are not in this
-container, so ``extract_features`` computes deterministic byte-level
-features (length, simple byte histogram stats) as a stand-in with the
-same plumbing — schema, batch shape, partitioning — a real decoder would
-use. Swap ``_fake_decode`` for PIL/librosa at deployment; nothing else
-changes.
+IMAGE DECODE IS REAL as of r9: ``synthesize_png_blobs`` builds valid
+PNGs (all five scanline filters, CRC-checked chunks) from corpus bytes
+and ``extract_image_features`` decodes them with the pure-stdlib codec
+in ``operators/png`` — genuine pixels, not a byte-stat stand-in. The
+older ``extract_features``/``resize_stub`` byte-level paths remain as
+the format-agnostic plumbing twins (audio/video decoders are still not
+in this container; their stand-ins keep the same schema/batch/no-shuffle
+contract a librosa/ffmpeg step would use).
 
 Scale notes: payloads dominate row size — keep them OUT of shuffles.
-``extract_features`` is a mapPartitions-shaped narrow op (no shuffle);
+Every extractor here is a mapPartitions-shaped narrow op (no shuffle);
 downstream joins carry only (id, features).
 """
 
@@ -38,6 +40,108 @@ def synthesize_blobs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit(1).alias("version"),
         ).alias("media_meta"),
     )
+
+
+def synthesize_png_blobs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Build an image-typed multimodal table from text rows: each doc
+    becomes a VALID ``width`` x ``height`` RGB PNG whose pixel samples
+    are the doc's utf-8 bytes cycled to fill the raster (empty text ->
+    black). Deterministic — same text, same bytes — so the decoded
+    pixel statistics are replayable from the text by the DuckDB oracle
+    (sample i == byte i % n). Encoding runs Arrow-batched; payloads are
+    born in the scan task and never shuffled."""
+    import pandas as pd
+
+    from . import png
+
+    n_px = width * height * 3
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")
+                px = (
+                    bytes(b[i % len(b)] for i in range(n_px)) if b else bytes(n_px)
+                )
+                payloads.append(png.encode_png(px, width, height, 3))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_meta": [
+                        {"mime": "image/png", "n_bytes": len(p), "version": 1}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.IntegerType()),
+                        T.StructField("version", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        run, out_schema
+    )
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_max", T.IntegerType()),
+        T.StructField("distinct_px", T.IntegerType()),
+    ]
+)
+
+
+def extract_image_features(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image feature extraction: decode each PNG payload
+    (signature + CRC validation, full defiltering — operators/png) and
+    emit true pixel statistics. px_mean is the one IEEE division of an
+    exact integer sum by the sample count, so the stats replay exactly
+    in the oracle. Raises on a corrupt or non-PNG payload — feature
+    rows silently computed from garbage are worse than a loud failure."""
+    import pandas as pd
+
+    from . import png
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("width", "height", "channels", "px_mean", "px_max", "distinct_px")}
+            for payload in pdf["payload"]:
+                w, h, c, px = png.decode_png(bytes(payload))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["px_mean"].append(sum(px) / len(px))
+                rows["px_max"].append(max(px))
+                rows["distinct_px"].append(len(set(px)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], **rows})
+
+    return blobs.select(id_col, "payload").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
 FEATURE_SCHEMA = T.StructType(

@@ -818,6 +818,84 @@ def test_multimodal_feature_plumbing(spark):
     assert feats[2]["n_bytes"] == 0 and feats[2]["byte_mean"] == 0.0
 
 
+def test_png_codec_hand_built_decodes_to_known_pixels():
+    """The decoder is a real PNG decoder: a PNG assembled BY HAND here
+    (explicit signature, chunk lengths, CRCs, one Up-filtered and one
+    Sub-filtered scanline) decodes to independently hand-computed
+    pixels; corrupting one payload byte trips the CRC check."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.operators import png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 2x2 greyscale: row 0 Sub-filtered (raw 10, +5 -> 10, 15),
+    # row 1 Up-filtered (deltas 20, 30 over row 0 -> 30, 45)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    scanlines = bytes([1, 10, 5]) + bytes([2, 20, 30])
+    data = (
+        png.SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    assert png.decode_png(data) == (2, 2, 1, bytes([10, 15, 30, 45]))
+    corrupt = bytearray(data)
+    corrupt[-18] ^= 0xFF  # flip a byte inside the IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(corrupt))
+
+
+def test_png_codec_round_trips_every_filter_type():
+    """encode_png assigns filter y % 5, so a >=5-row image exercises
+    None/Sub/Up/Average/Paeth; decode must invert all of them exactly.
+    Gradient + pseudo-random pixels hit the Paeth/Average carry paths."""
+    from duckdb_dbt_finance_warehouse_spark.operators import png
+
+    w, h, c = 6, 7, 3
+    px = bytes((x * 37 + 11 * (x % 13) * (x % 7)) % 256 for x in range(w * h * c))
+    data = png.encode_png(px, w, h, c)
+    assert data[:8] == png.SIGNATURE
+    assert png.decode_png(data) == (w, h, c, px)
+    # greyscale and RGBA too (different channel strides in the filters)
+    for cc in (1, 4):
+        pxc = bytes((x * 53 + 29 * (x % 11)) % 256 for x in range(w * h * cc))
+        assert png.decode_png(png.encode_png(pxc, w, h, cc)) == (w, h, cc, pxc)
+
+
+def test_multimodal_real_image_features(spark):
+    """synthesize_png_blobs emits VALID PNGs (magic bytes, decodable)
+    and extract_image_features returns the true decoded pixel stats:
+    'ab' cycled over an 8x8 RGB raster gives exactly the byte stats of
+    the cycle; empty text gives a black image."""
+    df = spark.createDataFrame([(1, "ab"), (2, "")], ["doc_id", "text"])
+    blobs = multimodal.synthesize_png_blobs(df, "doc_id", "text")
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in blobs.collect()}
+    assert all(p.startswith(b"\x89PNG") for p in raw.values())
+    assert {r["doc_id"]: r["media_meta"]["mime"] for r in blobs.collect()} == {
+        1: "image/png",
+        2: "image/png",
+    }
+    feats = {
+        r["doc_id"]: r for r in multimodal.extract_image_features(blobs).collect()
+    }
+    f1 = feats[1]
+    assert (f1["width"], f1["height"], f1["channels"]) == (8, 8, 3)
+    assert f1["px_mean"] == (97 + 98) / 2  # 'a','b' cycled over 192 samples
+    assert f1["px_max"] == 98 and f1["distinct_px"] == 2
+    f2 = feats[2]
+    assert f2["px_mean"] == 0.0 and f2["px_max"] == 0 and f2["distinct_px"] == 1
+
+
 def test_cms_sketch_bounds_and_estimates(spark):
     """Count-min guarantees: est >= true count for every item, and the
     sketch never exceeds d*w cells no matter the cardinality."""
