@@ -171,6 +171,10 @@ def pq_train_codebooks(
             .agg(F.sum("s").alias("s"))
             .collect()
         )
+        # the round's scan is complete and the next round rebinds bc —
+        # release this codebook's driver+executor copies now, or a
+        # 65-query single-JVM bench accumulates one per round (r8 ADVICE)
+        bc.destroy()
         counts: dict[tuple[int, int], int] = {}
         sums: dict[tuple[int, int], np.ndarray] = {}
         for r in cells:
@@ -277,10 +281,18 @@ def pq_adc_topk(
         queries, id_col, vec_col, "pq_adc_topk", "ivf_ann_topk_probe_table"
     )
     if not rows:
-        raise ValueError(
-            "pq_adc_topk: empty probe panel — nothing to serve (an empty "
-            "query frame is almost always an upstream filter bug)"
+        # a legitimately-empty query frame (an upstream filter matching
+        # nothing in a scheduled job) degrades to an empty result with
+        # the output schema, not a hard failure (r8 ADVICE)
+        out = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType),
+                T.StructField("cand_id", codes.schema["cand_id"].dataType),
+                T.StructField("adist", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
         )
+        return queries.sparkSession.createDataFrame([], out)
     _cids, Cq = model
     C = np.asarray(Cq, np.float64)
     K, dim = C.shape

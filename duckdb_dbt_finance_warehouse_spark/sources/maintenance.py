@@ -54,15 +54,26 @@ def compact_table(
     df = wh.read(schema, table)
     # Partition columns = reader-inferred columns absent from the data
     # files themselves (Spark appends them, in nesting order, after the
-    # file columns).  This uses Spark's OWN partition discovery — which
-    # already unions every directory chain — instead of descending one
-    # arbitrary os.listdir chain, where a shallow/partial partition dir
-    # would silently flatten the deeper levels on rewrite.
+    # file columns), INTERSECTED with the hive-style ``col=`` directory
+    # segments actually present under the table root.  The schema check
+    # alone sampled one file — on a schema-evolved table read with
+    # merged schemas, a data column missing from that one file would be
+    # misclassified as a partition column and the rewrite would silently
+    # change the table layout (r8 ADVICE); a directory segment cannot
+    # lie about being a partition level.
     files = data_files(wh, schema, table)
     part_cols: list[str] = []
     if files:
+        root = wh.path(schema, table)
+        hive_levels: set[str] = set()
+        for f in files:
+            for seg in os.path.relpath(os.path.dirname(f), root).split(os.sep):
+                if "=" in seg:
+                    hive_levels.add(seg.split("=", 1)[0])
         file_cols = set(df.sparkSession.read.parquet(files[0]).columns)
-        part_cols = [c for c in df.columns if c not in file_cols]
+        part_cols = [
+            c for c in df.columns if c not in file_cols and c in hive_levels
+        ]
     if drop_partitions:
         missing = [c for c in drop_partitions if c not in part_cols]
         if missing:

@@ -201,6 +201,78 @@ def test_compact_table_survives_shallow_partition_chain(spark, tmp_path):
     assert sorted(tuple(r) for r in wh.read("mart", "deep").collect()) == before
 
 
+def test_compact_table_schema_evolved_column_not_misread_as_partition(
+    spark, tmp_path
+):
+    """ADVICE r8: partition discovery compared the reader's columns to
+    ONE sampled data file — on a schema-evolved table (merged schemas)
+    a data column absent from that file would be misclassified as a
+    partition column and the rewrite would silently change the layout.
+    Discovery now also requires a hive-style ``col=`` directory segment.
+    Write an old-schema batch, append a new-schema batch with an extra
+    DATA column, and assert compaction keeps ``extra`` a data column
+    while the real partition level survives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.sources.maintenance import compact_table
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    old = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("pk")
+    )
+    wh.write(old, "mart", "evolved", partition_by=["pk"])
+    new = spark.range(100, 200).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("pk"),
+        (F.col("id") * 10).alias("extra"),
+    )
+    new.write.mode("append").partitionBy("pk").option("mergeSchema", "true").parquet(
+        wh.path("mart", "evolved")
+    )
+    read = wh.spark.read.option("mergeSchema", "true").parquet(
+        wh.path("mart", "evolved")
+    )
+    before = sorted(
+        (r["id"], r["pk"], r["extra"]) for r in read.collect()
+    )
+    # monkey the warehouse read to merge schemas like an evolved reader
+    wh.read = lambda s, t: wh.spark.read.option("mergeSchema", "true").parquet(  # type: ignore[method-assign]
+        wh.path(s, t)
+    )
+    compact_table(wh, "mart", "evolved", target_files=1)
+    root = wh.path("mart", "evolved")
+    assert any(d.startswith("pk=") for d in os.listdir(root)), "pk level lost"
+    assert not any(
+        "extra=" in d for d, _, _ in os.walk(root)
+    ), "data column 'extra' became a partition level"
+    after = wh.spark.read.parquet(root)
+    assert "extra" in after.columns
+    got = sorted((r["id"], r["pk"], r["extra"]) for r in after.collect())
+    assert got == before
+
+
+def test_pq_adc_topk_empty_probe_panel_degrades_to_empty_result(spark):
+    """ADVICE r8: an upstream filter matching nothing must yield an
+    empty frame with the serving schema, not a hard failure — scheduled
+    jobs degrade gracefully."""
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.operators import pq
+    from duckdb_dbt_finance_warehouse_spark.sources.tables import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", "embeddings")["embeddings"]
+    model = pq.pq_seed_codebooks(emb, n_subspaces=4, seed_mod=32)
+    codes = pq.pq_encode(emb, model, n_subspaces=4)
+    out = pq.pq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 0), model, k=5, n_subspaces=4
+    )
+    assert out.columns == ["query_id", "cand_id", "adist", "rank"]
+    assert out.count() == 0
+
+
 def test_compact_table_drops_epoch_bookkeeping_partitions(spark, tmp_path):
     """Closing the incremental-index lifecycle: an ANN index that
     accreted per-epoch partitions from the streaming appender compacts
