@@ -959,14 +959,21 @@ def _lsh_topk(scored_raw: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _pair_score_flagged_fn():
+def _pair_score_flagged_fn(probes_are_candidates: bool = True):
     """Single-frame variant of ``_pair_score_cogroup_fn`` for probe
     panels that are INDEXED SUBSETS: one group's rows carry an
     ``_is_probe`` flag, the kernel splits probes out and scores them
-    against the whole group. Lets the serving plan pay ONE (tbl,
-    bucket) exchange instead of the cogroup's two — the probe rows
-    already ride the index stream. Same quantized-exact math and
-    self-match drop as the cogroup kernel, bit-identical output."""
+    against the group. Lets the serving plan pay ONE (tbl, bucket)
+    exchange instead of the cogroup's two — the probe rows already ride
+    the index stream. Same quantized-exact math and self-match drop as
+    the cogroup kernel, bit-identical output.
+
+    ``probes_are_candidates``: True (ANN serving — a probe is also a
+    corpus member other probes may retrieve) scores probes against the
+    WHOLE group; False (decontamination — eval examples must never be
+    reported as contaminated corpus docs) scores probes against the
+    non-probe rows only, matching the cogroup form whose corpus side
+    excluded the eval set."""
     import numpy as np
     import pandas as pd
 
@@ -978,6 +985,8 @@ def _pair_score_flagged_fn():
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         pr = pdf[pdf["_is_probe"]]
+        if not probes_are_candidates:
+            pdf = pdf[~pdf["_is_probe"]]
         if len(pdf) == 0 or len(pr) == 0:
             return pd.DataFrame(empty)
         Xq = _np_quant(np.stack(pdf["_vec"].to_numpy()).astype(np.float64))
@@ -1134,13 +1143,14 @@ def lsh_incremental_topk(
 
 def semantic_decontaminate(
     corpus: DataFrame,
-    eval_set: DataFrame,
+    eval_set: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
     n_tables: int = 8,
     n_planes: int = 4,
     dim: int = 64,
+    eval_pred=None,
 ) -> DataFrame:
     """SEMANTIC decontamination — the embedding-space companion to
     ``text.decontaminate``'s n-gram scan: flag corpus documents whose
@@ -1165,13 +1175,61 @@ def semantic_decontaminate(
     The eval set is BOUNDED by construction (a held-out benchmark), so
     the index stream is pruned to the probed buckets map-side
     (``prune_to_probed``) — corpus rows nowhere near an eval example
-    never ride the cogroup shuffle."""
-    scored = _lsh_scored_pairs(
-        corpus, eval_set, id_col, vec_col, n_tables, n_planes, dim,
-        prune_to_probed=True,
-    )
+    never ride the cogroup shuffle.
+
+    ``eval_pred``: when the eval panel is an INDEXED SUBSET — a
+    standing benchmark whose examples live in the same embeddings table
+    as the corpus — pass ``corpus`` as the FULL table and a boolean
+    Column over the index frame's ``cand_id`` instead of ``eval_set``:
+    the panel's bucket rows are read straight out of the one bucket
+    pass and a single (tbl, bucket) groupBy splits eval from corpus
+    inside the kernel (``probes_are_candidates=False`` — eval examples
+    are never reported as contaminated docs, matching the two-frame
+    form whose corpus excluded them). One exchange instead of the
+    cogroup's two and no second Arrow hash stage; scores bit-identical
+    by construction. A truly HELD-OUT eval set (not in the table) still
+    takes the two-frame cogroup path. Exactly one of ``eval_set`` /
+    ``eval_pred`` must be given."""
+    if (eval_set is None) == (eval_pred is None):
+        raise ValueError(
+            "semantic_decontaminate: pass exactly one of eval_set / eval_pred"
+        )
+    if eval_pred is not None:
+        from pyspark.sql import types as T
+
+        buckets = lsh_build_buckets(
+            corpus, id_col, vec_col, n_tables, n_planes, dim
+        )
+        id_type = corpus.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("cand_id", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        scored = (
+            buckets.withColumn(
+                "_is_probe",
+                F.coalesce(eval_pred.cast("boolean"), F.lit(False)),
+            )
+            .groupBy("tbl", "bucket")
+            .applyInPandas(
+                _pair_score_flagged_fn(probes_are_candidates=False), out_schema
+            )
+            # a pair colliding in several tables has identical quantized
+            # scores everywhere — dedup the contamination-sized remainder
+            # AFTER the threshold filter, never the full pair stream
+            .filter(F.col("cosine") >= threshold)
+            .distinct()
+        )
+    else:
+        scored = _lsh_scored_pairs(
+            corpus, eval_set, id_col, vec_col, n_tables, n_planes, dim,
+            prune_to_probed=True,
+        ).filter(F.col("cosine") >= threshold)
     return (
-        scored.filter(F.col("cosine") >= threshold)
+        scored
         .groupBy("cand_id")
         .agg(
             F.count("*").alias("n_eval_hits"),

@@ -1164,17 +1164,20 @@ def _semantic_decontaminate_oracle(sf_dir: str) -> str:
 def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (operators/similarity.
     semantic_decontaminate): corpus docs within 0.3 cosine of ANY
-    held-out eval example (vec_id % 25) are flagged with hit count and
-    max similarity — catches the paraphrased eval leakage the n-gram
-    scan (x_decontaminate) can't see. Shared LSH probe-table stage:
-    one co-shuffle, cogroup scoring, contamination-sized output;
-    planes sized to the corpus (similarity.lsh_planes_for) so bucket
-    volume — and per-eval-example cost — stays flat as the corpus
-    grows, with the per-sf oracle pinning the same plane literals."""
+    eval example (vec_id % 25) are flagged with hit count and max
+    similarity — catches the paraphrased eval leakage the n-gram scan
+    (x_decontaminate) can't see. The eval panel is an INDEXED SUBSET
+    of the embeddings table, so it serves via the flagged single-
+    exchange path (eval_pred + probes_are_candidates=False kernel):
+    one Arrow bucket pass, ONE (tbl, bucket) exchange, eval split from
+    corpus inside the kernel, contamination-sized output; planes sized
+    to the corpus (similarity.lsh_planes_for) so bucket volume — and
+    per-eval-example cost — stays flat as the corpus grows, with the
+    per-sf oracle pinning the same plane literals. A truly held-out
+    eval frame takes the two-frame cogroup path instead."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.semantic_decontaminate(
-        emb.filter(F.col("vec_id") % 25 != 0),
-        emb.filter(F.col("vec_id") % 25 == 0),
+        emb, eval_pred=F.col("cand_id") % 25 == 0,
         threshold=0.3, n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
     )
 

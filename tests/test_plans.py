@@ -446,16 +446,25 @@ def test_gram_verify_joins_never_broadcast_corpus_grams(spark):
 
 
 def test_bounded_probe_lsh_prunes_index_to_probed_buckets(spark):
-    """When the probe side is bounded by construction (decontaminate's
-    eval set, the recall-audit panel), the corpus bucket stream must be
-    pre-filtered by a broadcast LEFT SEMI on the probed (tbl, bucket)
-    keys BEFORE the cogroup exchange — rows in never-probed buckets are
-    dropped map-side instead of riding a corpus-sized shuffle. The
-    table-sized probe path (x_ann_lsh_probe_table) must NOT pay the
-    semi join: its probes cover the key space."""
-    for name in ("x_semantic_decontaminate", "x_ann_recall_audit"):
-        p = plan_of(spark, name)
-        assert "BroadcastHashJoin LeftSemi" in p, name
-        assert "Left keys [2]: [tbl" in p, name
+    """When the probe side is bounded by construction AND held out of
+    the index (the recall-audit panel), the corpus bucket stream must
+    be pre-filtered by a broadcast LEFT SEMI on the probed (tbl,
+    bucket) keys BEFORE the cogroup exchange — rows in never-probed
+    buckets are dropped map-side instead of riding a corpus-sized
+    shuffle. The table-sized probe path (x_ann_lsh_probe_table) must
+    NOT pay the semi join: its probes cover the key space. And an
+    INDEXED-SUBSET panel (x_semantic_decontaminate's standing eval
+    panel, r9) must take the flagged single-exchange path: exactly one
+    FlatMapGroupsInPandas over the index stream, no cogroup, no semi
+    join, no second Arrow hash stage."""
+    p = plan_of(spark, "x_ann_recall_audit")
+    assert "BroadcastHashJoin LeftSemi" in p
+    assert "Left keys [2]: [tbl" in p
     p = plan_of(spark, "x_ann_lsh_probe_table")
     assert "LeftSemi" not in p
+    p = plan_of(spark, "x_semantic_decontaminate")
+    # formatted explain names each node in the tree AND the detail
+    # section — 2 mentions == exactly one node
+    assert p.count("FlatMapGroupsInPandas") == 2
+    assert "FlatMapCoGroupsInPandas" not in p and "LeftSemi" not in p
+    assert p.count("MapInPandas (") == 1  # one bucket pass, no probe re-hash
