@@ -796,8 +796,23 @@ def inverted_index(
     ``postings_as_string=True`` emits the posting list as a
     comma-joined string instead of ``array<long>`` — a hashable scalar
     for harnesses whose canonicalizers can't digest array columns
-    (identical information; real index consumers keep the array)."""
-    toks = tokens(df, id_col, text_col).filter(F.col("tok") != "").distinct()
+    (identical information; real index consumers keep the array).
+
+    The (doc, term) dedup is per-ROW (``array_distinct`` before the
+    explode — a doc's term set is a pure function of its text, same
+    r9 move as fuzzy_string_join's gram arrays), so the index build
+    pays exactly ONE exchange: the (term, block) aggregation. Doc ids
+    are assumed unique keys, as the oracle's DISTINCT also treats
+    them."""
+    toks = (
+        spread_input(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(F.split(normalize_text(text_col), " ")).alias("_t"),
+        )
+        .select(id_col, F.explode("_t").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
     out = (
         toks.withColumn("block", F.expr(f"{id_col} div {block_size}"))
         .groupBy("tok", "block")
