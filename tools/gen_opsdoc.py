@@ -35,11 +35,11 @@ def main() -> None:
         f"{len(REGISTRY)} registry entries; every entry is a `queries()` "
         "callable `(spark, sf_dir) -> DataFrame`. `oracle` = DuckDB SQL "
         "replay exists (the driver hash-compares results) — since r8 "
-        "EVERY entry is oracle-paired (the last rows-only entry, "
-        "x_multimodal_features, gained a byte-stats value oracle over "
-        "the ASCII-synthesized payloads). `window` marks membership in "
-        "the driver's 50-entry per-round correctness rotation "
-        "(CLAUDE.md).",
+        "EVERY entry is oracle-paired, and since r9 the multimodal "
+        "decode is a REAL PNG decode (operators/png) whose pixel stats "
+        "the oracle replays through the lossless round-trip. `window` "
+        "marks membership in the driver's 50-entry per-round "
+        "correctness rotation (CLAUDE.md).",
         "",
         "| entry | module | oracle | window | summary |",
         "|---|---|---|---|---|",
