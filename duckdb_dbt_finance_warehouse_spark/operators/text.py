@@ -348,9 +348,14 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
     )
     q = F.floor(lnp * 1000000 + F.lit(0.5)).cast("bigint")
+    # c1 is UNIGRAM-vocab volume — strictly within the bigram table's
+    # broadcastability (qtable itself broadcasts below), so pin it as
+    # the build side here too: the unpinned plan shuffled the whole
+    # distinct-bigram frame on w1 for a vocab-sized probe. Same
+    # open-vocabulary caveat as qtable's own hint.
     qtable = (
         c2.withColumn("w1", F.split(F.col("gram"), " ")[0])
-        .join(c1.withColumnRenamed("tok", "w1"), "w1")
+        .join(F.broadcast(c1.withColumnRenamed("tok", "w1")), "w1")
         .crossJoin(F.broadcast(vocab))
         .select("gram", q.alias("q"))
     )
