@@ -392,7 +392,10 @@ def test_stream_ivf_pq_index_append_matches_rebuild(spark, tmp_path_factory):
     """The compressed-codes streaming twin: micro-batches encoded +
     appended under the FROZEN (ivf, pq) model pair must serve ADC probe
     results BIT-IDENTICAL to a full one-shot build over base+batches,
-    and a restart on the drained checkpoint is a no-op."""
+    and a restart on the drained checkpoint is a no-op. The pq model is
+    the TRAINED one (r9: pq_train_codebooks) so the streaming path pins
+    the production x_ann_ivf_pq_trained composition end to end — the
+    trained model is frozen state exactly like the seeded one."""
     from pyspark.sql import functions as F
 
     from duckdb_dbt_finance_warehouse_spark.operators import pq, similarity
@@ -405,7 +408,7 @@ def test_stream_ivf_pq_index_append_matches_rebuild(spark, tmp_path_factory):
     ivf_model = similarity._ivf_model(
         base, "vec_id", "embedding", 16, None, "test_stream_pq"
     )
-    pq_model = pq.pq_seed_codebooks(base, n_subspaces=4, seed_mod=16)
+    pq_model = pq.pq_train_codebooks(base, n_subspaces=4, seed_mod=16, n_iter=2)
 
     src_dir = str(tmp_path_factory.mktemp("pq_stream"))
     stage = str(tmp_path_factory.mktemp("pq_stage"))
