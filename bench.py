@@ -133,6 +133,7 @@ HEADLINE = [
     "x_table_fingerprint",        # order-independent table checksum
     "x_multimodal_frames",        # strided frame sampling, codegen-only
     "x_multimodal_features",      # REAL PNG decode: pixel stats via mapInPandas
+    "x_multimodal_audio",         # REAL WAV decode: waveform stats via mapInPandas
     "x_multimodal_resize",        # strided-byte resize plumbing + md5
     "x_kfold_split",              # deterministic k-fold CV assignment
     "sql9_global_avg_anti_join_q22_style",  # Q22 scalar-avg + anti join

@@ -144,6 +144,107 @@ def extract_image_features(blobs: DataFrame, id_col: str = "doc_id") -> DataFram
     return blobs.select(id_col, "payload").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+def synthesize_wav_blobs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Build an audio-typed multimodal table from text rows: each doc
+    becomes a VALID 16-bit PCM mono WAV whose samples are the affine
+    map ``byte*256 - 32768`` of the doc's utf-8 bytes cycled to
+    ``n_samples`` (empty text -> silence). Deterministic and — because
+    the codec round-trip is lossless — replayable from the text by the
+    DuckDB oracle. Arrow-batched; payloads never shuffled."""
+    import pandas as pd
+
+    from . import wav
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")
+                samples = [
+                    (b[i % len(b)] * 256 - 32768) if b else 0
+                    for i in range(n_samples)
+                ]
+                payloads.append(wav.encode_wav(samples, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_meta": [
+                        {"mime": "audio/wav", "n_bytes": len(p), "version": 1}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.IntegerType()),
+                        T.StructField("version", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        run, out_schema
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("amp_mean", T.DoubleType()),
+        T.StructField("amp_max", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio feature extraction: decode each WAV payload (RIFF
+    chunk walk, PCM/16-bit contract validation — operators/wav) and
+    emit true waveform statistics. amp_mean and rms are one IEEE
+    division (+ one IEEE sqrt) over exact integer sums — sum(s²) stays
+    far below 2^53 — so the stats replay exactly in the oracle. Raises
+    on a corrupt or non-PCM payload."""
+    import math
+
+    import pandas as pd
+
+    from . import wav
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("n_samples", "sample_rate", "amp_mean", "amp_max", "rms")}
+            for payload in pdf["payload"]:
+                rate, _ch, s = wav.decode_wav(bytes(payload))
+                n = len(s)
+                rows["n_samples"].append(n)
+                rows["sample_rate"].append(rate)
+                rows["amp_mean"].append(sum(s) / n)
+                rows["amp_max"].append(max(s))
+                rows["rms"].append(math.sqrt(sum(x * x for x in s) / n))
+            yield pd.DataFrame({"doc_id": pdf[id_col], **rows})
+
+    return blobs.select(id_col, "payload").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

