@@ -282,11 +282,16 @@ def bm25_search(
     stats = lens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    # tf is consumed twice (the df_t rollup and the scoring join) and
+    # its subtree is the corpus token explode — checkpoint the tiny
+    # (docs x |query|) result so the explode runs once per query, not
+    # twice (CLAUDE.md intra-query-sharing rule; recomputed per run)
     tf = (
         tokens(df, id_col, text_col)
         .filter(F.col("tok").isin(list(query_terms)))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df_t"))
     avgdl = F.col("sum_dl") / F.col("n_docs")
