@@ -8,11 +8,18 @@ batches, never row-at-a-time serde.
 IMAGE DECODE IS REAL as of r9: ``synthesize_png_blobs`` builds valid
 PNGs (all five scanline filters, CRC-checked chunks) from corpus bytes
 and ``extract_image_features`` decodes them with the pure-stdlib codec
-in ``operators/png`` — genuine pixels, not a byte-stat stand-in. The
+in ``operators/png`` — genuine pixels, not a byte-stat stand-in. As of
+r10 RESIZE IS REAL too: ``resize_image`` decodes, nearest-neighbor
+resamples in pixel space, and re-encodes with the same codec. The
 older ``extract_features``/``resize_stub`` byte-level paths remain as
-the format-agnostic plumbing twins (audio/video decoders are still not
-in this container; their stand-ins keep the same schema/batch/no-shuffle
-contract a librosa/ffmpeg step would use).
+the format-agnostic plumbing twins (a video decoder is still not in
+this container; its stand-in keeps the same schema/batch/no-shuffle
+contract an ffmpeg step would use).
+
+The synthesize_* encoders run heavy per-row Python codec work, so their
+inputs route through ``dedup.spread_input`` — a byte-compact documents
+table is ONE 128 MB-rule split, which would pin the whole Arrow encode
+pass on a single core (the r5 pathology).
 
 Scale notes: payloads dominate row size — keep them OUT of shuffles.
 Every extractor here is a mapPartitions-shaped narrow op (no shuffle);
@@ -54,11 +61,14 @@ def synthesize_png_blobs(
     are the doc's utf-8 bytes cycled to fill the raster (empty text ->
     black). Deterministic — same text, same bytes — so the decoded
     pixel statistics are replayable from the text by the DuckDB oracle
-    (sample i == byte i % n). Encoding runs Arrow-batched; payloads are
-    born in the scan task and never shuffled."""
+    (sample i == byte i % n). Encoding runs Arrow-batched over a
+    ``spread_input``-guarded scan (per-row codec work must not sit on
+    one byte-compact split); payloads are born in the encode task and
+    never shuffled downstream."""
     import pandas as pd
 
     from . import png
+    from .dedup import spread_input
 
     n_px = width * height * 3
 
@@ -98,7 +108,7 @@ def synthesize_png_blobs(
             ),
         ]
     )
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return spread_input(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         run, out_schema
     )
 
@@ -156,10 +166,12 @@ def synthesize_wav_blobs(
     map ``byte*256 - 32768`` of the doc's utf-8 bytes cycled to
     ``n_samples`` (empty text -> silence). Deterministic and — because
     the codec round-trip is lossless — replayable from the text by the
-    DuckDB oracle. Arrow-batched; payloads never shuffled."""
+    DuckDB oracle. Arrow-batched over a ``spread_input``-guarded scan;
+    payloads never shuffled downstream."""
     import pandas as pd
 
     from . import wav
+    from .dedup import spread_input
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -198,7 +210,7 @@ def synthesize_wav_blobs(
             ),
         ]
     )
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    return spread_input(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         run, out_schema
     )
 
@@ -397,6 +409,86 @@ def resize_stub(
                         for m, r in zip(pdf["media_meta"], resized)
                     ],
                 }
+            )
+
+    return blobs.select(
+        F.col(id_col).alias("doc_id"), "payload", "media_meta"
+    ).mapInPandas(run, out_schema)
+
+
+def resize_image(
+    blobs: DataFrame,
+    id_col: str = "doc_id",
+    target_width: int = 4,
+    target_height: int = 4,
+) -> DataFrame:
+    """REAL image resize: decode each PNG payload (signature + CRC
+    validation, full defiltering — operators/png), nearest-neighbor
+    resample in PIXEL space (source index per axis =
+    ``(dst * src_dim) // dst_dim`` — the same strided selection a
+    box-filterless ``PIL.Image.resize(..., NEAREST)`` computes), and
+    re-encode with ``encode_png``. Output mirrors the input
+    (id, payload, media_meta) with the true re-encoded byte length and
+    a bumped version — resized payloads re-enter every downstream blob
+    operator (``extract_image_features``, ``frame_sample``) unchanged.
+
+    One narrow Arrow stage, no shuffle; at 100 TB this is a pure map
+    whose output raster is ``target_width*target_height/`` (w*h) of its
+    input. Raises on corrupt payloads (CRC / filter violations) — a
+    resize silently computed from garbage is worse than a loud failure.
+    Because decode -> resample -> encode -> decode is lossless on the
+    pixel raster, the resized image's pixel statistics are a pure
+    function of the source pixels — which is what lets the DuckDB
+    oracle replay the full pipeline from the source text."""
+    import pandas as pd
+
+    from . import png
+
+    if target_width < 1 or target_height < 1:
+        raise ValueError(
+            "resize_image: target dims must be >= 1 "
+            f"(got {target_width}x{target_height})"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.IntegerType()),
+                        T.StructField("version", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                w, h, c, px = png.decode_png(bytes(payload))
+                xs = [(x * w) // target_width for x in range(target_width)]
+                out = bytearray()
+                for y in range(target_height):
+                    row = ((y * h) // target_height) * w * c
+                    for x in xs:
+                        out += px[row + x * c : row + x * c + c]
+                enc = png.encode_png(bytes(out), target_width, target_height, c)
+                payloads.append(enc)
+                metas.append(
+                    {
+                        "mime": "image/png",
+                        "n_bytes": len(enc),
+                        "version": int(meta["version"]) + 1,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
     return blobs.select(

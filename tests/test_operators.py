@@ -3058,3 +3058,50 @@ def test_multimodal_resize_stub_plumbing(spark):
 
     with pytest.raises(ValueError, match="target_bytes"):
         multimodal.resize_stub(blobs, target_bytes=0)
+
+
+def test_multimodal_resize_image_hand_computed(spark):
+    """REAL resize (r10): decode -> nearest-neighbor pixel resample ->
+    re-encode, pinned against a hand-computed raster. Source is a 4x2
+    RGB image with pixel bytes 0..23; downsampling to 2x1 with
+    src = (dst*src_dim)//dst_dim selects row 0, columns {0, 2} ->
+    exactly bytes [0,1,2, 6,7,8]. Upsampling 2x1 -> 4x2 repeats each
+    source pixel twice per axis. Metadata carries the true re-encoded
+    byte length and a bumped version."""
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.operators import multimodal, png
+
+    src = bytes(range(24))  # 4x2 RGB, row 0 = 0..11, row 1 = 12..23
+    payload = png.encode_png(src, 4, 2, 3)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(payload), ("image/png", len(payload), 1))],
+        schema="doc_id LONG, payload BINARY, "
+        "media_meta STRUCT<mime: STRING, n_bytes: INT, version: INT>",
+    )
+    (down,) = multimodal.resize_image(
+        blobs, "doc_id", target_width=2, target_height=1
+    ).collect()
+    assert png.decode_png(bytes(down["payload"])) == (
+        2, 1, 3, bytes([0, 1, 2, 6, 7, 8]),
+    )
+    assert down["media_meta"]["mime"] == "image/png"
+    assert down["media_meta"]["version"] == 2
+    assert down["media_meta"]["n_bytes"] == len(bytes(down["payload"]))
+
+    (up,) = multimodal.resize_image(
+        blobs, "doc_id", target_width=8, target_height=4
+    ).collect()
+    w, h, c, px = png.decode_png(bytes(up["payload"]))
+    assert (w, h, c) == (8, 4, 3)
+    # each source pixel repeats 2x per axis: row y of the output reads
+    # source row (y*2)//4 = y//2, column (x*4)//8 = x//2
+    expect = bytearray()
+    for y in range(4):
+        for x in range(8):
+            s = ((y // 2) * 4 + (x // 2)) * 3
+            expect += src[s : s + 3]
+    assert px == bytes(expect)
+
+    with pytest.raises(ValueError, match="target dims"):
+        multimodal.resize_image(blobs, target_width=0)
