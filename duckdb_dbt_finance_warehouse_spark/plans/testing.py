@@ -89,9 +89,13 @@ def eom_boundary(fct_subscription_month: DataFrame) -> DataFrame:
 def declared_reference_tests(wh) -> dict[str, DataFrame]:
     """The COMPLETE test matrix the reference declares — every generic
     test in models/staging/schema.yml, models/reporting/dimensions/
-    schema.yml and models/reporting/facts/schema.yml plus the three
+    schema.yml, models/reporting/facts/schema.yml and
+    models/reporting/schema.yml (the mart_mrr_waterfall_month block:
+    month_start_date not_null/unique/FK->dim_date + not_null on all 12
+    measures, reference reporting/schema.yml:4-41) plus the three
     singular tests in tests/*.sql — as named violating-row DataFrames
-    (pass == 0 rows each).
+    (pass == 0 rows each). 48 checks total: 8 staging + 10 dimension +
+    12 fact + 15 mart + 3 singular.
 
     Deviation (same root cause as anomaly A1, SURVEY §8): the reference
     declares ``unique`` on staging keys (staging/schema.yml:7,13), but
@@ -184,6 +188,33 @@ def declared_reference_tests(wh) -> dict[str, DataFrame]:
         "fct_account_month.month_start_date -> dim_date FK": relationships(
             fam, "month_start_date", dim_d, "date_day"
         ),
+        # --- models/reporting/schema.yml (mart_mrr_waterfall_month) ---
+        "mart_mrr_waterfall_month.month_start_date not_null": not_null(
+            mart, "month_start_date"
+        ),
+        "mart_mrr_waterfall_month.month_start_date unique": unique(
+            mart, "month_start_date"
+        ),
+        "mart_mrr_waterfall_month.month_start_date -> dim_date FK": relationships(
+            mart, "month_start_date", dim_d, "date_day"
+        ),
+        **{
+            f"mart_mrr_waterfall_month.{c} not_null": not_null(mart, c)
+            for c in (
+                "begin_mrr",
+                "end_mrr",
+                "net_mrr_change",
+                "new_mrr",
+                "reactivation_mrr",
+                "expansion_mrr",
+                "contraction_mrr",
+                "churn_mrr",
+                "active_accounts",
+                "churned_accounts",
+                "new_accounts",
+                "reactivated_accounts",
+            )
+        },
         # --- tests/*.sql (singular) ---
         "waterfall ties out": waterfall_ties_out(mart),
         "account ties subscription": account_ties_subscription(fam, fsm),

@@ -210,10 +210,13 @@ def test_fk_and_generic_tests(spark, wh):
 def test_full_declared_matrix_after_three_batches(spark, wh):
     """Every test the reference declares passes on the 3-batch state —
     the stronger gate `dbt build` would give a real user."""
+    checks = tst.declared_reference_tests(wh)
+    # the complete declared matrix: 8 staging + 10 dimension + 12 fact
+    # + 15 mart_mrr_waterfall_month (reporting/schema.yml:4-41, added
+    # r10) + 3 singular — a dropped schema.yml block shrinks this count
+    assert len(checks) == 48
     failures = {
-        name: viol.count()
-        for name, viol in tst.declared_reference_tests(wh).items()
-        if viol.count() > 0
+        name: viol.count() for name, viol in checks.items() if viol.count() > 0
     }
     assert failures == {}
 
