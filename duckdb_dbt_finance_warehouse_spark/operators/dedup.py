@@ -870,6 +870,20 @@ def fuzzy_string_join(
     # keeps the shuffle_hash pin — same never-broadcast-the-corpus rule,
     # the array frame's estimate is still scan bytes) and intersect
     # in-row
+    # Both the keep/drop decision and the published 6-decimal ratio are
+    # computed in EXACT integer space (README "never round() a published
+    # ratio" — the r7 robust_z tie class): the micro-jaccard
+    # round(j * 1e6) is the half-away-from-zero integer division
+    # (2e6·inter + den) div (2·den), the filter compares that integer to
+    # the micro-threshold, and the displayed value is ONE final IEEE
+    # division by 1e6 — no engine round() anywhere a representable
+    # half-tie could flip a row count. Thresholds are interpreted at the
+    # same 1e-6 resolution the published ratio carries.
+    thr_u = round(threshold * 1_000_000)
+    micro_j = F.expr(
+        "(CAST(_inter AS BIGINT) * 2000000 + (_np + _nc - _inter))"
+        " div (2 * CAST(_np + _nc - _inter AS BIGINT))"
+    )
     return (
         cands.join(p, probe_id)
         .join(c.hint("shuffle_hash"), corpus_id)
@@ -880,16 +894,13 @@ def fuzzy_string_join(
             F.size("_pg").alias("_np"),
             F.size("_cg").alias("_nc"),
         )
+        .select(probe_id, corpus_id, micro_j.alias("_ju"))
+        .filter(F.col("_ju") >= F.lit(thr_u))
         .select(
             probe_id,
             corpus_id,
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_np") + F.col("_nc") - F.col("_inter")),
-                6,
-            ).alias("jaccard"),
+            (F.col("_ju").cast("double") / F.lit(1000000.0)).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -973,13 +984,17 @@ def containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
-    containment = F.round(
-        F.col("n_inter").cast("double") / F.least("n_a", "n_b").cast("double"), 6
+    # exact integer rounding + thresholding, same scheme (and same tie
+    # rationale) as fuzzy_string_join: micro-ratio = half-away-from-zero
+    # (2e6·num + den) div (2·den), filter on the integer, publish the
+    # one-IEEE-division value — no engine round() feeds a row decision
+    thr_u = round(threshold * 1_000_000)
+    micro_c = F.expr(
+        "(n_inter * 2000000 + least(n_a, n_b)) div (2 * least(n_a, n_b))"
     )
-    jaccard = F.round(
-        F.col("n_inter").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        6,
+    micro_j = F.expr(
+        "(n_inter * 2000000 + (n_a + n_b - n_inter))"
+        " div (2 * (n_a + n_b - n_inter))"
     )
     return (
         inter.join(sa, "id_a")
@@ -990,10 +1005,19 @@ def containment_pairs(
             "n_a",
             "n_b",
             "n_inter",
-            containment.alias("containment"),
-            jaccard.alias("jaccard"),
+            micro_c.alias("_cu"),
+            micro_j.alias("_ju"),
         )
-        .filter(F.col("containment") >= threshold)
+        .filter(F.col("_cu") >= F.lit(thr_u))
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (F.col("_cu").cast("double") / F.lit(1000000.0)).alias("containment"),
+            (F.col("_ju").cast("double") / F.lit(1000000.0)).alias("jaccard"),
+        )
     )
 
 

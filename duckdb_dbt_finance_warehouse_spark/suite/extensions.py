@@ -3989,10 +3989,14 @@ _FUZZY_NORM_P = "trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))"
       JOIN pg ON pg.probe_id = cand.probe_id
       JOIN cg ON cg.corpus_id = cand.corpus_id AND cg.gram = pg.gram
       GROUP BY 1, 2)
-    SELECT i.probe_id, i.corpus_id,
-           round(CAST(_inter AS DOUBLE) / (_np + _nc - _inter), 6) AS jaccard
-    FROM inter i JOIN psz USING (probe_id) JOIN csz USING (corpus_id)
-    WHERE round(CAST(_inter AS DOUBLE) / (_np + _nc - _inter), 6) >= 0.4
+    SELECT probe_id, corpus_id,
+           CAST(_ju AS DOUBLE) / 1000000.0 AS jaccard
+    FROM (
+      SELECT i.probe_id, i.corpus_id,
+             (_inter * 2000000 + (_np + _nc - _inter))
+               // (2 * (_np + _nc - _inter)) AS _ju
+      FROM inter i JOIN psz USING (probe_id) JOIN csz USING (corpus_id))
+    WHERE _ju >= 400000
     """,
 )
 def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4035,12 +4039,18 @@ def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cands c JOIN grams ga ON ga.doc_id = c.id_a
                    JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
       GROUP BY 1, 2)
-    SELECT i.id_a, i.id_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
-           round(i.n_inter / least(sa.n, sb.n), 6) AS containment,
-           round(i.n_inter / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
-                 JOIN sizes sb ON sb.doc_id = i.id_b
-    WHERE round(i.n_inter / least(sa.n, sb.n), 6) >= 0.5
+    SELECT id_a, id_b, n_a, n_b, n_inter,
+           CAST(_cu AS DOUBLE) / 1000000.0 AS containment,
+           CAST(_ju AS DOUBLE) / 1000000.0 AS jaccard
+    FROM (
+      SELECT i.id_a, i.id_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+             (i.n_inter * 2000000 + least(sa.n, sb.n))
+               // (2 * least(sa.n, sb.n)) AS _cu,
+             (i.n_inter * 2000000 + (sa.n + sb.n - i.n_inter))
+               // (2 * (sa.n + sb.n - i.n_inter)) AS _ju
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b)
+    WHERE _cu >= 500000
     """,
 )
 def x_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
