@@ -218,6 +218,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf_val,
+            "n": len(timings),
         }
     )
     print(compact)

@@ -105,6 +105,15 @@ def pagerank(
     # exchange + cache-scan job per round. At 100 TB the count comes
     # from the vertex table's catalog stats instead.
     n_nodes = rdict.count()
+    if n_nodes == 0:
+        # empty edge frame -> no nodes: return an empty typed result
+        # instead of dividing by zero at plan-build time (the pre-r9
+        # all-DataFrame plan degraded gracefully here)
+        return rdict.select(
+            F.col("v").alias("node"),
+            F.lit(0).cast("bigint").alias("rank_q"),
+            F.lit(0.0).alias("rank"),
+        )
     base = ((100 - damping_pct) * scale) // 100 // n_nodes
     init_rq = scale // n_nodes
     rank_of_s = F.lit(base) + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")

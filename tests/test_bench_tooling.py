@@ -63,6 +63,11 @@ def test_load_driver_wrapper_recovers_from_sidecar(tmp_path):
     # a stale sidecar from a different run must NOT match
     stale = tmp_path / "BENCH_full_sf0.001.json"
     stale.write_text(_full_line(99.9, {"zz": 99.9}, sf=0.001) + "\n")
+    # nor may one whose rounded total COINCIDES but whose sf differs
+    # (r9 ADVICE: value-only matching silently adopted cross-sf maps) —
+    # alphabetically first so a value-only matcher would pick it up
+    coincide = tmp_path / "BENCH_full_sf0.01.json"
+    coincide.write_text(_full_line(total, {"zz": total}, sf=0.01) + "\n")
     tail = (_full_line(total, q) + "\n" + _compact_line(total, len(q)) + "\n")[-200:]
     wrapper = tmp_path / "BENCH_r99.json"
     wrapper.write_text(

@@ -1827,6 +1827,18 @@ def test_pagerank_hub_ranks_highest_and_is_deterministic(spark):
     assert again == {k: v["rank_q"] for k, v in out.items()}
 
 
+def test_pagerank_empty_edges_returns_empty_frame(spark):
+    """An empty edge frame must return an empty (node, rank_q, rank)
+    frame, not raise ZeroDivisionError at plan-build time (the scalar
+    n_nodes model state introduced in r9 divides by the node count)."""
+    from duckdb_dbt_finance_warehouse_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank_q", "rank"]
+    assert out.count() == 0
+
+
 def test_quantize_embeddings_known_values_and_zero_vector(spark):
     from duckdb_dbt_finance_warehouse_spark.operators.similarity import (
         quantize_embeddings,

@@ -83,7 +83,19 @@ def _load_driver_wrapper(path: str, wrapper: dict) -> dict:
                 d = json.load(f)
         except ValueError:
             continue
-        if d.get("queries") and d.get("value") == parsed.get("value"):
+        # match by exact total AND same sf/n — a stale sidecar from a
+        # different scale whose rounded total happens to coincide must
+        # not be silently adopted (pre-r10 sidecars lack "n"; tolerate)
+        if (
+            d.get("queries")
+            and d.get("value") == parsed.get("value")
+            and d.get("sf") == parsed.get("sf")
+            and (
+                d.get("n") is None
+                or parsed.get("n") is None
+                or d.get("n") == parsed.get("n")
+            )
+        ):
             print(f"note: {path} is a driver tail wrapper; full map from {side}",
                   file=sys.stderr)
             return d
