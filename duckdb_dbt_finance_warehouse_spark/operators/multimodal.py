@@ -9,12 +9,15 @@ IMAGE DECODE IS REAL as of r9: ``synthesize_png_blobs`` builds valid
 PNGs (all five scanline filters, CRC-checked chunks) from corpus bytes
 and ``extract_image_features`` decodes them with the pure-stdlib codec
 in ``operators/png`` — genuine pixels, not a byte-stat stand-in. As of
-r10 RESIZE IS REAL too: ``resize_image`` decodes, nearest-neighbor
-resamples in pixel space, and re-encodes with the same codec. The
-older ``extract_features``/``resize_stub`` byte-level paths remain as
-the format-agnostic plumbing twins (a video decoder is still not in
-this container; its stand-in keeps the same schema/batch/no-shuffle
-contract an ffmpeg step would use).
+r10 RESIZE and VIDEO are real too: ``resize_image`` decodes,
+nearest-neighbor resamples in pixel space, and re-encodes with the same
+codec; ``synthesize_y4m_blobs``/``extract_video_frames`` round-trip
+genuine YUV4MPEG2 streams (``operators/y4m`` — the raw-planar container
+ffmpeg/mjpegtools read) with strided keyframe selection over decoded
+frames. The older ``extract_features``/``resize_stub``/``frame_sample``
+byte-level paths remain as the format-agnostic plumbing twins — at
+100 TB the no-Python ``frame_sample`` slicer is still the right first
+pass when frames are fixed-offset slices.
 
 The synthesize_* encoders run heavy per-row Python codec work, so their
 inputs route through ``dedup.spread_input`` — a byte-compact documents
@@ -213,6 +216,133 @@ def synthesize_wav_blobs(
     return spread_input(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         run, out_schema
     )
+
+
+def synthesize_y4m_blobs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+    height: int = 8,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Build a video-typed multimodal table from text rows: each doc
+    becomes a VALID ``n_frames``-frame mono YUV4MPEG2 stream whose Y
+    samples are the doc's utf-8 bytes cycled across the whole stream
+    (frame f, sample i reads byte (f*w*h + i) % n; empty text ->
+    black). Deterministic and — because the container is raw planar —
+    losslessly replayable from the text by the DuckDB oracle.
+    Arrow-batched over a ``spread_input``-guarded scan; payloads never
+    shuffled downstream."""
+    import pandas as pd
+
+    from . import y4m
+    from .dedup import spread_input
+
+    fsz = width * height
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                b = t.encode("utf-8")
+                frames = [
+                    bytes(
+                        b[(f * fsz + i) % len(b)] if b else 0 for i in range(fsz)
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(y4m.encode_y4m(frames, width, height, "mono"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_meta": [
+                        {"mime": "video/x-yuv4mpeg", "n_bytes": len(p), "version": 1}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "media_meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("n_bytes", T.IntegerType()),
+                        T.StructField("version", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return spread_input(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
+        run, out_schema
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("y_mean", T.DoubleType()),
+        T.StructField("y_max", T.IntegerType()),
+        T.StructField("distinct_y", T.IntegerType()),
+    ]
+)
+
+
+def extract_video_frames(
+    blobs: DataFrame, id_col: str = "doc_id", frame_stride: int = 2
+) -> DataFrame:
+    """REAL video keyframe extraction: decode each YUV4MPEG2 payload
+    (magic + tagged-header parse, per-FRAME marker validation —
+    operators/y4m), select every ``frame_stride``-th frame, and emit
+    true per-frame luma statistics. One row per sampled frame; y_mean
+    is the one IEEE division of an exact integer sum by the plane
+    size, so the stats replay exactly in the oracle. A narrow Arrow
+    stage (no shuffle) — payload bytes never leave the decode task;
+    at 100 TB the downstream carries only (id, frame, stats). Raises
+    on a corrupt or non-y4m payload."""
+    import pandas as pd
+
+    from . import y4m
+
+    if frame_stride < 1:
+        raise ValueError(
+            f"extract_video_frames: frame_stride must be >= 1 (got {frame_stride})"
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "width", "height",
+                    "y_mean", "y_max", "distinct_y",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, cs, frames = y4m.decode_y4m(bytes(payload))
+                n_y = w * h
+                for f in range(0, len(frames), frame_stride):
+                    y = frames[f][:n_y]  # luma plane leads in every C layout
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["y_mean"].append(sum(y) / n_y)
+                    rows["y_max"].append(max(y))
+                    rows["distinct_y"].append(len(set(y)))
+            yield pd.DataFrame(rows)
+
+    return blobs.select(id_col, "payload").mapInPandas(run, VIDEO_FRAME_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(

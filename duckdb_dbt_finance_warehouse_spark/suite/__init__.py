@@ -13,21 +13,22 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  ROUND-9 ROTATION: (1) the one NEW entry
-# (x_ann_ivf_pq_trained — the trained-codebook IVF-PQ composition),
-# then (2) the full 38-entry r8 DEFERRED_NEXT_ROUND drain list, first
-# slots exactly as promised (it includes x_fuzzy_join, whose in-row
-# gram-array rework this round needs the re-check anyway), then
-# (3) entries whose code or oracle changed this round — x_pagerank
-# (int32 rank-dictionary iteration), x_ann_pq_trained / x_ann_pq_topk
-# (vectorized list-form oracles), x_multimodal_features /
-# x_multimodal_resize (real PNG decode + ASCII-invariant oracle guard)
-# — then (4) the oldest remaining r6-green entries, biased toward the
-# round's perf-watch list (substring_dedup drift A/B, basket_pairs /
-# embed_drift / precision-audit floor class).
+# cosmetics.  ROUND-10 ROTATION: (1) the one NEW entry
+# (x_multimodal_video — real YUV4MPEG2 decode), then (2) entries whose
+# code or oracle changed this round — the real-resize pipeline and the
+# spread_input-guarded synthesizers (x_multimodal_resize / _features /
+# _audio), the exact-integer threshold rework (x_fuzzy_join /
+# x_containment_pairs), the empty-graph guard (x_pagerank), and
+# x_multimodal_frames (docstring-adjacent to the y4m work AND an r7
+# row) — then (3) the full 38-entry r9 DEFERRED_NEXT_ROUND drain list,
+# exactly as promised (it includes x_bm25_search / x_lm_bigram_score,
+# the two r9-touched entries the r9 ADVICE flagged as shipping without
+# a fresh driver green), then (4) the oldest remaining r7-green rows:
+# the two flagships (m1/m2), the Q1-shape aggregate, and the
+# CC-clustering iterative op.
 #
 # After this round's run no registry entry's latest green driver row is
-# older than r6; the r6 remainder moves to DEFERRED_NEXT_ROUND (r10's
+# older than r7; the r7 remainder moves to DEFERRED_NEXT_ROUND (r11's
 # first slots), each still session-pinned by
 # test_oracle_parity_deferred.py.  tests/test_coverage_rotation.py
 # enforces that every registry entry is either driver-checked already,
@@ -36,66 +37,16 @@ from . import extensions  # noqa: E402,F401
 # silently.
 DRIVER_PRIORITY: list[str] = [
     # --- new entry this round ---
-    "x_ann_ivf_pq_trained",
-    # --- the r8 deferred drain list, first slots as declared ---
-    "a10_salted_agg",
-    "a11_pivot",
-    "a12_unpivot",
-    "a2_grouped_min_max",
-    "a3_global_scalar_agg",
-    "a5_conditional_count_distinct",
-    "a6_select_distinct",
-    "a7_spine_zero_fill",
-    "a9_rollup",
-    "f19_date_spine",
-    "f_date_kit",
-    "f_misc_scalars",
-    "j2_left_equi_zero_fill",
-    "j4_first_version_backfill",
-    "j5_fk_anti_join",
-    "j6_scalar_subquery_filter",
-    "o1_ordered_topn",
-    "o3_set_ops",
-    "p10_predicate_filter",
-    "p1_typed_projection",
-    "p3_clean_strings",
-    "p5_negative_to_null",
-    "p6_record_hash",
-    "p7_derived_boolean",
-    "p8_hwm_filter",
-    "s5_lineage_columns",
-    "sql3_exists_q4_style",
-    "sql4_recursive_spine",
-    "w3_prior_history_flag",
-    "w4_partition_min",
-    "w5_rank_kit",
-    "x_containment_pairs",
-    "x_fuzzy_join",
-    "x_leakage_safe_split",
-    "x_ngram_jaccard",
-    "x_quality_classifier",
-    "x_sample_temperature",
-    "x_simhash_near_dup",
+    "x_multimodal_video",
     # --- code or oracle changed this round ---
-    "x_pagerank",
-    "x_ann_pq_trained",
-    "x_ann_pq_topk",
-    "x_multimodal_features",
     "x_multimodal_resize",
+    "x_multimodal_features",
     "x_multimodal_audio",
-    # --- oldest remaining driver rows (r6), perf-watch list first ---
-    "x_substring_dedup",
-    "x_basket_pairs",
-    "x_embed_drift",
-    "x_dedup_precision_audit",
-    "sql10_having_in_q18_style",
-]
-
-# r6-green entries whose re-green did not fit this window; they take
-# r10's first slots.  Adding a NEW queries() entry still requires a
-# first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
-# that already has a green driver row.
-DEFERRED_NEXT_ROUND: list[str] = [
+    "x_multimodal_frames",
+    "x_fuzzy_join",
+    "x_containment_pairs",
+    "x_pagerank",
+    # --- the r9 deferred drain list, slots as declared ---
     "a13_cube",
     "o4_null_ordering",
     "sql11_top_view_q15_style",
@@ -134,6 +85,56 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_shard_rendezvous",
     "x_skew_report",
     "x_zipf_fit",
+    # --- oldest remaining driver rows (r7): flagships first ---
+    "m1_movement_classification",
+    "m2_waterfall_rollup",
+    "a1_grouped_sum_q1",
+    "x_dedup_clusters",
+]
+
+# r7-green entries whose re-green did not fit this window; they take
+# r11's first slots.  Adding a NEW queries() entry still requires a
+# first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
+# that already has a green driver row.
+DEFERRED_NEXT_ROUND: list[str] = [
+    "a8_exact_percentiles",
+    "j1_month_spine_expansion",
+    "j3_validity_asof_join",
+    "sql1_join_agg_q3_style",
+    "w1_latest_row_dedup",
+    "w6_range_frames",
+    "x_ann_ivf_pq_topk",
+    "x_ann_ivf_probe_table",
+    "x_ann_ivf_trained",
+    "x_ann_recall_audit",
+    "x_boilerplate_grams",
+    "x_chunk_overlap",
+    "x_cohort_retention",
+    "x_collocations",
+    "x_curation_pipeline",
+    "x_dedup_incremental",
+    "x_event_funnel",
+    "x_event_hopping_window",
+    "x_ewma_smooth",
+    "x_hard_negatives",
+    "x_hll_distinct",
+    "x_incremental_rollup",
+    "x_kfold_split",
+    "x_kmeans",
+    "x_length_buckets",
+    "x_maintenance_compaction",
+    "x_max_concurrency",
+    "x_merge_upsert",
+    "x_negative_sampling",
+    "x_pack_sequences",
+    "x_rfm_segments",
+    "x_salted_join",
+    "x_semantic_decontaminate",
+    "x_snapshot_diff",
+    "x_table_fingerprint",
+    "x_tokenizer_fertility",
+    "x_vocab_coverage",
+    "x_zorder_layout",
 ]
 
 

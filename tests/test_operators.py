@@ -919,6 +919,72 @@ def test_wav_codec_round_trips():
     )
 
 
+def test_y4m_codec_hand_built_decodes_to_known_frames():
+    """The decoder is a real YUV4MPEG2 parser: a stream assembled BY
+    HAND (header with an X-extension tag that must be skipped, two 2x2
+    mono frames, one carrying frame-level parameters) decodes to the
+    expected planes; a truncated frame, a bad FRAME marker, and a wrong
+    magic all raise; an unsupported colorspace raises
+    NotImplementedError."""
+    import pytest
+
+    from duckdb_dbt_finance_warehouse_spark.operators import y4m
+
+    f0, f1 = bytes([0, 50, 100, 200]), bytes([255, 1, 2, 3])
+    blob = (
+        b"YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 Cmono Xcustom\n"
+        + b"FRAME\n" + f0
+        + b"FRAME Xnote\n" + f1
+    )
+    assert y4m.decode_y4m(blob) == (2, 2, "mono", [f0, f1])
+    with pytest.raises(ValueError, match="truncated frame"):
+        y4m.decode_y4m(blob[:-2])
+    with pytest.raises(ValueError, match="FRAME marker"):
+        y4m.decode_y4m(blob[: len(blob) - len(f1) - 12] + b"FRUME\n" + f1)
+    with pytest.raises(ValueError, match="magic"):
+        y4m.decode_y4m(b"YUV4MPEG3 W2 H2\n" + b"FRAME\n" + f0)
+    with pytest.raises(NotImplementedError, match="C411"):
+        y4m.decode_y4m(b"YUV4MPEG2 W2 H2 C411\n")
+
+
+def test_y4m_codec_round_trips_all_colorspaces():
+    """encode -> decode is identity for mono, 444 and 420jpeg,
+    including the round-UP chroma dims on odd sizes (3x3 C420jpeg has
+    2x2 chroma planes)."""
+    from duckdb_dbt_finance_warehouse_spark.operators import y4m
+
+    for w, h, cs in [(4, 3, "mono"), (2, 2, "444"), (3, 3, "420jpeg")]:
+        fsz = y4m.frame_size(w, h, cs)
+        frames = [bytes((i * 37 + f * 11) % 256 for i in range(fsz)) for f in range(3)]
+        blob = y4m.encode_y4m(frames, w, h, cs)
+        assert y4m.decode_y4m(blob) == (w, h, cs, frames)
+    assert y4m.frame_size(3, 3, "420jpeg") == 9 + 2 * 4
+
+
+def test_multimodal_real_video_frames(spark):
+    """synthesize_y4m_blobs emits VALID y4m streams and
+    extract_video_frames returns true decoded luma stats: 'ab' cycled
+    across a 2-frame 2x2 stream gives per-frame planes 'abab'/'abab'
+    (two distinct levels); frame_stride=2 keeps only frame 0; empty
+    text gives black frames."""
+    from duckdb_dbt_finance_warehouse_spark.operators import multimodal, y4m
+
+    df = spark.createDataFrame([(1, "ab"), (2, "")], ["doc_id", "text"])
+    blobs = multimodal.synthesize_y4m_blobs(df, "doc_id", "text", 2, 2, n_frames=2)
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in blobs.collect()}
+    assert y4m.decode_y4m(raw[1]) == (2, 2, "mono", [b"abab", b"abab"])
+    out = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in multimodal.extract_video_frames(blobs, frame_stride=2).collect()
+    }
+    assert set(out) == {(1, 0), (2, 0)}
+    r1 = out[(1, 0)]
+    assert r1["y_mean"] == (ord("a") + ord("b")) / 2
+    assert r1["y_max"] == ord("b") and r1["distinct_y"] == 2
+    r2 = out[(2, 0)]
+    assert r2["y_mean"] == 0.0 and r2["y_max"] == 0 and r2["distinct_y"] == 1
+
+
 def test_multimodal_real_audio_features(spark):
     """synthesize_wav_blobs emits VALID WAVs (RIFF magic, decodable)
     and extract_audio_features returns the true decoded waveform stats:
