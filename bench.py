@@ -134,7 +134,8 @@ HEADLINE = [
     "x_multimodal_frames",        # strided frame sampling, codegen-only
     "x_multimodal_features",      # REAL PNG decode: pixel stats via mapInPandas
     "x_multimodal_audio",         # REAL WAV decode: waveform stats via mapInPandas
-    "x_multimodal_resize",        # strided-byte resize plumbing + md5
+    "x_multimodal_resize",        # REAL resize: decode->resample->re-encode
+    "x_multimodal_video",         # REAL y4m decode: strided keyframe luma stats
     "x_kfold_split",              # deterministic k-fold CV assignment
     "sql9_global_avg_anti_join_q22_style",  # Q22 scalar-avg + anti join
     "x_auc_quality",              # exact ROC-AUC, two-pass prefix sum
