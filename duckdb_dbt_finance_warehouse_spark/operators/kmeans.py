@@ -203,8 +203,23 @@ def kmeans_oracle_ctes(
     n_iter: int = 3,
     dim: int = 64,
 ) -> str:
-    """CTE chain (q, vnorm, c0 .. c{n_iter}) replaying the fit — embed
-    in a larger WITH to consume the trained centroids (c{n_iter})."""
+    """CTE chain (q, vnorm, c0 .. c{n_iter}, asgF) replaying the fit —
+    embed in a larger WITH to consume the trained centroids (c{n_iter})
+    or the final assignment (asgF).
+
+    Assignment rounds run in VECTOR form (per-id LISTS +
+    list_inner_product + a struct-min argmax), the same restructuring
+    that fixed the r8 PQ-encode spill death: the component-summed form
+    (q JOIN c{{t}} USING (dim) GROUP BY vid, cid) materializes an
+    N·K·D join (~800M rows/round at sf1 = 20k vectors x 625 centroids
+    x 64 dims) and exhausted DuckDB's spill disk in the r10 sf1
+    baseline run; the list form streams an N·K cross join (12.5M
+    rows/round) through an N-group argmax. Bit-identical: every qv/qc
+    is an exact integer in a DOUBLE, so list_inner_product == the
+    grouped sum exactly (all products and partial sums < 2^53), the
+    cosine is the same one IEEE division, and min over a
+    (negcos, cid) struct is lexicographic — largest cosine, ties to
+    the lowest cid, exactly the old max-window + min(cid) rule."""
     qs = f"{int(QUANT_SCALE)}.0"
     parts = [
         f"""q AS (
@@ -214,25 +229,27 @@ def kmeans_oracle_ctes(
     vnorm AS (SELECT vid, CASE WHEN sum(qv * qv) = 0
                   THEN error('kmeans: zero-norm embedding vector')
                   ELSE sqrt(sum(qv * qv)) END AS nv FROM q GROUP BY 1),
+    vvec AS (
+      SELECT l.vid, l.v, n.nv
+      FROM (SELECT vid, list(qv ORDER BY dim) AS v FROM q GROUP BY 1) l
+      JOIN vnorm n ON n.vid = l.vid),
     c0 AS (SELECT vid AS cid, dim, qv AS qc FROM q WHERE vid % {seed_mod} = 0)"""
     ]
     for t in range(n_iter):
         nxt = t + 1
         parts.append(
-            f"""cn{t} AS (SELECT cid, CASE WHEN sum(qc * qc) = 0
+            f"""cl{t} AS (
+      SELECT cid, c, CASE WHEN list_inner_product(c, c) = 0
                   THEN error('kmeans: zero-norm centroid vector')
-                  ELSE sqrt(sum(qc * qc)) END AS nc FROM c{t} GROUP BY 1),
-    dots{t} AS (
-      SELECT q.vid, c.cid, sum(q.qv * c.qc) AS dot
-      FROM q JOIN c{t} c USING (dim) GROUP BY 1, 2),
-    scored{t} AS (
-      SELECT d.vid, d.cid, d.dot / (v.nv * n.nc) AS cos
-      FROM dots{t} d JOIN vnorm v ON v.vid = d.vid JOIN cn{t} n ON n.cid = d.cid),
+                  ELSE sqrt(list_inner_product(c, c)) END AS nc
+      FROM (SELECT cid, list(qc ORDER BY dim) AS c FROM c{t} GROUP BY 1)),
     asg{t} AS (
-      SELECT vid, min(cid) AS cid
-      FROM (SELECT vid, cid, cos, max(cos) OVER (PARTITION BY vid) AS mx
-            FROM scored{t})
-      WHERE cos = mx GROUP BY 1),
+      SELECT v.vid,
+             struct_extract(min({{'negcos':
+               -(list_inner_product(v.v, c.c) / (v.nv * c.nc)),
+               'cid': c.cid}}), 'cid') AS cid
+      FROM vvec v CROSS JOIN cl{t} c
+      GROUP BY 1),
     upd{t} AS (
       SELECT a.cid, q.dim,
              CASE WHEN CAST(sum(q.qv) AS DOUBLE) / count(*) >= 0
@@ -246,20 +263,18 @@ def kmeans_oracle_ctes(
         )
     T = n_iter
     parts.append(
-        f"""cnF AS (SELECT cid, CASE WHEN sum(qc * qc) = 0
+        f"""clF AS (
+      SELECT cid, c, CASE WHEN list_inner_product(c, c) = 0
                   THEN error('kmeans: zero-norm centroid vector')
-                  ELSE sqrt(sum(qc * qc)) END AS nc FROM c{T} GROUP BY 1),
-    dotsF AS (
-      SELECT q.vid, c.cid, sum(q.qv * c.qc) AS dot
-      FROM q JOIN c{T} c USING (dim) GROUP BY 1, 2),
-    scoredF AS (
-      SELECT d.vid, d.cid, d.dot / (v.nv * n.nc) AS cos
-      FROM dotsF d JOIN vnorm v ON v.vid = d.vid JOIN cnF n ON n.cid = d.cid),
+                  ELSE sqrt(list_inner_product(c, c)) END AS nc
+      FROM (SELECT cid, list(qc ORDER BY dim) AS c FROM c{T} GROUP BY 1)),
     asgF AS (
-      SELECT vid, min(cid) AS cid
-      FROM (SELECT vid, cid, cos, max(cos) OVER (PARTITION BY vid) AS mx
-            FROM scoredF)
-      WHERE cos = mx GROUP BY 1)"""
+      SELECT v.vid,
+             struct_extract(min({{'negcos':
+               -(list_inner_product(v.v, c.c) / (v.nv * c.nc)),
+               'cid': c.cid}}), 'cid') AS cid
+      FROM vvec v CROSS JOIN clF c
+      GROUP BY 1)"""
     )
     return ",\n    ".join(parts)
 

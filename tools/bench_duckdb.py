@@ -30,6 +30,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     con = duckdb.connect()
+    # bound the spill so a runaway replay fails fast and visibly
+    # instead of filling the root disk to exhaustion mid-suite
+    try:
+        con.execute("SET max_temp_directory_size='40GiB'")
+    except duckdb.Error:
+        pass  # older DuckDB without the setting
     for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
@@ -38,6 +44,7 @@ def main() -> None:
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     timings = {}
+    failed = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None or not spec.has_oracle:
@@ -45,18 +52,29 @@ def main() -> None:
         # scale-dependent tuning literals re-instantiate for this sf
         # (see suite/registry.QuerySpec.resolved_oracle)
         sql = spec.resolved_oracle(sf_dir)
+        print(f"running {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
-        con.execute(sql).fetchall()
+        # a replay that dies (e.g. spill-disk exhaustion at sf1) must
+        # name itself and NOT take the rest of the baseline down — the
+        # artifact records the failure visibly instead of vanishing
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:  # noqa: BLE001 — record and continue
+            failed[name] = f"{type(e).__name__}: {e}"
+            print(f"FAILED {name}: {failed[name]}", file=sys.stderr, flush=True)
+            continue
         timings[name] = round(time.time() - t0, 4)
-    line = json.dumps(
-        {
-            "metric": "duckdb_oracle_baseline_total",
-            "value": round(sum(timings.values()), 4),
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf),
-        }
-    )
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    payload = {
+        "metric": "duckdb_oracle_baseline_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if failed:
+        payload["failed"] = failed
+    line = json.dumps(payload)
     print(line)
     if args.out:
         with open(args.out, "w") as f:
