@@ -453,6 +453,72 @@ def ngram_jaccard(
     )
 
 
+def cc_oracle_ctes(pairs_cte: str = "pairs", rounds: int = 8) -> str:
+    """DuckDB CTE chain computing connected components over a CTE named
+    ``pairs_cte`` (columns id_a, id_b) — ends in ``clusters``
+    (member_id, cluster_id = smallest reachable id), the oracle twin of
+    ``dedup_clusters``.
+
+    This REPLACES the r2-r9 recursive-CTE transitive closure, which was
+    structurally infeasible at sf1: label propagation along edges
+    accumulates (node x every-smaller-reachable-label) state — Σm² over
+    clusters (135M rows on the r10 sf1 corpus, max cluster 4,047) — and
+    each semi-naive round joins the whole frontier against the edge
+    list BEFORE dedup (frontier x avg-degree ~ billions of rows), which
+    exhausted DuckDB's 40GiB spill cap. The unrolled form keeps state
+    LINEAR (one label per node) and runs ``rounds`` hook+compress
+    steps: hook = label := min(label, min over in-neighbors' labels)
+    (one E-sized join + N-group agg), compress = label := label(label)
+    (one N-sized self-join) — the SQL transliteration of the same
+    pointer-doubling idea the Spark side's large-star/small-star uses.
+
+    Exactness does not rest on the round count: a HOOK FIXPOINT is
+    provably the exact component minimum (at a fixpoint every edge has
+    label(u) == label(v), so labels are constant per component and the
+    min node's own label is itself), and the chain ends with one extra
+    hook whose output must equal round ``rounds`` — any drift calls
+    error(), the house convergence rule (raise, never silently
+    truncate). Compress only accelerates: covered distance-to-min
+    grows ~2^t, so 8 rounds handle diameter ≥ 500."""
+    parts = [
+        f"""edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM {pairs_cte}),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+      SELECT l.node, least(l.label, coalesce(m.nl, l.label)) AS label
+      FROM l{t} l LEFT JOIN (
+        SELECT e.src AS node, min(r.label) AS nl
+        FROM edges e JOIN l{t} r ON r.node = e.dst
+        GROUP BY 1) m ON m.node = l.node),
+    l{t + 1} AS MATERIALIZED (
+      SELECT h.node, r.label
+      FROM h{t} h JOIN h{t} r ON r.node = h.label)"""
+        )
+    parts.append(
+        f"""hchk AS MATERIALIZED (
+      SELECT l.node, least(l.label, coalesce(m.nl, l.label)) AS label
+      FROM l{rounds} l LEFT JOIN (
+        SELECT e.src AS node, min(r.label) AS nl
+        FROM edges e JOIN l{rounds} r ON r.node = e.dst
+        GROUP BY 1) m ON m.node = l.node),
+    ccdiff AS (
+      SELECT count(*) AS n
+      FROM hchk h JOIN l{rounds} l ON l.node = h.node AND l.label != h.label),
+    clusters AS (
+      SELECT node AS member_id,
+             CAST(CASE WHEN (SELECT n FROM ccdiff) > 0
+                  THEN error('cc oracle: no hook fixpoint after {rounds} rounds')
+                  ELSE label END AS BIGINT) AS cluster_id
+      FROM l{rounds})"""
+    )
+    return ",\n    ".join(parts)
+
+
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over near-dup pairs -> (member_id,
     cluster_id) with cluster_id = the smallest reachable id: the step

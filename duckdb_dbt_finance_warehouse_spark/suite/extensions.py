@@ -323,22 +323,17 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_dedup_clusters",
+    # cluster formation replayed by the linear-state hook+compress CC
+    # chain (dedup.cc_oracle_ctes) — the r2-r9 recursive transitive
+    # closure spilled to death at sf1 (Σm² label state, billions of
+    # pre-dedup frontier join rows on a 4,047-member cluster)
     oracle=f"""
-    WITH RECURSIVE pairs AS (
+    WITH pairs AS (
       SELECT id_a, id_b FROM (
         {_minhash_portable_oracle(k=4, n_hashes=32, bands=8, threshold=0.5)}
       ) q),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs),
-    reach AS (
-      SELECT src AS node, src AS label FROM edges
-      UNION
-      SELECT e.src AS node, r.label AS label
-      FROM edges e JOIN reach r ON r.node = e.dst)
-    SELECT node AS member_id, CAST(min(label) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY 1
+    {dedup.cc_oracle_ctes("pairs")}
+    SELECT member_id, cluster_id FROM clusters
     """,
 )
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,27 +351,17 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_leakage_safe_split",
+    # CC via the linear-state hook+compress chain (see x_dedup_clusters)
     oracle=f"""
-    WITH RECURSIVE pairs AS (
+    WITH pairs AS (
       SELECT id_a, id_b FROM (
         {_minhash_portable_oracle(k=4, n_hashes=32, bands=8, threshold=0.5)}
       ) q),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM pairs),
-    reach AS (
-      SELECT src AS node, src AS label FROM edges
-      UNION
-      SELECT e.src AS node, r.label AS label
-      FROM edges e JOIN reach r ON r.node = e.dst),
-    clusters AS (
-      SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-      FROM reach GROUP BY 1),
+    {dedup.cc_oracle_ctes("pairs")},
     grouped AS (
       SELECT d.doc_id, d.source,
              COALESCE(c.cluster_id, d.doc_id) AS split_group
-      FROM documents d LEFT JOIN clusters c USING (doc_id))
+      FROM documents d LEFT JOIN clusters c ON c.member_id = d.doc_id)
     SELECT doc_id, source, split_group,
            CASE WHEN {sampling.hash_uniform_oracle_sql("split_group", "split0")} < 0.2
                 THEN 'val' ELSE 'train' END AS split
@@ -2845,25 +2830,15 @@ _SW_LIST = ", ".join("'" + w + "'" for ws in text.STOPWORDS.values() for w in ws
 
 @query(
     "x_dedup_canonical",
+    # CC via the linear-state hook+compress chain (see x_dedup_clusters)
     oracle=f"""
-    WITH RECURSIVE mh AS (
+    WITH mh AS (
       SELECT id_a, id_b FROM ({_minhash_portable_oracle(k=4, n_hashes=32, bands=8, threshold=0.5)}) p),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM mh
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM mh),
-    reach AS (
-      SELECT src AS node, src AS label FROM edges
-      UNION
-      SELECT e.src AS node, r.label AS label
-      FROM edges e JOIN reach r ON r.node = e.dst),
-    labels AS (
-      SELECT node AS member_id, CAST(min(label) AS BIGINT) AS cluster_id
-      FROM reach GROUP BY 1),
+    {dedup.cc_oracle_ctes("mh")},
     membership AS (
       SELECT d.doc_id AS member_id,
              COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN labels l ON l.member_id = d.doc_id),
+      FROM documents d LEFT JOIN clusters l ON l.member_id = d.doc_id),
     q AS (
       SELECT doc_id, CAST(length(t) AS INT) AS n_chars_norm,
              CAST(round(

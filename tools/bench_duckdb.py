@@ -30,6 +30,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     con = duckdb.connect()
+    # per-process spill dir: the default is CWD-relative ".tmp", which
+    # two concurrent DuckDB processes share — one cleaning up deletes
+    # the other's blocks mid-spill (fatal IOException, killed the r10
+    # sf1 baseline when a parity check ran alongside it)
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     # bound the spill so a runaway replay fails fast and visibly
     # instead of filling the root disk to exhaustion mid-suite
     try:

@@ -33,6 +33,9 @@ def main() -> int:
 
     spark = get_spark("check_correctness")
     con = duckdb.connect()
+    # per-process spill dir — the CWD-relative default collides across
+    # concurrent DuckDB processes (see tools/bench_duckdb.py)
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TESTDATA_TABLES:
         p = os.path.join(args.sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
