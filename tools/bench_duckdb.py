@@ -23,12 +23,7 @@ from duckdb_dbt_finance_warehouse_spark.sources.tables import TESTDATA_TABLES
 from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=None, help="also write the JSON line here")
-    args = ap.parse_args()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+def _connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     # per-process spill dir: the default is CWD-relative ".tmp", which
     # two concurrent DuckDB processes share — one cleaning up deletes
@@ -48,6 +43,16 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="also write the JSON line here")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    con = _connect(sf_dir)
     timings = {}
     failed = {}
     for name in HEADLINE:
@@ -58,17 +63,36 @@ def main() -> None:
         # (see suite/registry.QuerySpec.resolved_oracle)
         sql = spec.resolved_oracle(sf_dir)
         print(f"running {name} ...", file=sys.stderr, flush=True)
-        t0 = time.time()
-        # a replay that dies (e.g. spill-disk exhaustion at sf1) must
-        # name itself and NOT take the rest of the baseline down — the
-        # artifact records the failure visibly instead of vanishing
-        try:
-            con.execute(sql).fetchall()
-        except Exception as e:  # noqa: BLE001 — record and continue
-            failed[name] = f"{type(e).__name__}: {e}"
-            print(f"FAILED {name}: {failed[name]}", file=sys.stderr, flush=True)
+        # a replay that dies (spill exhaustion, allocator OOM at sf1)
+        # must name itself and NOT take the rest of the baseline down.
+        # An OOM also POISONS the shared connection — every later query
+        # on it fails with bad allocation (the r10 cascade: one
+        # semantic_dedup OOM -> 47 bogus failures) — so any failure
+        # tears the connection down and retries ONCE on a fresh one;
+        # only a second failure is recorded as real.
+        err = None
+        for attempt in range(2):
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+                timings[name] = round(time.time() - t0, 4)
+                err = None
+                break
+            except Exception as e:  # noqa: BLE001 — record and continue
+                err = f"{type(e).__name__}: {e}"
+                print(
+                    f"attempt {attempt + 1} failed for {name}: {err}",
+                    file=sys.stderr, flush=True,
+                )
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                con = _connect(sf_dir)
+        if err is not None:
+            failed[name] = err
+            print(f"FAILED {name}: {err}", file=sys.stderr, flush=True)
             continue
-        timings[name] = round(time.time() - t0, 4)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
     payload = {
         "metric": "duckdb_oracle_baseline_total",
