@@ -23,7 +23,26 @@ from duckdb_dbt_finance_warehouse_spark.sources.tables import TESTDATA_TABLES
 from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
 
 
-def _connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+def _connect(sf_dir: str, attempts: int = 4) -> "duckdb.DuckDBPyConnection":
+    """Fresh connection with views registered. Retries with a settle
+    delay: immediately after an OOM teardown the old instance's memory
+    has not returned to the allocator yet, and even the 2 KB CREATE
+    VIEW allocation was observed failing (r10, killed the third sf1
+    baseline attempt)."""
+    import gc
+
+    last = None
+    for i in range(attempts):
+        gc.collect()
+        try:
+            return _connect_once(sf_dir)
+        except Exception as e:  # noqa: BLE001
+            last = e
+            time.sleep(2 * (i + 1))
+    raise last
+
+
+def _connect_once(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     # per-process spill dir: the default is CWD-relative ".tmp", which
     # two concurrent DuckDB processes share — one cleaning up deletes
@@ -52,7 +71,6 @@ def main() -> None:
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    con = _connect(sf_dir)
     timings = {}
     failed = {}
     for name in HEADLINE:
@@ -63,32 +81,41 @@ def main() -> None:
         # (see suite/registry.QuerySpec.resolved_oracle)
         sql = spec.resolved_oracle(sf_dir)
         print(f"running {name} ...", file=sys.stderr, flush=True)
-        # a replay that dies (spill exhaustion, allocator OOM at sf1)
-        # must name itself and NOT take the rest of the baseline down.
-        # An OOM also POISONS the shared connection — every later query
-        # on it fails with bad allocation (the r10 cascade: one
-        # semantic_dedup OOM -> 47 bogus failures) — so any failure
-        # tears the connection down and retries ONCE on a fresh one;
-        # only a second failure is recorded as real.
+        # One FRESH connection per query: a failed replay must name
+        # itself and not take the rest of the baseline down, and an
+        # allocator OOM POISONS its connection — every later query on
+        # it fails with bad allocation (the r10 cascade: one
+        # semantic_dedup OOM -> 47 bogus failures). Per-query
+        # connections also keep in-suite memory state identical to a
+        # solo run (list-heavy sf1 replays were observed OOMing
+        # in-suite while passing solo on an unfragmented allocator).
+        # Timing excludes connect/view setup (~ms). One retry per
+        # query; only a second failure is recorded as real.
         err = None
         for attempt in range(2):
+            try:
+                con = _connect(sf_dir)
+            except Exception as e:  # noqa: BLE001
+                err = f"{type(e).__name__}: {e}"
+                continue
             t0 = time.time()
             try:
                 con.execute(sql).fetchall()
                 timings[name] = round(time.time() - t0, 4)
                 err = None
-                break
             except Exception as e:  # noqa: BLE001 — record and continue
                 err = f"{type(e).__name__}: {e}"
                 print(
                     f"attempt {attempt + 1} failed for {name}: {err}",
                     file=sys.stderr, flush=True,
                 )
+            finally:
                 try:
                     con.close()
                 except Exception:  # noqa: BLE001
                     pass
-                con = _connect(sf_dir)
+            if err is None:
+                break
         if err is not None:
             failed[name] = err
             print(f"FAILED {name}: {err}", file=sys.stderr, flush=True)
