@@ -4,6 +4,17 @@ single-node throughput at the same data scale'. Prints one JSON line in
 the same shape as bench.py; ``--out FILE`` also writes it to disk so
 per-query Spark/DuckDB ratios are machine-checkable round over round
 (see tools/bench_ratio.py), not PERF.md prose.
+
+Robustness (hard-won in the r10 sf1 runs): a list-heavy replay at sf1
+can OOM DuckDB's allocator, and the damage is PROCESS-wide — a poisoned
+shared connection fails every later query (one semantic_dedup OOM ->
+47 bogus failures), a reconnect milliseconds later still can't allocate
+2 KB, and even per-query fresh connections eventually starve because
+freed arena memory never returns to the OS within the process. So the
+suite runs in a WORKER SUBPROCESS (one fresh connection per query) and
+the parent respawns it from the crash point when it dies, marking the
+query it died on as failed — full OS-level memory isolation, at most
+one respawn's import cost per genuine failure.
 """
 
 from __future__ import annotations
@@ -11,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -23,30 +35,20 @@ from duckdb_dbt_finance_warehouse_spark.sources.tables import TESTDATA_TABLES
 from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
 
 
-def _connect(sf_dir: str, attempts: int = 4) -> "duckdb.DuckDBPyConnection":
-    """Fresh connection with views registered. Retries with a settle
-    delay: immediately after an OOM teardown the old instance's memory
-    has not returned to the allocator yet, and even the 2 KB CREATE
-    VIEW allocation was observed failing (r10, killed the third sf1
-    baseline attempt)."""
-    import gc
-
-    last = None
-    for i in range(attempts):
-        gc.collect()
-        try:
-            return _connect_once(sf_dir)
-        except Exception as e:  # noqa: BLE001
-            last = e
-            time.sleep(2 * (i + 1))
-    raise last
+def _eligible() -> list[str]:
+    out = []
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is not None and spec.has_oracle:
+            out.append(name)
+    return out
 
 
-def _connect_once(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+def _connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
     # per-process spill dir: the default is CWD-relative ".tmp", which
     # two concurrent DuckDB processes share — one cleaning up deletes
-    # the other's blocks mid-spill (fatal IOException, killed the r10
+    # the other's blocks mid-spill (fatal IOException, killed an r10
     # sf1 baseline when a parity check ran alongside it)
     con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     # bound the spill so a runaway replay fails fast and visibly
@@ -65,62 +67,97 @@ def _connect_once(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     return con
 
 
+def worker(sf_dir: str, start: int) -> None:
+    """Run queries [start:] each on a fresh connection, emitting a
+    machine-parseable line per query on stdout: ``RUN <i> <name>`` then
+    ``OK <i> <name> <secs>`` or ``FAIL <i> <name> <err>``. A hard death
+    (allocator starvation, OOM-kill) leaves the parent a RUN line to
+    resume after."""
+    names = _eligible()
+    for i in range(start, len(names)):
+        name = names[i]
+        spec = REGISTRY.get(name)
+        sql = spec.resolved_oracle(sf_dir)
+        print(f"RUN {i} {name}", flush=True)
+        try:
+            con = _connect(sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {i} {name} connect: {type(e).__name__}: {e}", flush=True)
+            continue
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            print(f"OK {i} {name} {round(time.time() - t0, 4)}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            err = f"{type(e).__name__}: {e}".replace("\n", " ")
+            print(f"FAIL {i} {name} {err}", flush=True)
+        finally:
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None, help="also write the JSON line here")
+    ap.add_argument("--worker-start", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    timings = {}
-    failed = {}
-    for name in HEADLINE:
-        spec = REGISTRY.get(name)
-        if spec is None or not spec.has_oracle:
-            continue
-        # scale-dependent tuning literals re-instantiate for this sf
-        # (see suite/registry.QuerySpec.resolved_oracle)
-        sql = spec.resolved_oracle(sf_dir)
-        print(f"running {name} ...", file=sys.stderr, flush=True)
-        # One FRESH connection per query: a failed replay must name
-        # itself and not take the rest of the baseline down, and an
-        # allocator OOM POISONS its connection — every later query on
-        # it fails with bad allocation (the r10 cascade: one
-        # semantic_dedup OOM -> 47 bogus failures). Per-query
-        # connections also keep in-suite memory state identical to a
-        # solo run (list-heavy sf1 replays were observed OOMing
-        # in-suite while passing solo on an unfragmented allocator).
-        # Timing excludes connect/view setup (~ms). One retry per
-        # query; only a second failure is recorded as real.
-        err = None
-        for attempt in range(2):
-            try:
-                con = _connect(sf_dir)
-            except Exception as e:  # noqa: BLE001
-                err = f"{type(e).__name__}: {e}"
-                continue
-            t0 = time.time()
-            try:
-                con.execute(sql).fetchall()
-                timings[name] = round(time.time() - t0, 4)
-                err = None
-            except Exception as e:  # noqa: BLE001 — record and continue
-                err = f"{type(e).__name__}: {e}"
-                print(
-                    f"attempt {attempt + 1} failed for {name}: {err}",
-                    file=sys.stderr, flush=True,
-                )
-            finally:
-                try:
-                    con.close()
-                except Exception:  # noqa: BLE001
-                    pass
-            if err is None:
-                break
-        if err is not None:
-            failed[name] = err
-            print(f"FAILED {name}: {err}", file=sys.stderr, flush=True)
-            continue
-        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+    if args.worker_start is not None:
+        worker(sf_dir, args.worker_start)
+        return
+
+    names = _eligible()
+    timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    nxt = 0
+    stalls = 0
+    while nxt < len(names):
+        before = nxt
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker-start", str(nxt)],
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+            env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
+        )
+        running: tuple[int, str] | None = None
+        for line in proc.stdout:
+            parts = line.rstrip("\n").split(" ", 3)
+            if parts[0] == "RUN":
+                running = (int(parts[1]), parts[2])
+                print(f"running {parts[2]} ...", file=sys.stderr, flush=True)
+            elif parts[0] == "OK":
+                timings[parts[2]] = float(parts[3])
+                nxt = int(parts[1]) + 1
+                running = None
+                print(f"  {parts[2]}: {parts[3]}s", file=sys.stderr, flush=True)
+            elif parts[0] == "FAIL":
+                failed[parts[2]] = parts[3]
+                nxt = int(parts[1]) + 1
+                running = None
+                print(f"FAILED {parts[2]}: {parts[3]}", file=sys.stderr, flush=True)
+        rc = proc.wait()
+        if rc != 0 and running is not None:
+            # the worker died mid-query (hard OOM / kernel kill):
+            # charge the death to that query and resume after it
+            failed[running[1]] = f"worker died (rc {rc}) during replay"
+            nxt = running[0] + 1
+            print(
+                f"FAILED {running[1]}: worker died (rc {rc}); respawning",
+                file=sys.stderr, flush=True,
+            )
+        elif rc != 0 and running is None:
+            # died between queries — resume from nxt without blame
+            print(f"worker died idle (rc {rc}); respawning", file=sys.stderr, flush=True)
+        # no-progress guard: a worker dying before its first RUN line
+        # (import failure, bad interpreter) must not respawn forever
+        stalls = stalls + 1 if nxt == before else 0
+        if stalls >= 3:
+            raise SystemExit(f"worker made no progress after {stalls} respawns at index {nxt}")
+
     payload = {
         "metric": "duckdb_oracle_baseline_total",
         "value": round(sum(timings.values()), 4),
