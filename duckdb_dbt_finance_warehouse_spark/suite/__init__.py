@@ -27,9 +27,19 @@ from . import extensions  # noqa: E402,F401
 # the two flagships (m1/m2), the Q1-shape aggregate, and the
 # CC-clustering iterative op.
 #
+# LATE-ROUND AMENDMENT (the r9-ADVICE touched-first rule): the sf1
+# baseline work rewrote the kmeans and CC-closure ORACLES after the
+# initial rotation, so x_kmeans / x_semantic_dedup / x_ann_ivf_trained
+# / x_dedup_canonical / x_leakage_safe_split took window slots from
+# five unchanged r6-backlog entries (a13_cube, o4_null_ordering,
+# w7_value_kit, x_ks_drift, x_skew_report — moved to r11's deferred
+# list, still r6-green and session-pinned). Declared deviation:
+# changed-oracle entries outrank cadence backlog.
+#
 # After this round's run no registry entry's latest green driver row is
-# older than r7; the r7 remainder moves to DEFERRED_NEXT_ROUND (r11's
-# first slots), each still session-pinned by
+# older than r7 except the five displaced r6 entries above; the
+# remainder moves to DEFERRED_NEXT_ROUND (r11's first slots), each
+# still session-pinned by
 # test_oracle_parity_deferred.py.  tests/test_coverage_rotation.py
 # enforces that every registry entry is either driver-checked already,
 # in the current first-50, or in the deferred plan (which must itself
@@ -46,9 +56,13 @@ DRIVER_PRIORITY: list[str] = [
     "x_fuzzy_join",
     "x_containment_pairs",
     "x_pagerank",
-    # --- the r9 deferred drain list, slots as declared ---
-    "a13_cube",
-    "o4_null_ordering",
+    "x_kmeans",
+    "x_semantic_dedup",
+    "x_ann_ivf_trained",
+    "x_dedup_canonical",
+    "x_leakage_safe_split",
+    # --- the r9 deferred drain list (minus five slots ceded to the
+    # changed-oracle entries above — see the amendment note) ---
     "sql11_top_view_q15_style",
     "sql12_double_exists_q21_style",
     "sql5_correlated_agg_q17_style",
@@ -56,7 +70,6 @@ DRIVER_PRIORITY: list[str] = [
     "sql7_outer_join_histogram_q13_style",
     "sql8_correlated_min_q2_style",
     "sql9_global_avg_anti_join_q22_style",
-    "w7_value_kit",
     "x_ab_conversion",
     "x_auc_quality",
     "x_bm25_search",
@@ -75,7 +88,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_hll_merge",
     "x_importance_resample",
     "x_join_size_estimate",
-    "x_ks_drift",
     "x_last_touch_attribution",
     "x_lexical_drift",
     "x_lm_bigram_score",
@@ -83,7 +95,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_perplexity_buckets",
     "x_random_projection",
     "x_shard_rendezvous",
-    "x_skew_report",
     "x_zipf_fit",
     # --- oldest remaining driver rows (r7): flagships first ---
     "m1_movement_classification",
@@ -97,6 +108,13 @@ DRIVER_PRIORITY: list[str] = [
 # first-50 slot (CLAUDE.md) — this list only schedules cadence backlog
 # that already has a green driver row.
 DEFERRED_NEXT_ROUND: list[str] = [
+    # displaced r6-green backlog (see the amendment note above)
+    "a13_cube",
+    "o4_null_ordering",
+    "w7_value_kit",
+    "x_ks_drift",
+    "x_skew_report",
+    # r7-green remainder
     "a8_exact_percentiles",
     "j1_month_spine_expansion",
     "j3_validity_asof_join",
@@ -105,7 +123,6 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "w6_range_frames",
     "x_ann_ivf_pq_topk",
     "x_ann_ivf_probe_table",
-    "x_ann_ivf_trained",
     "x_ann_recall_audit",
     "x_boilerplate_grams",
     "x_chunk_overlap",
@@ -120,7 +137,6 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_hll_distinct",
     "x_incremental_rollup",
     "x_kfold_split",
-    "x_kmeans",
     "x_length_buckets",
     "x_maintenance_compaction",
     "x_max_concurrency",
