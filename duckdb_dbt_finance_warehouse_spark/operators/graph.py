@@ -374,21 +374,37 @@ def _closed_wedge_count(e: DataFrame, out_col: str = "n_triangles") -> DataFrame
     Per-vertex wedge fan-out is C(out, 2) instead of the path-join's
     in·out: half the closing-join input on uniform graphs and immune
     to the in-degree of hubs (a hub's out-degree is 0 → zero wedges).
-    Every row here is two int32s. Both joins keep the ``shuffle_hash``
-    hint — sorting a wedge-volume stream to probe an edge list is the
-    thing the hint exists to prevent."""
+    Every row here is two int32s.
+
+    The closing join BROADCASTS the edge set as single packed-long
+    keys (ranks are 1..|V| < 2^31, so ``u << 32 | w`` is collision
+    free and hits the LongHashedRelation fast path) instead of
+    shuffling the wedge stream: wedges outnumber edges by the average
+    out-degree (sf1: 1.48 B wedges vs 12 M edges — a ~12 GB exchange),
+    so the wedge stream must stay fused in its generating map stage
+    and probe a broadcast hash map, never hit an exchange. The build
+    side is bounded by construction: ``triangle_stats_auto`` routes
+    graphs past 20 M edges (~a few hundred MB hashed) to the DOULION
+    sampled census, whose surviving edge set shrinks by 1/k. The
+    wedge self-join keeps ``shuffle_hash`` — sorting even the edge
+    stream twice to build wedges is waste."""
     p = (
         e.alias("x")
         .join(e.alias("y").hint("shuffle_hash"), F.col("x.ra") == F.col("y.ra"))
         .filter(F.col("x.rb") < F.col("y.rb"))
-        .select(F.col("x.rb").alias("u"), F.col("y.rb").alias("w"))
+        .select(
+            (
+                F.shiftleft(F.col("x.rb").cast("bigint"), 32)
+                + F.col("y.rb").cast("bigint")
+            ).alias("_uw")
+        )
     )
-    return p.join(
-        e.select(F.col("ra").alias("u"), F.col("rb").alias("w")).hint(
-            "shuffle_hash"
-        ),
-        ["u", "w"],
-    ).agg(F.count("*").alias(out_col))
+    closing = e.select(
+        (
+            F.shiftleft(F.col("ra").cast("bigint"), 32) + F.col("rb").cast("bigint")
+        ).alias("_uw")
+    )
+    return p.join(F.broadcast(closing), "_uw").agg(F.count("*").alias(out_col))
 
 
 def triangle_stats(edges: DataFrame, *, _edges_prepared: bool = False) -> DataFrame:
