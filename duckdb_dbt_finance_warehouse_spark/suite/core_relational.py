@@ -1060,9 +1060,20 @@ def sql1_join_agg_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql2_join_agg_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-API surface, Q5 shape: the 6-way star join (fact x fact x
-    four dims) that exercises Catalyst JOIN REORDERING and multi-level
-    broadcast. nation/region/supplier are dimension-sized at any SF —
-    all three plan as BroadcastHashJoin; the local-supplier predicate
+    four dims) that exercises Catalyst's broadcast chain. LINEITEM —
+    the largest table at any SF — is written FIRST so it is the probe
+    stream of every join: without CBO stats Catalyst keeps the FROM
+    order, and the c-first form broadcast the 4-col pruned lineitem
+    (a 6 M-row single-threaded driver hash build at sf1, the
+    mis-broadcast class that breaks outright at 100 TB) while
+    streaming the small side. Probe-on-fact makes every build side a
+    filtered/dimension relation (date-filtered orders, 2-col customer,
+    supplier/nation/region), each under the broadcast threshold by
+    orders of magnitude more headroom than lineitem, and past the
+    threshold the planner's size-driven fallback is a fact-side
+    shuffle — the right degradation. One scan of lineitem, five
+    broadcast probes fused in one codegen stage, one agg exchange;
+    sf1 steady 3.5-4.2 s -> ~1.2 s. The local-supplier predicate
     (c_nationkey = s_nationkey) rides the join output as a filter.
     Revenue uses the scaled-integer floor trick in BOTH engines, so the
     sum is order-independent and bit-identical."""
@@ -1076,9 +1087,9 @@ def sql2_join_agg_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5))
                  / CAST(10000 AS DOUBLE) AS DOUBLE) AS revenue,
                count(*) AS n_lines
-        FROM customer c
-        JOIN orders o   ON o.o_custkey = c.c_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
         JOIN region r   ON r.r_regionkey = n.n_regionkey
@@ -1881,15 +1892,40 @@ def sql12_double_exists_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame
     decorrelation combo in TPC-H — an EXISTS and a NOT EXISTS both
     correlated to the SAME outer row, the NOT EXISTS additionally
     referencing a second outer table (o.o_orderdate). Catalyst plans
-    them as a left-semi and a left-anti join against two filtered
-    re-reads of lineitem, all shuffled on the shared l_orderkey key —
-    no per-row subquery execution at any SF. The reference's Q21
-    lateness predicate (receipt > commit) maps to shipdate > order
-    date + 90 days on this schema; the final ORDER BY/LIMIT tie-breaks
-    on the unique supplier name, so the top-20 cut is deterministic."""
+    them as a left-semi and a left-anti join against two re-reads of
+    lineitem — no per-row subquery execution at any SF. The Spark text
+    differs from the oracle in two scale-load-bearing ways: (1)
+    lineitem l1 is written FIRST so the fact is the probe stream
+    (supplier-first made Catalyst BROADCAST both 6 M-row lineitem
+    re-reads — two single-threaded driver hash builds at sf1, broken
+    outright at 100 TB); (2) the semi/anti sides carry SHUFFLE_HASH
+    hints, so l1 exchanges ONCE on l_orderkey and both subquery joins
+    reuse that partitioning with parallel fact-side builds, while the
+    date-filtered orders and supplier stay broadcast. sf1 steady
+    3.2-3.5 s -> ~1.5 s. The reference's Q21 lateness predicate
+    (receipt > commit) maps to shipdate > order date + 90 days on this
+    schema; the final ORDER BY/LIMIT tie-breaks on the unique supplier
+    name, so the top-20 cut is deterministic."""
     for n, df in T(spark, sf_dir, "supplier", "orders", "lineitem").items():
         df.createOrReplaceTempView(n)
-    return spark.sql(_SQL12)
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(o), BROADCAST(s) */
+               s.s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT /*+ SHUFFLE_HASH(l2) */ 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey != l1.l_suppkey)
+          AND NOT EXISTS (SELECT /*+ SHUFFLE_HASH(l3) */ 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey != l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+        """
+    )
 
 
 @query(
