@@ -165,6 +165,11 @@ HEADLINE = [
     "x_last_touch_attribution",   # channel-credited conversion revenue
     "x_rfm_segments",             # 27-cell recency/frequency/monetary grid
     "x_ab_conversion",            # 2x2 chi-square A/B readout
+    "x_url_canonical",            # crawl-URL canonicalization + dup flag
+    "x_label_propagation",        # fixed-round LPA communities
+    "x_khop_reach",               # 3-hop BFS blast radius
+    "sql13_disjunctive_join_q19_style",  # Q19 OR-of-ANDs join filter
+    "sql14_promo_ratio_q14_style",       # Q14 conditional-agg ratio
 ]
 
 

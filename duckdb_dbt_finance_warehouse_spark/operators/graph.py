@@ -617,3 +617,190 @@ def pagerank_oracle_sql(
     FROM r{iterations}
     """
     )
+
+
+def _undirected(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Symmetrized distinct neighbor list (a, b): each undirected edge
+    appears in both directions, self-loops dropped. One distinct
+    shuffle over 2x edge volume; every caller persists the result as
+    the stored per-round probe side."""
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    return (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection) over an undirected graph: every node starts labeled
+    with its own id; each round every node adopts the most frequent
+    label among its neighbors, ties broken toward the SMALLEST label
+    (the struct-min argmax — ``min(struct(-cnt, lbl))`` — so the
+    update is a pure function of the round's inputs and the oracle
+    replays bit-for-bit). Output: (node, label) after ``rounds``.
+
+    Scale shape (the pagerank loop's): the symmetrized edge frame is
+    STORED state reused by every round — persisted and partitioned by
+    edge volume, not the session shuffle constant — and the iterated
+    label state stays node-sized. Per round: one labels⋈edges hash
+    join plus a two-level count/argmax aggregation, all map-side
+    combinable; nothing ever materializes beyond edge volume. Labels
+    stay raw ids (no rank dictionary): like dedup_clusters (r9 A/B,
+    PERF.md), the per-round rows are two longs — the four dictionary
+    joins would cost more than they save. Fixed-round by design;
+    callers needing a fixpoint compare round N to N-1 themselves."""
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    from .dedup import _persist
+
+    u = _persist(_undirected(edges, src_col, dst_col))
+    n_edges = u.count()
+    parts = max(1, -(-n_edges // 1_500_000))
+    u = _persist(u.repartition(parts, "a"))
+    # round 1 needs no join: every neighbor's label is the neighbor id
+    labels = (
+        u.groupBy(F.col("a").alias("node"))
+        .agg(F.min(F.col("b")).alias("lbl"))
+    )
+    arg = F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("lbl")))
+    for _ in range(rounds - 1):
+        labels = (
+            u.join(
+                labels.withColumnsRenamed({"node": "b"}).hint("shuffle_hash"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(arg.getField("lbl").alias("lbl"))
+        )
+    return labels.select("node", F.col("lbl").alias("label"))
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+) -> str:
+    """DuckDB replay of ``label_propagation``: rounds unrolled as
+    CTEs, the same struct-min argmax (`min({'negcnt': -cnt, 'lbl':
+    lbl})` — lexicographic struct comparison in both engines)."""
+    parts = [
+        f"e0 AS (SELECT {src_col} AS a, {dst_col} AS b FROM ({edges_sql})"
+        f" WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL"
+        f" AND {src_col} != {dst_col})",
+        "u AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "l1 AS (SELECT a AS node, min(b) AS lbl FROM u GROUP BY 1)",
+    ]
+    for i in range(2, rounds + 1):
+        parts.append(
+            f"c{i} AS (SELECT u.a AS node, l.lbl, count(*) AS cnt"
+            f" FROM u JOIN l{i - 1} l ON l.node = u.b GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node,"
+            f" (min({{'negcnt': -cnt, 'lbl': lbl}})).lbl AS lbl"
+            f" FROM c{i} GROUP BY 1)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT node, CAST(lbl AS BIGINT) AS label FROM l{rounds}
+    """
+    )
+
+
+def khop_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    hops: int = 3,
+) -> DataFrame:
+    """Exact BFS distance from a seed set, capped at ``hops``:
+    output (node, dist) for every node whose shortest undirected
+    distance to ANY seed is <= hops (the k-hop neighborhood expansion
+    behind link-spam blast-radius checks and contamination spread).
+    ``seeds`` must have a ``node`` column; seed rows not present in
+    the graph still appear at dist 0 (reachability is defined on the
+    seed set, not the edge list).
+
+    Frontier-sparse by construction: round k joins only the dist-k-1
+    FRONTIER (new nodes) against the stored edge frame, and the anti
+    join against the accumulated reach set keeps each node's FIRST
+    (minimal) distance — state never exceeds the reached-node set,
+    and per-round work follows the frontier's edge volume. The
+    symmetrized edge frame is persisted stored state shared by all
+    rounds (pagerank's cache rule)."""
+    if hops < 0:
+        raise ValueError(f"khop_reach: hops must be >= 0, got {hops}")
+    from .dedup import _persist
+
+    s = seeds.select(F.col("node")).distinct()
+    out = s.select("node", F.lit(0).alias("dist"))
+    if hops == 0:
+        return out
+    u = _persist(_undirected(edges, src_col, dst_col))
+    n_edges = u.count()
+    parts = max(1, -(-n_edges // 1_500_000))
+    u = _persist(u.repartition(parts, "a"))
+    reach = out
+    frontier = s
+    for k in range(1, hops + 1):
+        nxt = (
+            u.join(
+                frontier.withColumnsRenamed({"node": "a"}).hint("shuffle_hash"),
+                "a",
+            )
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(reach.select("node"), "node", "left_anti")
+            # the frontier is consumed by round k+1's join AND unioned
+            # into the output: localCheckpoint, not persist — per-run
+            # recomputed state, never a stored table (CLAUDE.md rule)
+            .localCheckpoint(eager=False)
+        )
+        frontier = nxt
+        reach = reach.unionByName(nxt.select("node", F.lit(k).alias("dist")))
+    return reach.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def khop_reach_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    hops: int = 3,
+) -> str:
+    """DuckDB replay of ``khop_reach``: BFS rounds unrolled as CTEs,
+    each frontier anti-joined against the union of earlier rounds.
+    ``seeds_sql`` must select a ``node`` column."""
+    parts = [
+        f"e0 AS (SELECT {src_col} AS a, {dst_col} AS b FROM ({edges_sql})"
+        f" WHERE {src_col} IS NOT NULL AND {dst_col} IS NOT NULL"
+        f" AND {src_col} != {dst_col})",
+        "u AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        f"r0 AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+    ]
+    seen = "SELECT node FROM r0"
+    for k in range(1, hops + 1):
+        parts.append(
+            f"r{k} AS (SELECT DISTINCT u.b AS node"
+            f" FROM u JOIN r{k - 1} f ON f.node = u.a"
+            f" WHERE NOT EXISTS (SELECT 1 FROM ({seen}) s WHERE s.node = u.b))"
+        )
+        seen += f" UNION ALL SELECT node FROM r{k}"
+    sel = " UNION ALL ".join(
+        f"SELECT node, {k} AS dist FROM r{k}" for k in range(hops + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f" SELECT node, CAST(dist AS INT) AS dist FROM ({sel})"
+    )

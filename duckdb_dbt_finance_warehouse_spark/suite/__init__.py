@@ -45,7 +45,29 @@ from . import extensions  # noqa: E402,F401
 # in the current first-50, or in the deferred plan (which must itself
 # fit one round) — the "ships unchecked" failure mode cannot recur
 # silently.
+# SECOND LATE-ROUND AMENDMENT (same rule, continued session): five NEW
+# entries (x_url_canonical / x_label_propagation / x_khop_reach /
+# sql13 / sql14) and three whose CODE changed late in the round
+# (x_triangle_count / x_triangle_sample — broadcast closing join;
+# sql2 — probe-stream join order; sql12's change is covered by its
+# existing slot) take the first slots, displacing eight unchanged
+# r7-green backlog entries (x_shard_rendezvous, x_zipf_fit,
+# x_random_projection, x_perplexity_buckets, x_pca_power,
+# x_last_touch_attribution, x_join_size_estimate, x_hll_merge) onto
+# DEFERRED_NEXT_ROUND — still session-pinned by
+# test_oracle_parity_deferred, drained first in r11. Declared
+# deviation: new and code-touched entries outrank cadence backlog.
 DRIVER_PRIORITY: list[str] = [
+    # --- new entries (second amendment) ---
+    "x_url_canonical",
+    "x_label_propagation",
+    "x_khop_reach",
+    "sql13_disjunctive_join_q19_style",
+    "sql14_promo_ratio_q14_style",
+    # --- code changed late this round (second amendment) ---
+    "x_triangle_count",
+    "x_triangle_sample",
+    "sql2_join_agg_q5_style",
     # --- new entry this round ---
     "x_multimodal_video",
     # --- code or oracle changed this round ---
@@ -85,17 +107,9 @@ DRIVER_PRIORITY: list[str] = [
     "x_event_transitions",
     "x_group_quantiles",
     "x_hll_error_audit",
-    "x_hll_merge",
     "x_importance_resample",
-    "x_join_size_estimate",
-    "x_last_touch_attribution",
     "x_lexical_drift",
     "x_lm_bigram_score",
-    "x_pca_power",
-    "x_perplexity_buckets",
-    "x_random_projection",
-    "x_shard_rendezvous",
-    "x_zipf_fit",
     # --- oldest remaining driver rows (r7): flagships first ---
     "m1_movement_classification",
     "m2_waterfall_rollup",
@@ -151,6 +165,15 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_tokenizer_fertility",
     "x_vocab_coverage",
     "x_zorder_layout",
+    # displaced r7-green backlog (second amendment — see above)
+    "x_shard_rendezvous",
+    "x_zipf_fit",
+    "x_random_projection",
+    "x_perplexity_buckets",
+    "x_pca_power",
+    "x_last_touch_attribution",
+    "x_join_size_estimate",
+    "x_hll_merge",
 ]
 
 

@@ -2024,3 +2024,97 @@ def w7_value_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("st", ignorenulls=True).over(w).alias("last_nonnull_status"),
         F.nth_value("st", 2, ignoreNulls=True).over(w).alias("second_nonnull_status"),
     )
+
+
+@query(
+    "sql13_disjunctive_join_q19_style",
+    oracle="""
+    SELECT SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+             AS BIGINT)) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def sql13_disjunctive_join_q19_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q19 shape (disjunctive multi-predicate join):
+    three OR'd brand/size/quantity branches that each reference BOTH
+    join sides, so the disjunction must ride the join output as one
+    filter — the planner test is that Catalyst still derives the
+    conjunctive l_partkey equi-key (never a nested-loop over the OR),
+    broadcasts the dimension, and collapses scan+join+filter+agg into
+    one codegen stage over the lineitem probe stream. Revenue uses the
+    scaled-integer floor trick, so the one-row answer is bit-identical
+    in both engines."""
+    for n, df in T(spark, sf_dir, "lineitem", "part").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5))
+                 / CAST(10000 AS DOUBLE) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
+@query(
+    "sql14_promo_ratio_q14_style",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                        * 10000 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS pq,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                  * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS tq
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-04-01')
+    SELECT pq / 10000.0 AS promo_revenue, tq / 10000.0 AS total_revenue,
+           CASE WHEN tq > 0
+                THEN 100.0 * CAST(pq AS DOUBLE) / CAST(tq AS DOUBLE)
+           END AS promo_share_pct
+    FROM q
+    """,
+)
+def sql14_promo_ratio_q14_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface, Q14 shape (promo revenue share): conditional
+    aggregation — one pass computing a CASE-gated sum and the plain sum,
+    published as a ratio. Both sums are exact scaled bigints and the
+    share is ONE final IEEE division of those two integers (the house
+    ratio rule — never an engine round()), so the percentage is
+    bit-identical in both engines. Date range prunes the lineitem scan
+    (PushedFilters); part broadcasts into the probe stream."""
+    for n, df in T(spark, sf_dir, "lineitem", "part").items():
+        df.createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        WITH q AS (
+          SELECT SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000 + 0.5) AS BIGINT) ELSE 0L END) AS pq,
+                 SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                      * 10000 + 0.5) AS BIGINT)) AS tq
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate < TIMESTAMP '1997-04-01')
+        SELECT CAST(pq / CAST(10000 AS DOUBLE) AS DOUBLE) AS promo_revenue,
+               CAST(tq / CAST(10000 AS DOUBLE) AS DOUBLE) AS total_revenue,
+               CASE WHEN tq > 0
+                    THEN CAST(100.0 AS DOUBLE) * CAST(pq AS DOUBLE)
+                         / CAST(tq AS DOUBLE)
+               END AS promo_share_pct
+        FROM q
+        """
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators import (
     asof,
+    url,
     bloom,
     bpe,
     dedup,
@@ -4598,4 +4599,89 @@ def x_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded token passes; the B-row weight table broadcasts."""
     return sampling.importance_resample(
         _docs(spark, sf_dir), "doc_id", "text", F.col("lang") == "en"
+    )
+
+
+@query(
+    "x_label_propagation",
+    oracle=graph.label_propagation_oracle_sql(_PR_EDGES_SQL, rounds=3),
+)
+def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.label_propagation) over the same synthetic
+    citation graph PageRank walks: 3 unrolled rounds of neighbor-label
+    frequency argmax with the struct-min tie-break, the community-
+    detection sibling of the CC/pagerank iterative house patterns.
+    Per-round state is node-sized, per-round work edge-sized; the
+    symmetrized edge frame is persisted stored state."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 37 + 11) % 1000).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 91 + 3) % 1000).alias("dst"),
+    )
+    return graph.label_propagation(e1.unionByName(e2), rounds=3)
+
+
+@query(
+    "x_khop_reach",
+    oracle=graph.khop_reach_oracle_sql(
+        _PR_EDGES_SQL,
+        "SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0",
+        hops=3,
+    ),
+)
+def x_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-hop BFS neighborhood (operators/graph.khop_reach) from
+    a deterministic seed slice of the citation graph — the blast-radius
+    expansion behind link-spam and contamination-spread checks. Each
+    round joins only the NEW frontier against the stored edge frame
+    and anti-joins the accumulated reach set, so every node lands at
+    its minimal distance and state never exceeds the reached set."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 37 + 11) % 1000).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 91 + 3) % 1000).alias("dst"),
+    )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return graph.khop_reach(e1.unionByName(e2), seeds, hops=3)
+
+
+@query(
+    "x_url_canonical",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {url.synthesize_url_sql("doc_id")} AS url
+                 FROM documents),
+    c AS (SELECT doc_id, url,
+                 {url.canonicalize_url_sql("url")} AS canonical_url
+          FROM raw)
+    SELECT doc_id, url, canonical_url,
+           row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) > 1
+             AS is_dup
+    FROM c
+    """,
+)
+def x_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization + first-wins dedup flag
+    (operators/url.url_canonical_dedup): lowercase scheme/host, strip
+    default ports, www. and tracking params (utm_*, ref), then flag
+    every later holder of the same canonical URL — the step a web
+    corpus runs BEFORE any content hashing. Raw URLs are synthesized
+    deterministically in-query (three encodings per logical page; the
+    two https forms of every id-triple collapse, the http form stays —
+    scheme is semantic); the whole
+    chain is codegen'd built-ins, one projection pass + one
+    canonical-key window."""
+    docs = _docs(spark, sf_dir)
+    return url.url_canonical_dedup(
+        docs, "doc_id", url.synthesize_url(F.col("doc_id"))
     )

@@ -1,0 +1,102 @@
+"""Unit pins for the second-amendment operators: label propagation,
+k-hop BFS reach, and URL canonicalization — hand-computed expectations
+on toy inputs (the oracle pair checks engine parity; these pin the
+SEMANTICS against a human-verifiable answer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_dbt_finance_warehouse_spark.operators import graph, url
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles bridged by one edge: LPA labels each triangle with
+    # its minimum member; the bridge endpoints see a 2-1 neighbor
+    # majority from their own clique by round 3
+    e = _edges(
+        spark,
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(e, rounds=3).collect()
+    }
+    # round 1: everyone takes min neighbor id
+    # {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+    # round 2 (majority of neighbor labels, tie -> min):
+    #   1: nbrs{2,3} labels{1,1} -> 1;  2: nbrs{1,3} {2,1} tie -> 1
+    #   3: nbrs{1,2,4} {2,1,3} tie -> 1; 4: nbrs{3,5,6} {1,4,4} -> 4
+    #   5: nbrs{4,6} {3,4} tie -> 3;    6: nbrs{4,5} {3,4} tie -> 3
+    # round 3:
+    #   1: {1,1} -> 1; 2: {1,1} -> 1; 3: {1,1,4} -> 1
+    #   4: {1,3,3} -> 3; 5: {4,3} tie -> 3; 6: {4,3} tie -> 3
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_round1_is_min_neighbor(spark):
+    e = _edges(spark, [(10, 20), (20, 30)])
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(e, rounds=1).collect()
+    }
+    assert got == {10: 20, 20: 10, 30: 20}
+
+
+def test_khop_reach_path_graph(spark):
+    # path 1-2-3-4-5-6, seed {1}: dist caps at hops=3
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"] for r in graph.khop_reach(e, seeds, hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_khop_reach_seed_not_in_graph_and_min_dist(spark):
+    # 99 is an isolated seed (still dist 0); 3 is reachable two ways —
+    # keeps the SHORTER distance
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["dist"] for r in graph.khop_reach(e, seeds, hops=2).collect()
+    }
+    assert got == {1: 0, 99: 0, 2: 1, 3: 1}
+
+
+def test_url_canonicalize_cases(spark):
+    rows = [
+        (0, "HTTPS://WWW.Ex.COM:443/A/Page?utm_source=x&id=1&utm_medium=y"),
+        (1, "http://ex.com:80/A/Page?id=1&ref=mail"),
+        (2, "https://ex.com/A/Page?id=1"),
+        (3, "https://ex.com:8443/B?utm_a=1"),  # non-default port kept
+        (4, "http://ex.com:443/C"),  # 443 is NOT http's default port
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = dict(
+        df.select("doc_id", url.canonicalize_url(F.col("url")).alias("c"))
+        .rdd.map(lambda r: (r["doc_id"], r["c"]))
+        .collect()
+    )
+    assert got[0] == "https://ex.com/A/Page?id=1"
+    assert got[1] == "http://ex.com/A/Page?id=1"
+    assert got[2] == "https://ex.com/A/Page?id=1"
+    assert got[3] == "https://ex.com:8443/B"
+    assert got[4] == "http://ex.com:443/C"
+
+
+def test_url_dedup_flags_https_pair(spark):
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    out = url.url_canonical_dedup(
+        docs, "doc_id", url.synthesize_url(F.col("doc_id"))
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # ids 0 and 2 share one canonical https URL; 1 is the http form
+    assert by_id[0]["canonical_url"] == by_id[2]["canonical_url"]
+    assert by_id[1]["canonical_url"].startswith("http://")
+    assert not by_id[0]["is_dup"] and by_id[2]["is_dup"]
+    assert not by_id[1]["is_dup"]
