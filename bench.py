@@ -170,6 +170,7 @@ HEADLINE = [
     "x_khop_reach",               # 3-hop BFS blast radius
     "sql13_disjunctive_join_q19_style",  # Q19 OR-of-ANDs join filter
     "sql14_promo_ratio_q14_style",       # Q14 conditional-agg ratio
+    "a14_grouping_sets",          # explicit GROUPING SETS (OLAP trio)
 ]
 
 

@@ -651,3 +651,48 @@ def stream_anomaly_flags(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_url_dedup(
+    doc_stream: DataFrame,
+    index_urls: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """Continuous crawl-URL dedup against the standing canonical-URL
+    index — the streaming twin of
+    ``operators.url.url_canonical_incremental``. foreachBatch runs the
+    EXACT batch operator per micro-batch (same canonicalization chain,
+    same first-wins + index-membership rule), so streaming and nightly
+    batch agree by construction; each epoch's flags land in their own
+    ``_epoch`` partition via dynamic partition overwrite (the
+    ``stream_append_to_warehouse`` idempotent-replay scheme), so a
+    replayed trigger overwrites itself: exactly-once end-to-end with
+    the checkpointed source offsets. Per trigger the index side only
+    streams through one semi-join scan against the broadcast batch
+    key set — O(batch) exchanged bytes."""
+    from pyspark.sql import functions as F2
+
+    from ..operators import url as url_ops
+
+    def flag_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = url_ops.url_canonical_incremental(
+            batch_df, index_urls, id_col, F2.col(url_col)
+        )
+        (
+            out.withColumn("_epoch", F2.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(flag_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

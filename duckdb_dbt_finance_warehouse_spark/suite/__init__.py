@@ -47,13 +47,14 @@ from . import extensions  # noqa: E402,F401
 # silently.
 # SECOND LATE-ROUND AMENDMENT (same rule, continued session): five NEW
 # entries (x_url_canonical / x_label_propagation / x_khop_reach /
-# sql13 / sql14) and three whose CODE changed late in the round
+# sql13 / sql14 / a14_grouping_sets) and three whose CODE changed late in the round
 # (x_triangle_count / x_triangle_sample — broadcast closing join;
 # sql2 — probe-stream join order; sql12's change is covered by its
 # existing slot) take the first slots, displacing eight unchanged
 # r7-green backlog entries (x_shard_rendezvous, x_zipf_fit,
 # x_random_projection, x_perplexity_buckets, x_pca_power,
-# x_last_touch_attribution, x_join_size_estimate, x_hll_merge) onto
+# x_last_touch_attribution, x_join_size_estimate, x_hll_merge,
+# x_lexical_drift) onto
 # DEFERRED_NEXT_ROUND — still session-pinned by
 # test_oracle_parity_deferred, drained first in r11. Declared
 # deviation: new and code-touched entries outrank cadence backlog.
@@ -64,6 +65,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_khop_reach",
     "sql13_disjunctive_join_q19_style",
     "sql14_promo_ratio_q14_style",
+    "a14_grouping_sets",
     # --- code changed late this round (second amendment) ---
     "x_triangle_count",
     "x_triangle_sample",
@@ -108,7 +110,6 @@ DRIVER_PRIORITY: list[str] = [
     "x_group_quantiles",
     "x_hll_error_audit",
     "x_importance_resample",
-    "x_lexical_drift",
     "x_lm_bigram_score",
     # --- oldest remaining driver rows (r7): flagships first ---
     "m1_movement_classification",
@@ -166,6 +167,7 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_vocab_coverage",
     "x_zorder_layout",
     # displaced r7-green backlog (second amendment — see above)
+    "x_lexical_drift",
     "x_shard_rendezvous",
     "x_zipf_fit",
     "x_random_projection",

@@ -2118,3 +2118,37 @@ def sql14_promo_ratio_q14_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q
         """
     )
+
+
+@query(
+    "a14_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS grouping_level
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+)
+def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (beyond-reference coverage): EXPLICIT grouping sets — a
+    combination neither ROLLUP nor CUBE produces (both single-column
+    slices plus the pair, no grand total), completing the OLAP trio
+    with a9/a13. One pass, Spark's Expand + partial aggregation;
+    grouping() flags disambiguate subtotal rows from real NULLs
+    identically in both engines."""
+    li = T(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count("*").alias("n"),
+        exact_sum("l_quantity").alias("sum_qty"),
+        (
+            F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+        ).cast("bigint").alias("grouping_level"),
+    )

@@ -521,3 +521,73 @@ def test_stream_ann_index_append_matches_rebuild(spark, tmp_path_factory):
     idx2 = spark.read.parquet(index_path)
     assert idx2.count() == idx.count()
     assert idx2.select("_epoch").distinct().count() == 3
+
+
+def test_stream_url_dedup_matches_batch(spark, tmp_path_factory):
+    """Continuous crawl-URL dedup against the standing canonical index
+    (foreachBatch reusing the batch operator): streamed flags over two
+    source files must equal the batch operator run per batch — and a
+    second start on the same checkpoint must be a no-op (exactly-once,
+    availableNow consumed all offsets)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_dbt_finance_warehouse_spark.operators import url as url_ops
+
+    docs = load_testdata(spark, SF, "documents")["documents"]
+    with_url = docs.select(
+        "doc_id", url_ops.synthesize_url(F.col("doc_id")).alias("url")
+    )
+    index_urls = (
+        url_ops.url_canonical_dedup(
+            docs.filter(F.col("doc_id") % 4 != 0),
+            "doc_id",
+            url_ops.synthesize_url(F.col("doc_id")),
+        )
+        .select("canonical_url")
+        .distinct()
+        .localCheckpoint()
+    )
+    new_docs = with_url.filter(F.col("doc_id") % 4 == 0)
+
+    src_dir = str(tmp_path_factory.mktemp("url_stream"))
+    stage = str(tmp_path_factory.mktemp("url_stage"))
+    for i, m in enumerate((0, 4)):
+        d = os.path.join(stage, f"b{i}")
+        new_docs.filter(F.col("doc_id") % 8 == m).coalesce(1).write.parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(d, part), os.path.join(src_dir, f"f{i}.parquet"))
+    out_dir = str(tmp_path_factory.mktemp("url_out"))
+    ckpt = str(tmp_path_factory.mktemp("url_ckpt"))
+
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    streaming.pipeline.stream_url_dedup(stream, index_urls, out_dir, ckpt)
+    got_df = spark.read.parquet(out_dir)
+    assert got_df.select("_epoch").distinct().count() == 2
+    got = sorted(
+        map(tuple, got_df.select("doc_id", "canonical_url", "is_dup").collect())
+    )
+
+    want = []
+    for m in (0, 4):
+        batch = new_docs.filter(F.col("doc_id") % 8 == m)
+        out = url_ops.url_canonical_incremental(
+            batch, index_urls, "doc_id", F.col("url")
+        )
+        want += [
+            tuple(r) for r in out.select("doc_id", "canonical_url", "is_dup").collect()
+        ]
+    assert got and got == sorted(want)
+    assert any(r[2] for r in got)  # index hits actually fire
+
+    # replay: same checkpoint, no new files -> no duplicate epochs
+    stream2 = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    streaming.pipeline.stream_url_dedup(stream2, index_urls, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == len(got)
