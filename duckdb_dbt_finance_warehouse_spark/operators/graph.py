@@ -661,22 +661,29 @@ def label_propagation(
         raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
     from .dedup import _persist
 
-    u = _persist(_undirected(edges, src_col, dst_col))
-    n_edges = u.count()
-    parts = max(1, -(-n_edges // 1_500_000))
-    u = _persist(u.repartition(parts, "a"))
+    # partition count from the PRE-distinct edge count (one cheap scan,
+    # 2x for symmetrization — an upper bound is all the sizing needs),
+    # so exactly ONE copy of the symmetrized frame is ever cached
+    n_approx = 2 * edges.count()
+    parts = max(1, -(-n_approx // 1_500_000))
+    u = _persist(_undirected(edges, src_col, dst_col).repartition(parts, "a"))
     # round 1 needs no join: every neighbor's label is the neighbor id
+    # (and u is cached partitioned on the grouping key — no exchange)
     labels = (
         u.groupBy(F.col("a").alias("node"))
         .agg(F.min(F.col("b")).alias("lbl"))
     )
     arg = F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("lbl")))
     for _ in range(rounds - 1):
+        # join on 'a' — the cached frame's partitioning key — so only
+        # the NODE-sized label frame shuffles each round; u is
+        # symmetric, so collecting neighbor-a labels grouped by b is
+        # the same neighborhood aggregation
         labels = (
             u.join(
-                labels.withColumnsRenamed({"node": "b"}).hint("shuffle_hash"), "b"
+                labels.withColumnsRenamed({"node": "a"}).hint("shuffle_hash"), "a"
             )
-            .groupBy(F.col("a").alias("node"), "lbl")
+            .groupBy(F.col("b").alias("node"), "lbl")
             .agg(F.count("*").alias("cnt"))
             .groupBy("node")
             .agg(arg.getField("lbl").alias("lbl"))
@@ -747,10 +754,10 @@ def khop_reach(
     out = s.select("node", F.lit(0).alias("dist"))
     if hops == 0:
         return out
-    u = _persist(_undirected(edges, src_col, dst_col))
-    n_edges = u.count()
-    parts = max(1, -(-n_edges // 1_500_000))
-    u = _persist(u.repartition(parts, "a"))
+    # same single-cached-copy sizing as label_propagation
+    n_approx = 2 * edges.count()
+    parts = max(1, -(-n_approx // 1_500_000))
+    u = _persist(_undirected(edges, src_col, dst_col).repartition(parts, "a"))
     reach = out
     frontier = s
     for k in range(1, hops + 1):

@@ -90,7 +90,9 @@ def canonicalize_url(url: Column) -> Column:
     authority section is case-insensitive by RFC 3986."""
     scheme = F.lower(F.regexp_extract(url, r"^([^:]+)://", 1))
     rest = F.regexp_replace(url, r"^[^:]+://", "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/]+)", 1))
+    # authority ends at '/', '?' or '#' — a query with no path must not
+    # be folded into the case-insensitive host section
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]+)", 1))
     pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
     host = F.regexp_replace(
         F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
@@ -99,9 +101,20 @@ def canonicalize_url(url: Column) -> Column:
         r"^www\.",
         "",
     )
+    # tracking params are stripped WITH their own separator, anchored on
+    # it — an unanchored '(utm_|ref)=' would excise the tails of
+    # innocent params like 'href=' or 'xutm_a='. Rule order matters:
+    # every '&'-separated tracking param first (non-overlapping, so
+    # consecutive ones all match), then one possibly-remaining
+    # ?-leading tracking param (promoting the next param to first),
+    # then a left-over bare '?'.
     clean = F.regexp_replace(
-        F.regexp_replace(pathq, _TRACK + r"=[^&]*&", ""),
-        r"[?&]" + _TRACK + r"=[^&]*$",
+        F.regexp_replace(
+            F.regexp_replace(pathq, r"&" + _TRACK + r"=[^&]*", ""),
+            r"\?" + _TRACK + r"=[^&]*&?",
+            "?",
+        ),
+        r"\?$",
         "",
     )
     return F.concat(scheme, F.lit("://"), host, clean)
@@ -112,7 +125,7 @@ def canonicalize_url_sql(url_expr: str) -> str:
     DuckDB replaces only the first match by default)."""
     scheme = f"lower(regexp_extract({url_expr}, '^([^:]+)://', 1))"
     rest = f"regexp_replace({url_expr}, '^[^:]+://', '')"
-    hostport = f"lower(regexp_extract({rest}, '^([^/]+)', 1))"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?#]+)', 1))"
     pathq = f"substring({rest}, length({hostport}) + 1)"
     host = (
         "regexp_replace(CASE"
@@ -121,9 +134,10 @@ def canonicalize_url_sql(url_expr: str) -> str:
         f" ELSE {hostport} END, '^www\\.', '')"
     )
     clean = (
-        f"regexp_replace(regexp_replace({pathq},"
-        f" '{_TRACK}=[^&]*&', '', 'g'),"
-        f" '[?&]{_TRACK}=[^&]*$', '', 'g')"
+        f"regexp_replace(regexp_replace(regexp_replace({pathq},"
+        f" '&{_TRACK}=[^&]*', '', 'g'),"
+        f" '\\?{_TRACK}=[^&]*&?', '?', 'g'),"
+        f" '\\?$', '', 'g')"
     )
     return f"{scheme} || '://' || {host} || {clean}"
 

@@ -45,12 +45,12 @@ from . import extensions  # noqa: E402,F401
 # in the current first-50, or in the deferred plan (which must itself
 # fit one round) — the "ships unchecked" failure mode cannot recur
 # silently.
-# SECOND LATE-ROUND AMENDMENT (same rule, continued session): five NEW
+# SECOND LATE-ROUND AMENDMENT (same rule, continued session): six NEW
 # entries (x_url_canonical / x_label_propagation / x_khop_reach /
 # sql13 / sql14 / a14_grouping_sets) and three whose CODE changed late in the round
 # (x_triangle_count / x_triangle_sample — broadcast closing join;
 # sql2 — probe-stream join order; sql12's change is covered by its
-# existing slot) take the first slots, displacing eight unchanged
+# existing slot) take the first slots, displacing nine unchanged
 # r7-green backlog entries (x_shard_rendezvous, x_zipf_fit,
 # x_random_projection, x_perplexity_buckets, x_pca_power,
 # x_last_touch_attribution, x_join_size_estimate, x_hll_merge,

@@ -1899,9 +1899,12 @@ def sql12_double_exists_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame
     (supplier-first made Catalyst BROADCAST both 6 M-row lineitem
     re-reads — two single-threaded driver hash builds at sf1, broken
     outright at 100 TB); (2) the semi/anti sides carry SHUFFLE_HASH
-    hints, so l1 exchanges ONCE on l_orderkey and both subquery joins
-    reuse that partitioning with parallel fact-side builds, while the
-    date-filtered orders and supplier stay broadcast. sf1 steady
+    hints, so l1 exchanges ONCE on l_orderkey and the o join plus both
+    subquery joins all reuse that partitioning with parallel builds
+    (orders' status-'F' slice is ~half the table — linearly scaling,
+    NOT bounded by construction, so it gets SHUFFLE_HASH on the shared
+    l_orderkey key rather than a forced broadcast; only the
+    dimension-sized supplier broadcasts). sf1 steady
     3.2-3.5 s -> ~1.5 s. The reference's Q21 lateness predicate
     (receipt > commit) maps to shipdate > order date + 90 days on this
     schema; the final ORDER BY/LIMIT tie-breaks on the unique supplier
@@ -1910,7 +1913,7 @@ def sql12_double_exists_q21_style(spark: SparkSession, sf_dir: str) -> DataFrame
         df.createOrReplaceTempView(n)
     return spark.sql(
         """
-        SELECT /*+ BROADCAST(o), BROADCAST(s) */
+        SELECT /*+ SHUFFLE_HASH(o), BROADCAST(s) */
                s.s_name, count(*) AS numwait
         FROM lineitem l1
         JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'

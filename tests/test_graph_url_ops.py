@@ -75,6 +75,11 @@ def test_url_canonicalize_cases(spark):
         (2, "https://ex.com/A/Page?id=1"),
         (3, "https://ex.com:8443/B?utm_a=1"),  # non-default port kept
         (4, "http://ex.com:443/C"),  # 443 is NOT http's default port
+        (5, "http://ex.com/p?href=x&id=1"),  # 'ref' inside 'href' kept
+        (6, "https://ex.com/p?xutm_a=1&utm_a=2"),  # 'utm_' needs its separator
+        (7, "https://Ex.com:443?id=1&utm_a=2"),  # query with NO path
+        (8, "https://ex.com/p?utm_a=1&utm_b=2&id=3"),  # consecutive tracking
+        (9, "https://ex.com/p?utm_a=1&ref=x"),  # all params tracking
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = dict(
@@ -87,6 +92,11 @@ def test_url_canonicalize_cases(spark):
     assert got[2] == "https://ex.com/A/Page?id=1"
     assert got[3] == "https://ex.com:8443/B"
     assert got[4] == "http://ex.com:443/C"
+    assert got[5] == "http://ex.com/p?href=x&id=1"
+    assert got[6] == "https://ex.com/p?xutm_a=1"
+    assert got[7] == "https://ex.com?id=1"
+    assert got[8] == "https://ex.com/p?id=3"
+    assert got[9] == "https://ex.com/p"
 
 
 def test_url_dedup_flags_https_pair(spark):

@@ -198,6 +198,39 @@ def test_sql1_broadcasts_orders_not_lineitem(spark):
     assert len(re.findall(r"hashpartitioning", p)) == 1
 
 
+def test_sql2_streams_lineitem_never_broadcasts_it(spark):
+    """sql2's probe stream must be LINEITEM: the dim-first FROM order
+    made Catalyst broadcast the pruned 6M-row fact at sf1 (a
+    single-threaded driver hash build — the r10 second-wave fix).
+    Locked shape: every build side is a filtered/dimension relation
+    (no lineitem money column ever enters a BroadcastExchange), all
+    five joins broadcast, no sort-merge."""
+    p = plan_of(spark, "sql2_join_agg_q5_style")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 5
+    for be_input in re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", p
+    ):
+        assert "l_extendedprice" not in be_input, p
+
+
+def test_sql12_subqueries_shuffle_hash_never_broadcast_lineitem(spark):
+    """sql12's l1 stream exchanges once on l_orderkey and the orders
+    join plus both decorrelated subquery joins reuse it as
+    ShuffledHashJoins (the 6M-row lineitem re-reads and the ~half-table
+    status-'F' orders slice are NOT bounded by construction — forced
+    broadcasts there are the mis-broadcast class); only the
+    dimension-sized supplier broadcasts."""
+    p = plan_of(spark, "sql12_double_exists_q21_style")
+    assert "SortMergeJoin" not in p
+    assert p.count("ShuffledHashJoin") >= 3
+    for be_input in re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", p
+    ):
+        assert "l_shipdate" not in be_input, p
+        assert "o_orderdate" not in be_input, p
+
+
 def test_partial_aggregation_before_shuffle(spark):
     df = REGISTRY["a1_grouped_sum_q1"].fn(spark, SF)
     buf = io.StringIO()
