@@ -82,8 +82,15 @@ def worker(sf_dir: str, start: int) -> None:
         try:
             con = _connect(sf_dir)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {i} {name} connect: {type(e).__name__}: {e}", flush=True)
-            continue
+            # a failed CONNECT means this process's arena is starved
+            # (freed DuckDB memory never returns to the OS) — every
+            # later connect in this process would fail too (the r10b
+            # sf1 run cascaded 7 bogus failures this way). Hand the
+            # query back to the parent for ONE retry in a fresh
+            # process instead of recording it failed here.
+            err = f"connect: {type(e).__name__}: {e}".replace("\n", " ")
+            print(f"FAILCONN {i} {name} {err}", flush=True)
+            sys.exit(3)
         t0 = time.time()
         try:
             con.execute(sql).fetchall()
@@ -91,6 +98,16 @@ def worker(sf_dir: str, start: int) -> None:
         except Exception as e:  # noqa: BLE001
             err = f"{type(e).__name__}: {e}".replace("\n", " ")
             print(f"FAIL {i} {name} {err}", flush=True)
+            if "OutOfMemory" in err or "bad allocation" in err:
+                # the replay itself exhausted the arena: the failure is
+                # recorded, but DON'T keep running in this poisoned
+                # process — exit so the parent respawns fresh for the
+                # REMAINING queries (parent resumes from i+1, no blame)
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                sys.exit(3)
         finally:
             try:
                 con.close()
@@ -112,6 +129,7 @@ def main() -> None:
     names = _eligible()
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
+    conn_retried: set[int] = set()
     nxt = 0
     stalls = 0
     while nxt < len(names):
@@ -139,6 +157,25 @@ def main() -> None:
                 nxt = int(parts[1]) + 1
                 running = None
                 print(f"FAILED {parts[2]}: {parts[3]}", file=sys.stderr, flush=True)
+            elif parts[0] == "FAILCONN":
+                # the worker's arena was starved before this query even
+                # started (it exits right after this line): retry the
+                # SAME query once in the fresh respawn; only a second
+                # connect failure — fresh process, so genuinely this
+                # query's environment — records it as failed
+                i = int(parts[1])
+                running = None
+                if i in conn_retried:
+                    failed[parts[2]] = parts[3]
+                    nxt = i + 1
+                    print(f"FAILED {parts[2]}: {parts[3]}", file=sys.stderr, flush=True)
+                else:
+                    conn_retried.add(i)
+                    nxt = i
+                    print(
+                        f"connect-OOM before {parts[2]}; retrying in a fresh worker",
+                        file=sys.stderr, flush=True,
+                    )
         rc = proc.wait()
         if rc != 0 and running is not None:
             # the worker died mid-query (hard OOM / kernel kill):
