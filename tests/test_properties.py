@@ -498,3 +498,130 @@ def test_incremental_index_invariant_under_batching(spark, vals, mod):
         df, probes, k=3, n_tables=2, n_planes=2, dim=4
     )
     assert got_l == sorted(map(tuple, full_l.collect()))
+
+
+@given(
+    data=st.data(),
+)
+@PROP
+def test_url_canonicalize_idempotent(spark, data):
+    """Canonicalization is a projection: applying it twice must equal
+    applying it once (a second pass finds nothing left to strip), for
+    any URL assembled from the supported grammar — mixed-case scheme/
+    host, optional www./port, path segments, shuffled tracking and
+    real query params."""
+    from duckdb_dbt_finance_warehouse_spark.operators import url as url_ops
+
+    scheme = data.draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]))
+    www = data.draw(st.sampled_from(["", "www.", "WWW."]))
+    host = data.draw(st.sampled_from(["Ex.COM", "ex.com", "A.b.ORG"]))
+    port = data.draw(st.sampled_from(["", ":80", ":443", ":8443"]))
+    path = data.draw(st.sampled_from(["", "/", "/A/Page", "/p"]))
+    params = data.draw(
+        st.lists(
+            st.sampled_from(
+                ["id=1", "q=X", "utm_source=a", "utm_medium=b", "ref=c",
+                 "href=keep", "xutm_a=keep"]
+            ),
+            max_size=4,
+        )
+    )
+    u = f"{scheme}://{www}{host}{port}{path}"
+    if params:
+        u += "?" + "&".join(params)
+    df = spark.createDataFrame([(u,)], "url string")
+    once = df.select(url_ops.canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select(url_ops.canonicalize_url(F.col("c")).alias("c"))
+    a = once.collect()[0]["c"]
+    b = twice.collect()[0]["c"]
+    assert a == b, (u, a, b)
+    assert "utm_" not in a.split("?")[-1].replace("xutm_", "") or "?" not in a
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=20
+    ),
+    rounds=st.integers(1, 3),
+)
+@PROP
+def test_label_propagation_matches_sequential(spark, edges, rounds):
+    """Distributed LPA must equal a sequential reference implementation
+    (synchronous update, majority label, min tie-break), and be
+    invariant under edge direction (the graph is symmetrized)."""
+    from collections import Counter
+
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import release_persisted
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(e, rounds=rounds).collect()
+    }
+    rev = spark.createDataFrame([(b, a) for a, b in edges], "src long, dst long")
+    got_rev = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(rev, rounds=rounds).collect()
+    }
+    release_persisted()
+    assert got == got_rev
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(labels[n] for n in nbrs)
+            best = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == best)
+        labels = nxt
+    assert got == labels
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=20
+    ),
+    seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+    hops=st.integers(0, 3),
+)
+@PROP
+def test_khop_reach_matches_bfs(spark, edges, seeds, hops):
+    """Distributed k-hop reach must equal a sequential BFS truncated at
+    ``hops`` — every reached node at its MINIMAL distance, seeds always
+    present at 0 even when absent from the graph."""
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import release_persisted
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.khop_reach(e, sdf, hops=hops).collect()
+    }
+    release_persisted()
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for k in range(1, hops + 1):
+        nxt = set()
+        for v in frontier:
+            for n in adj.get(v, ()):
+                if n not in want:
+                    nxt.add(n)
+        for n in nxt:
+            want[n] = k
+        frontier = nxt
+    assert got == want
