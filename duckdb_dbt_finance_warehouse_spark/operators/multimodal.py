@@ -532,7 +532,7 @@ def resize_stub(
             resized = [_fake_resize(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    "doc_id": pdf["doc_id"],
                     "payload": resized,
                     "media_meta": [
                         {"mime": m["mime"], "n_bytes": len(r), "version": int(m["version"]) + 1}
@@ -618,7 +618,7 @@ def resize_image(
                     }
                 )
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "payload": payloads, "media_meta": metas}
+                {"doc_id": pdf["doc_id"], "payload": payloads, "media_meta": metas}
             )
 
     return blobs.select(

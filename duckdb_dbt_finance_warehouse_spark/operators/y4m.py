@@ -89,10 +89,20 @@ def decode_y4m(data: bytes) -> tuple[int, int, str, list[bytes]]:
     for tag in header.split(" ")[1:]:
         if not tag:
             continue
-        if tag[0] == "W":
-            width = int(tag[1:])
-        elif tag[0] == "H":
-            height = int(tag[1:])
+        if tag[0] in ("W", "H"):
+            # validate here with codec context: a bare/garbled tag must
+            # not surface as a naked int() ValueError, and a NEGATIVE
+            # dimension would pass a truthiness check and turn every
+            # frame into a misleading 'truncated frame' error
+            if not tag[1:].isdigit() or int(tag[1:]) < 1:
+                raise ValueError(
+                    f"decode_y4m: bad {tag[0]} tag {tag!r} — dimensions "
+                    "must be positive integers"
+                )
+            if tag[0] == "W":
+                width = int(tag[1:])
+            else:
+                height = int(tag[1:])
         elif tag[0] == "C":
             colorspace = tag[1:]
         # F/I/A/X… parameters don't affect frame layout — skipped

@@ -110,3 +110,23 @@ def test_url_dedup_flags_https_pair(spark):
     assert by_id[1]["canonical_url"].startswith("http://")
     assert not by_id[0]["is_dup"] and by_id[2]["is_dup"]
     assert not by_id[1]["is_dup"]
+
+
+def test_resize_image_accepts_custom_id_col(spark):
+    """The resize kernels alias id_col -> doc_id in their select; the
+    Arrow kernel must read the ALIASED name (a custom id_col used to
+    KeyError at execution time)."""
+    from duckdb_dbt_finance_warehouse_spark.operators import multimodal, png
+
+    px = bytes(range(48))  # 4x4 RGB
+    blob = png.encode_png(px, 4, 4, 3)
+    df = spark.createDataFrame(
+        [(7, blob, {"mime": "image/png", "n_bytes": len(blob), "version": 1})],
+        "image_id long, payload binary, media_meta struct<mime:string,n_bytes:int,version:int>",
+    )
+    out = multimodal.resize_image(
+        df, id_col="image_id", target_width=2, target_height=2
+    ).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 7
+    w, h, c, _ = png.decode_png(bytes(out[0]["payload"]))
+    assert (w, h, c) == (2, 2, 3)

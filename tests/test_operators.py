@@ -945,6 +945,12 @@ def test_y4m_codec_hand_built_decodes_to_known_frames():
         y4m.decode_y4m(b"YUV4MPEG3 W2 H2\n" + b"FRAME\n" + f0)
     with pytest.raises(NotImplementedError, match="C411"):
         y4m.decode_y4m(b"YUV4MPEG2 W2 H2 C411\n")
+    # garbled / bare / negative dimension tags raise WITH codec context
+    # (not a naked int() ValueError, not a misleading truncated-frame)
+    for bad in (b"YUV4MPEG2 W H2\n", b"YUV4MPEG2 Wabc H2\n",
+                b"YUV4MPEG2 W-2 H2\n", b"YUV4MPEG2 W2 H0\n"):
+        with pytest.raises(ValueError, match="decode_y4m: bad"):
+            y4m.decode_y4m(bad + b"FRAME\n" + f0)
 
 
 def test_y4m_codec_round_trips_all_colorspaces():

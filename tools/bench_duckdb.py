@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -77,8 +78,18 @@ def worker(sf_dir: str, start: int) -> None:
     for i in range(start, len(names)):
         name = names[i]
         spec = REGISTRY.get(name)
-        sql = spec.resolved_oracle(sf_dir)
         print(f"RUN {i} {name}", flush=True)
+        try:
+            # AFTER the RUN line and inside a try: oracle_for specs read
+            # parquet footers here, and a deterministic resolution
+            # failure must charge THIS query (record-and-continue), not
+            # crash the worker pre-RUN — that shape respawns into the
+            # same crash and the stall guard aborts the whole artifact
+            sql = spec.resolved_oracle(sf_dir)
+        except Exception as e:  # noqa: BLE001
+            err = f"oracle resolution: {type(e).__name__}: {e}".replace("\n", " ")
+            print(f"FAIL {i} {name} {err}", flush=True)
+            continue
         try:
             con = _connect(sf_dir)
         except Exception as e:  # noqa: BLE001
@@ -177,6 +188,10 @@ def main() -> None:
                         file=sys.stderr, flush=True,
                     )
         rc = proc.wait()
+        # a hard-killed DuckDB cannot delete its own spill blocks, and
+        # every respawn gets a new pid (new /tmp/duckdb_spill_<pid>) —
+        # without this, a crashy sf1 run strands tens of GiB in /tmp
+        shutil.rmtree(f"/tmp/duckdb_spill_{proc.pid}", ignore_errors=True)
         if rc != 0 and running is not None:
             # the worker died mid-query (hard OOM / kernel kill):
             # charge the death to that query and resume after it
