@@ -9,7 +9,7 @@ deterministic across reruns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.dates import date_spine
@@ -105,9 +105,27 @@ def dim_subscription(ctx: Context) -> DataFrame:
     broadcast."""
     s = ctx.ref("snap_subscriptions")
     a = ctx.ref("dim_account").select("account_id", "account_key", "valid_from", "valid_to")
+    # J4 backdating at the dim level: valid_from is the row's OWN
+    # ingested_at (snapshot determinism deviation), so a subscription
+    # batch ingested minutes before its account batch has
+    # dbt_valid_from < every account valid_from and the as-of join
+    # would yield NULL account_key across the dim (failing the declared
+    # not_null/FK tests). Each account's FIRST version opens at
+    # 1900-01-01 — exactly the facts layer's first-version backfill.
+    wa = Window.partitionBy("account_id").orderBy("valid_from", "account_key")
+    a = (
+        a.withColumn("_rn", F.row_number().over(wa))
+        .withColumn(
+            "effective_valid_from",
+            F.when(
+                F.col("_rn") == 1, F.lit("1900-01-01").cast("timestamp")
+            ).otherwise(F.col("valid_from")),
+        )
+        .drop("_rn", "valid_from")
+    )
     cond = (
         (s.account_id == a.account_id)
-        & (s.dbt_valid_from >= a.valid_from)
+        & (s.dbt_valid_from >= a.effective_valid_from)
         & (a.valid_to.isNull() | (s.dbt_valid_from < a.valid_to))
     )
     joined = s.join(F.broadcast(a), cond, "left").drop(a.account_id)

@@ -44,26 +44,40 @@ def _month_cutoff(ctx: Context, model_name: str) -> object | None:
     return row["c"] if row else None
 
 
-def _scd2_month_dim(dim: DataFrame, natural_key: str, key_col: str) -> DataFrame:
-    """Month-truncated SCD2 validity + first-version month per entity
-    (reference: fct_subscription_month.sql:102-121)."""
+def _scd2_month_dim(
+    dim: DataFrame, natural_key: str, key_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Month-truncated SCD2 validity + first-version backdating per
+    entity (reference: fct_subscription_month.sql:102-121).
+
+    DOCUMENTED DEVIATION (the A2 rule — the reference contradicts its
+    own declared grain-unique test here): the reference backdates EVERY
+    version whose valid_from month equals the entity's first month, so
+    two versions opening inside the first month BOTH cover all history
+    months and duplicate the fact grain. Backdating only the EARLIEST
+    version (row_number 1 by true valid_from) keeps pre-history months
+    on exactly one version and is identical whenever the first month
+    holds a single version — the only case the reference's own fixtures
+    exercise. ``extra_cols`` ride along so callers don't re-read and
+    re-join the dimension just to fetch another attribute."""
     d = dim.select(
         natural_key,
         key_col,
+        *extra_cols,
+        F.col("valid_from").alias("_vf"),
         F.trunc("valid_from", "month").alias("valid_from_month"),
         F.when(
             F.col("valid_to").isNull(), F.lit(None).cast("date")
         ).otherwise(F.trunc("valid_to", "month")).alias("valid_to_month"),
     )
-    w = Window.partitionBy(natural_key)
-    d = d.withColumn("first_valid_from_month", F.min("valid_from_month").over(w))
+    w = Window.partitionBy(natural_key).orderBy("_vf", key_col)
+    d = d.withColumn("_rn", F.row_number().over(w))
     return d.withColumn(
         "effective_valid_from_month",
-        F.when(
-            F.col("valid_from_month") == F.col("first_valid_from_month"),
-            F.lit("1900-01-01").cast("date"),
-        ).otherwise(F.col("valid_from_month")),
-    )
+        F.when(F.col("_rn") == 1, F.lit("1900-01-01").cast("date")).otherwise(
+            F.col("valid_from_month")
+        ),
+    ).drop("_vf", "_rn")
 
 
 def fct_subscription_month(ctx: Context) -> DataFrame:
@@ -136,10 +150,12 @@ def fct_subscription_month(ctx: Context) -> DataFrame:
         .alias("mrr_amount"),
     )
 
-    sub_dim = _scd2_month_dim(ctx.ref("dim_subscription"), "subscription_id", "subscription_key")
-    sub_dim = sub_dim.join(
-        ctx.ref("dim_subscription").select("subscription_key", "account_key"),
-        "subscription_key",
+    # account_key rides through the dim pass (extra_cols) — the old
+    # form re-read dim_subscription and self-joined it on
+    # subscription_key just to fetch one column
+    sub_dim = _scd2_month_dim(
+        ctx.ref("dim_subscription"), "subscription_id", "subscription_key",
+        extra_cols=("account_key",),
     ).withColumnRenamed("account_key", "subscription_account_key")
     acct_dim = _scd2_month_dim(ctx.ref("dim_account"), "account_id", "account_key")
 

@@ -15,7 +15,16 @@ from ..plans.registry import Context
 
 
 def _latest_per_key(df: DataFrame, key: str) -> DataFrame:
-    w = Window.partitionBy(key).orderBy(F.desc("ingested_at"), F.desc("source_file"))
+    # record_hash is the FINAL tie-break: a key duplicated within one
+    # file ties on (ingested_at, source_file), and row_number would
+    # pick an arbitrary winner per EXECUTION — consecutive snapshot
+    # runs over unchanged stg data could see a flipped hash and emit a
+    # spurious SCD2 close+reopen. (The reference view orders by
+    # ingested_at alone and shares the flap; determinism is this
+    # repo's documented deviation.)
+    w = Window.partitionBy(key).orderBy(
+        F.desc("ingested_at"), F.desc("source_file"), F.desc("record_hash")
+    )
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 

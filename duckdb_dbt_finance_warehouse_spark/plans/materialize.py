@@ -35,7 +35,17 @@ def materialize(ctx: Context, m: Model) -> None:
     df = m.fn(ctx)
 
     if m.materialization == "table" or not ctx.is_incremental(m.name):
-        ctx.wh.write(df, m.schema, m.name, mode="overwrite", partition_by=list(m.partition_by))
+        # a FULL build (table policy, first build, or --full-refresh)
+        # must replace the whole table: the session runs with DYNAMIC
+        # partitionOverwriteMode (for S11), under which a partitioned
+        # overwrite only replaces the partitions present in df — stale
+        # partitions (e.g. forward-dated months removed by a fix) would
+        # silently survive a full refresh. Pin static mode per-write.
+        ctx.wh.write(
+            df, m.schema, m.name, mode="overwrite",
+            partition_by=list(m.partition_by),
+            options={"partitionOverwriteMode": "static"},
+        )
         return
 
     if m.materialization == "incremental_append":

@@ -48,14 +48,34 @@ def scd2_merge(
     new = new.withColumn("dbt_valid_from", F.col(batch_ts_col)).withColumn(
         "dbt_valid_to", F.lit(None).cast("timestamp")
     )
+    # A NULL natural key matches NOTHING in the full-outer merge (NULL
+    # == NULL is NULL): a stored NULL-key open row would silently
+    # VANISH from the merged state and an incoming one would be
+    # silently discarded — data loss, not a test failure. The declared
+    # not_null test only REPORTS; the merge must refuse. One eager agg
+    # (shared with the hard-delete close timestamp below).
+    stats = new.agg(
+        F.max(batch_ts_col).alias("_ts"),
+        F.count(F.when(F.col(unique_key).isNull(), 1)).alias("_nulls"),
+    ).first()
+    if stats["_nulls"]:
+        raise ValueError(
+            f"scd2_merge: {stats['_nulls']} incoming row(s) with NULL "
+            f"{unique_key} — fix the source (a NULL key cannot be merged)"
+        )
     if old is None:
         return new
 
     closed_history = old.filter(F.col("dbt_valid_to").isNotNull())
     open_rows = old.filter(F.col("dbt_valid_to").isNull())
+    if open_rows.filter(F.col(unique_key).isNull()).limit(1).count():
+        raise ValueError(
+            f"scd2_merge: stored snapshot contains open row(s) with NULL "
+            f"{unique_key} — a pre-guard state; repair before merging"
+        )
 
     # hard-delete close timestamp: the incoming batch's max ingested_at
-    batch_ts = new.agg(F.max(batch_ts_col)).first()[0]
+    batch_ts = stats["_ts"]
     if batch_ts is None:
         # empty batch: nothing to insert/change; every open key would be
         # a "hard delete" — only close them if the caller supplied a
@@ -66,7 +86,13 @@ def scd2_merge(
 
     o = open_rows.alias("o")
     n = new.alias("n")
-    j = o.join(n, F.col(f"o.{unique_key}") == F.col(f"n.{unique_key}"), "full_outer")
+    # five branches filter this ONE join — without a checkpoint the
+    # sort-merge join executes five times (ReuseExchange only dedupes
+    # the shuffle reads). localCheckpoint, not persist: per-run
+    # recomputed state, never a stored table (CLAUDE.md cache rule).
+    j = o.join(
+        n, F.col(f"o.{unique_key}") == F.col(f"n.{unique_key}"), "full_outer"
+    ).localCheckpoint(eager=False)
 
     in_old = F.col(f"o.{unique_key}").isNotNull()
     in_new = F.col(f"n.{unique_key}").isNotNull()
@@ -127,13 +153,21 @@ def snapshot_diff(
     hashes travel, never the payload columns. Rows whose content is
     unchanged are dropped (the interesting output is the delta, and at
     100 TB the unchanged set is the overwhelming majority)."""
-    o = old.select(*key_cols, F.col(hash_col).alias("_old_h"))
-    n = new.select(*key_cols, F.col(hash_col).alias("_new_h"))
+    # presence is tracked with explicit flags, NOT hash-NULLness, and
+    # the change test is null-safe: with a nullable hash_col the old
+    # form misfiled present-rows-with-NULL-hash as added/removed and
+    # dropped a NULL-vs-NULL change as "unchanged" (plain != -> NULL)
+    o = old.select(
+        *key_cols, F.col(hash_col).alias("_old_h"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        *key_cols, F.col(hash_col).alias("_new_h"), F.lit(True).alias("_in_new")
+    )
     j = o.join(n, key_cols, "full_outer")
     change = (
-        F.when(F.col("_old_h").isNull(), "added")
-        .when(F.col("_new_h").isNull(), "removed")
-        .when(F.col("_old_h") != F.col("_new_h"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("_old_h").eqNullSafe(F.col("_new_h")), "changed")
     )
     return (
         j.withColumn("change_type", change)

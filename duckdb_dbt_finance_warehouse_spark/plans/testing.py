@@ -77,12 +77,16 @@ def account_ties_subscription(
 
 def eom_boundary(fct_subscription_month: DataFrame) -> DataFrame:
     """a subscription ending before the month's last day must contribute 0
-    MRR that month (reference: tests/test_eom_end_date_boundary.sql)."""
+    MRR that month (reference: tests/test_eom_end_date_boundary.sql).
+    The reference flags ANY such month row — including months entirely
+    AFTER the end date (a spine off-by-one emits exactly those) — and
+    treats NULL mrr as 0 with a two-sided <> 0; an earlier port
+    narrowed this with a trunc(end)==month conjunct and > 0, silently
+    passing post-end nonzero rows the declared test would catch."""
     return fct_subscription_month.filter(
         F.col("subscription_end_date").isNotNull()
         & (F.col("subscription_end_date") < F.last_day(F.col("month_start_date")))
-        & (F.trunc("subscription_end_date", "month") == F.col("month_start_date"))
-        & (F.col("mrr_amount") > 0)
+        & (F.coalesce(F.col("mrr_amount"), F.lit(0.0)) != 0)
     )
 
 

@@ -105,12 +105,15 @@ class Warehouse:
         table: str,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        options: dict[str, str] | None = None,
     ) -> None:
         # heal a mid-swap crash from a previous write_staged run: without
         # this, a plain overwrite recreates the target while the stale
         # _trash_<table> sibling lingers on disk indefinitely.
         self._recover(schema, table)
         w = df.write.mode(mode)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(schema, table))
