@@ -363,7 +363,9 @@ def _degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def _closed_wedge_count(e: DataFrame, out_col: str = "n_triangles") -> DataFrame:
+def _closed_wedge_count(
+    e: DataFrame, out_col: str = "n_triangles", broadcast_closing: bool = True
+) -> DataFrame:
     """Count closed wedges (= triangles, each exactly once) over a
     rank-oriented edge list from ``_degree_oriented``.
 
@@ -376,18 +378,22 @@ def _closed_wedge_count(e: DataFrame, out_col: str = "n_triangles") -> DataFrame
     to the in-degree of hubs (a hub's out-degree is 0 → zero wedges).
     Every row here is two int32s.
 
-    The closing join BROADCASTS the edge set as single packed-long
-    keys (ranks are 1..|V| < 2^31, so ``u << 32 | w`` is collision
-    free and hits the LongHashedRelation fast path) instead of
-    shuffling the wedge stream: wedges outnumber edges by the average
-    out-degree (sf1: 1.48 B wedges vs 12 M edges — a ~12 GB exchange),
-    so the wedge stream must stay fused in its generating map stage
-    and probe a broadcast hash map, never hit an exchange. The build
-    side is bounded by construction: ``triangle_stats_auto`` routes
-    graphs past 20 M edges (~a few hundred MB hashed) to the DOULION
-    sampled census, whose surviving edge set shrinks by 1/k. The
-    wedge self-join keeps ``shuffle_hash`` — sorting even the edge
-    stream twice to build wedges is waste."""
+    When ``broadcast_closing`` the closing join BROADCASTS the edge
+    set as single packed-long keys (ranks are 1..|V| < 2^31, so
+    ``u << 32 | w`` is collision free and hits the LongHashedRelation
+    fast path) instead of shuffling the wedge stream: wedges outnumber
+    edges by the average out-degree (sf1: 1.48 B wedges vs 12 M edges
+    — a ~12 GB exchange), so the wedge stream stays fused in its
+    generating map stage and probes a broadcast hash map, never
+    hitting an exchange. The CALLER must guarantee the build side fits
+    a broadcast budget — ``triangle_stats_auto`` routes exact censuses
+    past ``MAX_CENSUS_EDGES`` to the DOULION sample and checks the
+    SURVIVING edge count on that path too (1/k of an unbounded graph
+    is still unbounded — r10 ADVICE): past the budget this degrades to
+    ``broadcast_closing=False``, the old shuffle_hash closing join,
+    which pays the wedge exchange but never driver-OOMs. The wedge
+    self-join keeps ``shuffle_hash`` either way — sorting even the
+    edge stream twice to build wedges is waste."""
     p = (
         e.alias("x")
         .join(e.alias("y").hint("shuffle_hash"), F.col("x.ra") == F.col("y.ra"))
@@ -404,10 +410,19 @@ def _closed_wedge_count(e: DataFrame, out_col: str = "n_triangles") -> DataFrame
             F.shiftleft(F.col("ra").cast("bigint"), 32) + F.col("rb").cast("bigint")
         ).alias("_uw")
     )
-    return p.join(F.broadcast(closing), "_uw").agg(F.count("*").alias(out_col))
+    if broadcast_closing:
+        closed = p.join(F.broadcast(closing), "_uw")
+    else:
+        closed = p.join(closing.hint("shuffle_hash"), "_uw")
+    return closed.agg(F.count("*").alias(out_col))
 
 
-def triangle_stats(edges: DataFrame, *, _edges_prepared: bool = False) -> DataFrame:
+def triangle_stats(
+    edges: DataFrame,
+    *,
+    _edges_prepared: bool = False,
+    broadcast_closing: bool = True,
+) -> DataFrame:
     """Global triangle census over an undirected edge list (a < b):
     one row (n_edges, n_wedges, n_triangles, clustering_coeff).
 
@@ -444,7 +459,14 @@ def triangle_stats(edges: DataFrame, *, _edges_prepared: bool = False) -> DataFr
 
     ``_edges_prepared``: internal — ``triangle_stats_auto`` passes an
     already-distinct, already-checkpointed edge frame so the dedup
-    shuffle it paid for the edge count isn't paid twice."""
+    shuffle it paid for the edge count isn't paid twice.
+
+    ``broadcast_closing``: strategy for the closing join (see
+    ``_closed_wedge_count``). Direct callers within the
+    ``MAX_CENSUS_EDGES`` budget keep the default; ``triangle_stats_auto``
+    passes False when ``force_census`` opts a past-budget graph in, so
+    the census degrades to the shuffle_hash closing join instead of
+    breaching Spark's broadcast limit."""
     e0 = (
         edges
         if _edges_prepared
@@ -461,7 +483,7 @@ def triangle_stats(edges: DataFrame, *, _edges_prepared: bool = False) -> DataFr
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
     )
     e = _degree_oriented(e0, deg).localCheckpoint(eager=False)
-    tri = _closed_wedge_count(e)
+    tri = _closed_wedge_count(e, broadcast_closing=broadcast_closing)
     n_e = e.agg(F.count("*").alias("n_edges"))
     return (
         n_e.crossJoin(F.broadcast(wedges))
@@ -483,7 +505,12 @@ def triangle_stats(edges: DataFrame, *, _edges_prepared: bool = False) -> DataFr
 
 
 def triangle_sample_stats(
-    edges: DataFrame, k: int = 4, salt: str = "tri", *, _edges_prepared: bool = False
+    edges: DataFrame,
+    k: int = 4,
+    salt: str = "tri",
+    *,
+    _edges_prepared: bool = False,
+    broadcast_closing: bool | None = None,
 ) -> DataFrame:
     """DOULION-style sampled triangle estimate — the 100 TB path where
     the exact census (``triangle_stats``) is too expensive: keep each
@@ -496,7 +523,18 @@ def triangle_sample_stats(
     itself (Tsourakakis et al.'s unbiased estimator).
 
     ``k`` must be a power of two so 1/k is exact in float64 and the
-    keep-filter compares identically in every engine."""
+    keep-filter compares identically in every engine.
+
+    ``broadcast_closing``: closing-join strategy for the SAMPLED
+    graph's census. 1/k of an unbounded graph is still unbounded
+    (r10 ADVICE), so the packed-long broadcast closing join is only
+    taken while the surviving edge set fits the ``MAX_CENSUS_EDGES``
+    broadcast budget. ``None`` (default) decides by COUNTING the
+    survivors — one cheap job that doubles as the checkpoint
+    materialization the wedge stage reuses; ``triangle_stats_auto``
+    passes the decision in precomputed from the edge count it already
+    paid for. ``False`` forces the shuffle_hash closing join (pays the
+    wedge exchange, never driver-OOMs)."""
     if k & (k - 1):
         raise ValueError(f"k must be a power of two, got {k}")
     from .sampling import hash_uniform
@@ -518,7 +556,11 @@ def triangle_sample_stats(
         .agg(F.count("*").alias("d"))
     )
     es = _degree_oriented(es0, sdeg).localCheckpoint(eager=False)
-    tri = _closed_wedge_count(es, out_col="n_triangles_sampled")
+    if broadcast_closing is None:
+        broadcast_closing = es.count() <= MAX_CENSUS_EDGES
+    tri = _closed_wedge_count(
+        es, out_col="n_triangles_sampled", broadcast_closing=broadcast_closing
+    )
     n_e = es.agg(F.count("*").alias("n_edges_sampled"))
     return n_e.crossJoin(F.broadcast(tri)).select(
         "n_edges_sampled",
@@ -564,13 +606,32 @@ def triangle_stats_auto(
     e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
     n_edges = e.count()
     if force_census or n_edges <= max_census_edges:
-        return triangle_stats(e, _edges_prepared=True).select(
+        return triangle_stats(
+            e,
+            _edges_prepared=True,
+            # force_census can opt a past-budget graph in — the census
+            # still runs, but its closing join must not broadcast an
+            # over-budget edge set
+            broadcast_closing=n_edges <= max_census_edges,
+        ).select(
             F.lit("census").alias("method"),
             "n_edges",
             F.col("n_triangles").cast("long").alias("n_triangles_est"),
             "clustering_coeff",
         )
-    return triangle_sample_stats(e, k=k, salt=salt, _edges_prepared=True).select(
+    # the sampled path's closing join may only broadcast while the
+    # EXPECTED survivor count n/k fits the census broadcast budget —
+    # 1/k of an unbounded graph is still unbounded (r10 ADVICE); past
+    # it the closing join degrades to shuffle_hash instead of blowing
+    # Spark's broadcast limit (sampling variance around n/k is
+    # O(sqrt(n/k)) — thousands of edges against a 20M budget, noise)
+    return triangle_sample_stats(
+        e,
+        k=k,
+        salt=salt,
+        _edges_prepared=True,
+        broadcast_closing=n_edges <= k * max_census_edges,
+    ).select(
         F.lit(f"doulion_k{k}").alias("method"),
         # cast: lit(int) infers IntegerType under 2^31, but the census
         # route's count() is LongType — one schema across both routes

@@ -36,8 +36,11 @@ _TRACK = "(utm_[a-z]+|ref)"
 
 def synthesize_url(doc_id: Column) -> Column:
     """Deterministic raw URL for a document id (see module doc)."""
-    # exact integer div 3 for non-negative ids, name-agnostic
-    base = ((doc_id - (doc_id % 3)) / F.lit(3)).cast("long")
+    # exact integer division at ANY long id: Spark's `div` truncates
+    # toward zero exactly like DuckDB's `//` (verified incl. negatives),
+    # whereas the old (x - x%3)/3 double division silently loses
+    # parity above 2^53 (r10 ADVICE)
+    base = F.call_function("div", doc_id, F.lit(3))
     host = F.concat(F.lit("src"), (base % 20).cast("string"))
     path = F.concat((base % 7).cast("string"), F.lit("/Page"))
     pid = (base % 211).cast("string")
@@ -103,19 +106,27 @@ def canonicalize_url(url: Column) -> Column:
     )
     # tracking params are stripped WITH their own separator, anchored on
     # it — an unanchored '(utm_|ref)=' would excise the tails of
-    # innocent params like 'href=' or 'xutm_a='. Rule order matters:
-    # every '&'-separated tracking param first (non-overlapping, so
+    # innocent params like 'href=' or 'xutm_a='. Values stop at '&' OR
+    # '#' so a trailing fragment survives canonicalization uniformly
+    # (r10 ADVICE: '[^&]*' swallowed '#frag' after a tracking param but
+    # kept it after an ordinary one). Rule order matters: every
+    # '&'-separated tracking param first (non-overlapping, so
     # consecutive ones all match), then one possibly-remaining
     # ?-leading tracking param (promoting the next param to first),
-    # then a left-over bare '?'.
+    # then a left-over empty query — a bare '?' at end-of-string or
+    # directly before the fragment.
     clean = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(pathq, r"&" + _TRACK + r"=[^&]*", ""),
-            r"\?" + _TRACK + r"=[^&]*&?",
-            "?",
+            F.regexp_replace(
+                F.regexp_replace(pathq, r"&" + _TRACK + r"=[^&#]*", ""),
+                r"\?" + _TRACK + r"=[^&#]*&?",
+                "?",
+            ),
+            r"\?$",
+            "",
         ),
-        r"\?$",
-        "",
+        r"\?#",
+        "#",
     )
     return F.concat(scheme, F.lit("://"), host, clean)
 
@@ -134,10 +145,11 @@ def canonicalize_url_sql(url_expr: str) -> str:
         f" ELSE {hostport} END, '^www\\.', '')"
     )
     clean = (
-        f"regexp_replace(regexp_replace(regexp_replace({pathq},"
-        f" '&{_TRACK}=[^&]*', '', 'g'),"
-        f" '\\?{_TRACK}=[^&]*&?', '?', 'g'),"
-        f" '\\?$', '', 'g')"
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace({pathq},"
+        f" '&{_TRACK}=[^&#]*', '', 'g'),"
+        f" '\\?{_TRACK}=[^&#]*&?', '?', 'g'),"
+        f" '\\?$', '', 'g'),"
+        f" '\\?#', '#', 'g')"
     )
     return f"{scheme} || '://' || {host} || {clean}"
 

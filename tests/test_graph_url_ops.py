@@ -80,6 +80,12 @@ def test_url_canonicalize_cases(spark):
         (7, "https://Ex.com:443?id=1&utm_a=2"),  # query with NO path
         (8, "https://ex.com/p?utm_a=1&utm_b=2&id=3"),  # consecutive tracking
         (9, "https://ex.com/p?utm_a=1&ref=x"),  # all params tracking
+        # fragments survive uniformly (r10 ADVICE: '[^&]*' used to
+        # swallow '#frag' after a tracking param only)
+        (10, "https://ex.com/p?utm_a=1#f"),
+        (11, "https://ex.com/p?id=1#f"),
+        (12, "https://ex.com/p?utm_a=1&id=2#f"),
+        (13, "https://ex.com/p?id=1&utm_a=2#f"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = dict(
@@ -97,6 +103,44 @@ def test_url_canonicalize_cases(spark):
     assert got[7] == "https://ex.com?id=1"
     assert got[8] == "https://ex.com/p?id=3"
     assert got[9] == "https://ex.com/p"
+    assert got[10] == "https://ex.com/p#f"
+    assert got[11] == "https://ex.com/p?id=1#f"
+    assert got[12] == "https://ex.com/p?id=2#f"
+    assert got[13] == "https://ex.com/p?id=1#f"
+    # the DuckDB mirror replays the identical chain on the same inputs
+    import duckdb
+
+    con = duckdb.connect()
+    expr = url.canonicalize_url_sql("url")
+    for doc_id, raw in rows:
+        (mirror,) = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [raw]
+        ).fetchone()
+        assert mirror == got[doc_id], f"id {doc_id}: {mirror} != {got[doc_id]}"
+    con.close()
+
+
+def test_synthesize_url_exact_past_double_range(spark):
+    """doc_id div 3 must be EXACT integer division: the old
+    (x - x%3)/3 double form silently diverged from DuckDB's `//`
+    above 2^53 (r10 ADVICE). Pin Spark == DuckDB at huge ids."""
+    import duckdb
+
+    ids = [0, 1, 2, 3, 2**53 + 1, 2**53 + 2, 2**60 + 5, 2**62 + 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = dict(
+        df.select("doc_id", url.synthesize_url(F.col("doc_id")).alias("u"))
+        .rdd.map(lambda r: (r["doc_id"], r["u"]))
+        .collect()
+    )
+    con = duckdb.connect()
+    expr = url.synthesize_url_sql("doc_id")
+    for i in ids:
+        (mirror,) = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST(? AS BIGINT) AS doc_id)", [i]
+        ).fetchone()
+        assert mirror == got[i], f"id {i}: {mirror} != {got[i]}"
+    con.close()
 
 
 def test_url_dedup_flags_https_pair(spark):

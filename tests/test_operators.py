@@ -2081,6 +2081,35 @@ def test_triangle_auto_routes_census_vs_doulion(spark):
     assert forced["n_triangles_est"] == exact["n_triangles"]
 
 
+def test_triangle_closing_join_broadcast_budget(spark):
+    """r10 ADVICE (medium): 1/k of an unbounded graph is still
+    unbounded, so the packed-long broadcast closing join must degrade
+    to shuffle_hash past the broadcast budget — on BOTH the sampled
+    path (survivor count over budget) and a force_census opt-in —
+    with bit-identical counts either way."""
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+
+    rows = [(1, x) for x in "ABCDE"] + [(2, x) for x in "ABC"]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    pairs = graph.cooccurrence_pairs(df, "g", "item")
+
+    # strategy flips the plan: broadcast build vs shuffled hash join
+    bcast = graph.triangle_stats(pairs, broadcast_closing=True)
+    shuf = graph.triangle_stats(pairs, broadcast_closing=False)
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "BroadcastHashJoin"
+        not in shuf._jdf.queryExecution().executedPlan().toString()
+    )
+    assert bcast.first() == shuf.first()
+
+    # standalone sampled path: explicit False == default (in-budget
+    # survivor count broadcasts) — values identical
+    s_b = graph.triangle_sample_stats(pairs, k=4).first()
+    s_s = graph.triangle_sample_stats(pairs, k=4, broadcast_closing=False).first()
+    assert s_b == s_s
+
+
 def test_hopping_window_known_counts(spark):
     """Events at :05, :20, :50 of one hour land in the epoch-aligned
     60/15 windows covering them: each event is in exactly 4 windows;

@@ -55,9 +55,11 @@ def main() -> None:
         "",
         f"`python tools/plan_report.py --sf {args.sf}` — counts of the",
         "scale-critical plan nodes per headline query. Invariants the suite",
-        "holds everywhere: zero BroadcastNestedLoopJoin/CartesianProduct",
-        "(column `bnlj`), zero row-at-a-time Python (`py_row`), every",
-        "window partitioned (tests/test_plans.py pins the shapes).",
+        "holds everywhere: no BroadcastNestedLoopJoin/CartesianProduct",
+        "outside the constant-size 1-row-bound allowlist at the foot of",
+        "this file (column `bnlj`; tests/test_plans.BNLJ_ALLOWED), zero",
+        "row-at-a-time Python (`py_row`), every window partitioned",
+        "(tests/test_plans.py pins the shapes).",
         "",
         "| query | exchanges | BHJ | SMJ | bnlj | arrow | py_row | windows | WindowGroupLimit | scans w/ pushdown |",
         "|---|---|---|---|---|---|---|---|---|---|",
