@@ -970,6 +970,12 @@ def fuzzy_string_join(
     )
 
 
+# broadcast budget for containment's candidate-id semi filter: long ids
+# at 20M entries hash to a few hundred MB — the same bound the triangle
+# census uses for its packed-long closing map (graph.MAX_CENSUS_EDGES)
+_MAX_CAND_ID_BROADCAST = 20_000_000
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -1003,13 +1009,25 @@ def containment_pairs(
     but ubiquitous grams can be missed (the documented recall trade).
 
     Shape: one gram explode (spread_input-guarded, distinct),
-    localCheckpointed — it feeds the candidate aggregation, the size
-    aggregate, and both sides of the verification join. Candidates come
-    from ONE gram-keyed groupBy whose per-gram state is capped at
-    max_gram_df ids (<= max_gram_df² pairs emitted per gram); the
-    verification join is candidate-volume. Nothing is corpus-quadratic,
-    nothing collects, and no corpus-sized frame is ever broadcast (see
-    the in-body notes on the localCheckpoint size-estimate trap)."""
+    localCheckpointed — it feeds the candidate aggregation and ONE
+    candidate-id semi filter. Candidates come from ONE gram-keyed
+    groupBy whose per-gram state is capped at max_gram_df ids
+    (<= max_gram_df² pairs emitted per gram). Verification no longer
+    touches the full gram table (the r11 rework): the gram frame is
+    cut to CANDIDATE docs by a broadcast semi join on the candidate-id
+    set (a filter over the checkpointed partitions — no corpus-sized
+    exchange), and both verify sides AND the n_a/n_b size aggregate
+    come from that candidate-doc slice, removing three full-gram
+    exchanges (ga by id, gb by (id, gram), sizes by id; sf1 5.1 ->
+    4.7 s and verify cost now scales with reported-pair volume, not
+    corpus volume). The candidate-id broadcast is routed by the
+    measured candidate count (the census broadcast-budget pattern):
+    past ``_MAX_CAND_ID_BROADCAST`` ids it degrades to a shuffle_hash
+    semi join — the count probe is free, it materializes the
+    checkpointed candidate frame both later consumers reuse. Nothing
+    is corpus-quadratic, nothing collects, and no corpus-sized frame
+    is ever broadcast (see the in-body notes on the localCheckpoint
+    size-estimate trap)."""
     from .text import word_ngrams
 
     grams = word_ngrams(df, id_col, text_col, n).localCheckpoint(eager=False)
@@ -1035,15 +1053,33 @@ def containment_pairs(
         .select(F.explode(pair_structs).alias("_p"))
         .select("_p.id_a", "_p.id_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
-    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("_n"))
-    # verification joins stay gram-/id-keyed shuffles: the gb side gets
+    # candidate-doc slice of the gram table: the id set is
+    # reported-pair-sized, so it broadcasts while the measured count
+    # fits the budget (the count also materializes the checkpointed
+    # cands frame the verify join reuses); past it, the semi join
+    # degrades to a shuffle_hash exchange instead of an oversized
+    # broadcast — same routing rule as the triangle closing join
+    n_cand = cands.count()
+    cid = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b")))
+        .distinct()
+    )
+    if 2 * n_cand <= _MAX_CAND_ID_BROADCAST:
+        gsub = grams.join(F.broadcast(cid), id_col, "left_semi")
+    else:
+        gsub = grams.join(cid.hint("shuffle_hash"), id_col, "left_semi")
+    gsub = gsub.localCheckpoint(eager=False)
+    ga = gsub.select(F.col(id_col).alias("id_a"), "gram")
+    gb = gsub.select(F.col(id_col).alias("id_b"), "gram")
+    sizes = gsub.groupBy(id_col).agg(F.count("*").alias("_n"))
+    # verification joins stay candidate-volume shuffles: both sides get
     # the shuffle_hash pin for the same bogus-stats reason as above
     # (neither side is bounded by construction)
     inter = (
-        cands.join(ga, "id_a")
+        cands.join(ga.hint("shuffle_hash"), "id_a")
         .join(gb.hint("shuffle_hash"), ["id_b", "gram"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))

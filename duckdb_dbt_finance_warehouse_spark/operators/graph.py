@@ -717,9 +717,18 @@ def label_propagation(
     stay raw ids (no rank dictionary): like dedup_clusters (r9 A/B,
     PERF.md), the per-round rows are two longs — the four dictionary
     joins would cost more than they save. Fixed-round by design;
-    callers needing a fixpoint compare round N to N-1 themselves."""
+    ``lpa_convergence_audit`` measures whether a round count actually
+    settled (r10 VERDICT task 7) — run it before trusting community
+    output on a new graph family."""
     if rounds < 1:
         raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    labels = _lpa_states(_lpa_prepare(edges, src_col, dst_col), rounds, keep=1)[-1]
+    return labels.select("node", F.col("lbl").alias("label"))
+
+
+def _lpa_prepare(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Symmetrize + persist the edge frame that every LPA round
+    rejoins (stored state, partitioned by edge volume)."""
     from .dedup import _persist
 
     # partition count from the PRE-distinct edge count (one cheap scan,
@@ -727,13 +736,20 @@ def label_propagation(
     # so exactly ONE copy of the symmetrized frame is ever cached
     n_approx = 2 * edges.count()
     parts = max(1, -(-n_approx // 1_500_000))
-    u = _persist(_undirected(edges, src_col, dst_col).repartition(parts, "a"))
+    return _persist(_undirected(edges, src_col, dst_col).repartition(parts, "a"))
+
+
+def _lpa_states(u: DataFrame, rounds: int, keep: int) -> list[DataFrame]:
+    """Run the synchronous LPA loop over a prepared (symmetrized,
+    persisted) edge frame, returning the last ``keep`` label states
+    oldest-first — label_propagation keeps 1, the convergence audit 3."""
     # round 1 needs no join: every neighbor's label is the neighbor id
     # (and u is cached partitioned on the grouping key — no exchange)
     labels = (
         u.groupBy(F.col("a").alias("node"))
         .agg(F.min(F.col("b")).alias("lbl"))
     )
+    states = [labels]
     arg = F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("lbl")))
     for _ in range(rounds - 1):
         # join on 'a' — the cached frame's partitioning key — so only
@@ -749,7 +765,68 @@ def label_propagation(
             .groupBy("node")
             .agg(arg.getField("lbl").alias("lbl"))
         )
-    return labels.select("node", F.col("lbl").alias("label"))
+        states.append(labels)
+        if len(states) > keep:
+            states.pop(0)
+    return states
+
+
+def lpa_convergence_audit(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixpoint audit for the fixed-round ``label_propagation`` (r10
+    VERDICT task 7: fixed-round community output must not silently
+    under-converge as graphs grow). One row:
+
+      (n_nodes, changed_vs_prev, changed_vs_prev2)
+
+    where ``changed_vs_prev`` counts nodes whose label differs between
+    rounds N-1 and N, and ``changed_vs_prev2`` between rounds N-2 and
+    N.  Reading the pair is the CONTRACT — synchronous LPA has two
+    stable regimes, not one:
+
+      * changed_vs_prev == 0 — true fixpoint; more rounds are a no-op.
+      * changed_vs_prev > 0 but changed_vs_prev2 == 0 — a period-2
+        orbit: on (near-)bipartite structure synchronous updates swap
+        the two sides' labels forever (the sf0.001 citation graph does
+        exactly this — every node flips every round), so lag-1 deltas
+        NEVER reach zero and lag-2 is the honest convergence signal.
+        Either phase of the orbit is a valid community assignment.
+      * both > 0 — still mixing: raise ``rounds`` (or pick the other
+        phase) before trusting the communities.
+
+    Cost: the same per-round work as ``label_propagation`` plus two
+    node-sized joins at the end; the symmetrized edge frame is the
+    same single persisted copy. ``rounds`` must be >= 3 so both lags
+    exist."""
+    if rounds < 3:
+        raise ValueError(
+            f"lpa_convergence_audit: rounds must be >= 3, got {rounds}"
+        )
+    u = _lpa_prepare(edges, src_col, dst_col)
+    prev2, prev, cur = _lpa_states(u, rounds, keep=3)
+    return (
+        cur.join(
+            prev.withColumnsRenamed({"lbl": "_lbl_prev"}).hint("shuffle_hash"),
+            "node",
+        )
+        .join(
+            prev2.withColumnsRenamed({"lbl": "_lbl_prev2"}).hint("shuffle_hash"),
+            "node",
+        )
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(
+                (F.col("lbl") != F.col("_lbl_prev")).cast("long")
+            ).alias("changed_vs_prev"),
+            F.sum(
+                (F.col("lbl") != F.col("_lbl_prev2")).cast("long")
+            ).alias("changed_vs_prev2"),
+        )
+    )
 
 
 def label_propagation_oracle_sql(

@@ -67,7 +67,11 @@ def synthesize_png_blobs(
     (sample i == byte i % n). Encoding runs Arrow-batched over a
     ``spread_input``-guarded scan (per-row codec work must not sit on
     one byte-compact split); payloads are born in the encode task and
-    never shuffled downstream."""
+    never shuffled downstream. Raster fill and the five filter
+    residuals are numpy over the whole batch stack
+    (``png.encode_png_batch`` — bit-identical to the scalar codec);
+    only the per-image deflate stays per-blob."""
+    import numpy as np
     import pandas as pd
 
     from . import png
@@ -76,14 +80,15 @@ def synthesize_png_blobs(
     n_px = width * height * 3
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cycle = np.arange(n_px)
         for pdf in batches:
-            payloads = []
-            for t in pdf[text_col]:
+            stack = np.zeros((len(pdf), n_px), dtype=np.uint8)
+            for k, t in enumerate(pdf[text_col]):
                 b = t.encode("utf-8")
-                px = (
-                    bytes(b[i % len(b)] for i in range(n_px)) if b else bytes(n_px)
-                )
-                payloads.append(png.encode_png(px, width, height, 3))
+                if b:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    stack[k] = arr[cycle % len(arr)]
+            payloads = png.encode_png_batch(stack, width, height, 3)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -135,24 +140,47 @@ def extract_image_features(blobs: DataFrame, id_col: str = "doc_id") -> DataFram
     emit true pixel statistics. px_mean is the one IEEE division of an
     exact integer sum by the sample count, so the stats replay exactly
     in the oracle. Raises on a corrupt or non-PNG payload — feature
-    rows silently computed from garbage are worse than a loud failure."""
+    rows silently computed from garbage are worse than a loud failure.
+
+    Decode and stats are numpy over same-shape stacks
+    (``png._decode_png_groups``): defilter across the n_images axis,
+    exact int64 pixel sums (the same one-IEEE-division mean as the
+    scalar path), max by row, distinct via one sort pass."""
+    import numpy as np
     import pandas as pd
 
     from . import png
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            rows = {k: [] for k in
-                    ("width", "height", "channels", "px_mean", "px_max", "distinct_px")}
-            for payload in pdf["payload"]:
-                w, h, c, px = png.decode_png(bytes(payload))
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["channels"].append(c)
-                rows["px_mean"].append(sum(px) / len(px))
-                rows["px_max"].append(max(px))
-                rows["distinct_px"].append(len(set(px)))
-            yield pd.DataFrame({"doc_id": pdf[id_col], **rows})
+            n = len(pdf)
+            width = np.empty(n, dtype=np.int64)
+            height = np.empty(n, dtype=np.int64)
+            channels = np.empty(n, dtype=np.int64)
+            px_mean = np.empty(n, dtype=np.float64)
+            px_max = np.empty(n, dtype=np.int64)
+            distinct_px = np.empty(n, dtype=np.int64)
+            for (w, h, c), idxs, pix in png._decode_png_groups(pdf["payload"]):
+                flat = pix.reshape(len(idxs), h * w * c)
+                ii = np.asarray(idxs)
+                width[ii], height[ii], channels[ii] = w, h, c
+                # exact integer sum then ONE IEEE division — same value
+                # as the scalar sum(px)/len(px)
+                px_mean[ii] = flat.sum(axis=1, dtype=np.int64) / flat.shape[1]
+                px_max[ii] = flat.max(axis=1)
+                s = np.sort(flat, axis=1)
+                distinct_px[ii] = 1 + (s[:, 1:] != s[:, :-1]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "channels": channels,
+                    "px_mean": px_mean,
+                    "px_max": px_max,
+                    "distinct_px": distinct_px,
+                }
+            )
 
     return blobs.select(id_col, "payload").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
@@ -598,25 +626,35 @@ def resize_image(
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in batches:
-            payloads, metas = [], []
-            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
-                w, h, c, px = png.decode_png(bytes(payload))
-                xs = [(x * w) // target_width for x in range(target_width)]
-                out = bytearray()
-                for y in range(target_height):
-                    row = ((y * h) // target_height) * w * c
-                    for x in xs:
-                        out += px[row + x * c : row + x * c + c]
-                enc = png.encode_png(bytes(out), target_width, target_height, c)
-                payloads.append(enc)
-                metas.append(
-                    {
-                        "mime": "image/png",
-                        "n_bytes": len(enc),
-                        "version": int(meta["version"]) + 1,
-                    }
+            payloads = [None] * len(pdf)
+            versions = [int(m["version"]) for m in pdf["media_meta"]]
+            # decode + gather + re-encode per same-shape stack: the
+            # nearest-neighbor resample is one fancy-index over the
+            # (n, h, w*c) pixel stack — src row (y*h)//th, src col
+            # (x*w)//tw expanded over channels — and the re-encode's
+            # filter math is one numpy pass (png.encode_png_batch)
+            for (w, h, c), idxs, pix in png._decode_png_groups(pdf["payload"]):
+                ys = (np.arange(target_height) * h) // target_height
+                xs = (np.arange(target_width) * w) // target_width
+                cols = (xs[:, None] * c + np.arange(c)[None, :]).reshape(-1)
+                resized = pix[:, ys][:, :, cols].reshape(
+                    len(idxs), target_height * target_width * c
                 )
+                for k, blob in enumerate(
+                    png.encode_png_batch(resized, target_width, target_height, c)
+                ):
+                    payloads[idxs[k]] = blob
+            metas = [
+                {
+                    "mime": "image/png",
+                    "n_bytes": len(p),
+                    "version": v + 1,
+                }
+                for p, v in zip(payloads, versions)
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads, "media_meta": metas}
             )

@@ -100,6 +100,7 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_triangle_sample",
     "x_triangle_count",
     "x_url_canonical",
+    "x_label_propagation",
     "x_multimodal_resize",
     "x_multimodal_features",
     "x_containment_pairs",

@@ -1118,7 +1118,15 @@ def sql3_exists_q4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-API surface, Q4 shape: correlated EXISTS — Catalyst
     DECORRELATES the subquery into a left-semi join (never a per-row
     subquery execution), with the returnflag filter pushed into the
-    lineitem scan below it; plan-tested. The dual of j5's anti join."""
+    lineitem scan below it; plan-tested. The dual of j5's anti join.
+
+    The EXISTS side is FACT-SIZED (25% of lineitem's orderkeys), so it
+    takes the in-subquery SHUFFLE_HASH hint (survives decorrelation —
+    the sql12 lesson): without it AQE saw the post-filter key column
+    under the broadcast threshold at sf1 and BROADCAST 1.5M fact keys
+    (single-threaded driver hash build, driver-OOM shape at scale) —
+    the r11 A/B measured the hinted plan 2.3x faster at sf1
+    (1.33 -> 0.60 s) and 1.8x at sf0.1 on top of removing the hazard."""
     for n, df in T(spark, sf_dir, "orders", "lineitem").items():
         df.createOrReplaceTempView(n)
     return spark.sql(
@@ -1127,7 +1135,7 @@ def sql3_exists_q4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o
         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
           AND o.o_orderdate < TIMESTAMP '1997-01-01'
-          AND EXISTS (SELECT 1 FROM lineitem l
+          AND EXISTS (SELECT /*+ SHUFFLE_HASH(l) */ 1 FROM lineitem l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
         GROUP BY o.o_orderpriority
         """

@@ -38,6 +38,61 @@ def test_label_propagation_two_cliques(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
 
 
+def test_lpa_convergence_audit_regimes(spark):
+    """The audit's three-regime contract (r10 VERDICT task 7), each on
+    a graph where the regime is hand-derivable.
+
+    Triangle 1-2-3 — true fixpoint by round 2:
+      R1 {1:2, 2:1, 3:1}; R2 {1:1, 2:1, 3:1} (2's nbr labels {2,1}
+      tie -> 1); R3 == R2. Audit(rounds=3): prev delta 0.
+    4-cycle 1-2-3-4-1 — bipartite, period-2 orbit:
+      R1 {1:2, 2:1, 3:2, 4:1}; R2 {1:1, 2:2, 3:1, 4:2}; R3 == R1.
+      Every node flips every round; lag-2 delta is 0.
+    """
+    tri = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    row = graph.lpa_convergence_audit(tri, rounds=3).first()
+    assert row["n_nodes"] == 3
+    assert row["changed_vs_prev"] == 0  # true fixpoint
+
+    cyc = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    row = graph.lpa_convergence_audit(cyc, rounds=3).first()
+    assert row["n_nodes"] == 4
+    assert row["changed_vs_prev"] == 4  # every node flips each round
+    assert row["changed_vs_prev2"] == 0  # ...between the SAME two states
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rounds must be >= 3"):
+        graph.lpa_convergence_audit(tri, rounds=2)
+
+
+def test_lpa_citation_graph_is_a_settling_two_orbit(spark):
+    """The x_label_propagation citation graph at sf0.001: documents
+    point at dst ids 0..999, so the structure is near-bipartite and
+    synchronous LPA runs a period-2 orbit — EVERY node flips every
+    round (lag-1 delta == n_nodes) while the lag-2 delta shrinks
+    (measured R1vsR3 270 -> R5vsR7 61). The audit makes that
+    visible instead of letting fixed-round output pass for a fixpoint;
+    the registry entry's 3-round output stays the deterministic
+    oracle-paired contract."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 37 + 11) % 1000).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 91 + 3) % 1000).alias("dst")
+    )
+    e = e1.unionByName(e2)
+    r3 = graph.lpa_convergence_audit(e, rounds=3).first()
+    assert r3["n_nodes"] == 859
+    assert r3["changed_vs_prev"] == 859  # full flip: period-2 regime
+    assert r3["changed_vs_prev2"] == 270  # still mixing at 3 rounds
+    r7 = graph.lpa_convergence_audit(e, rounds=7).first()
+    assert r7["changed_vs_prev2"] == 61  # orbit settling, not settled
+
+
 def test_label_propagation_round1_is_min_neighbor(spark):
     e = _edges(spark, [(10, 20), (20, 30)])
     got = {

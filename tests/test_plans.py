@@ -231,6 +231,23 @@ def test_sql12_subqueries_shuffle_hash_never_broadcast_lineitem(spark):
         assert "o_orderdate" not in be_input, p
 
 
+def test_sql3_exists_shuffle_hash_never_broadcast_lineitem(spark):
+    """sql3's EXISTS side is 25% of lineitem's orderkeys — fact-sized,
+    NOT bounded by construction: without the in-subquery SHUFFLE_HASH
+    hint AQE broadcast 1.5M fact keys at sf1 (single-threaded driver
+    hash build; the r11 A/B measured the hinted plan 2.3x faster on
+    top of removing the driver-OOM shape). Locked: the semi join is a
+    ShuffledHashJoin and NO lineitem column enters a
+    BroadcastExchange."""
+    p = plan_of(spark, "sql3_exists_q4_style")
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" in p
+    for be_input in re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]", p
+    ):
+        assert "l_orderkey" not in be_input, p
+
+
 def test_partial_aggregation_before_shuffle(spark):
     df = REGISTRY["a1_grouped_sum_q1"].fn(spark, SF)
     buf = io.StringIO()
