@@ -97,6 +97,7 @@ DRIVER_PRIORITY: list[str] = [
 DEFERRED_NEXT_ROUND: list[str] = [
     "x_interval_overlap",
     "sql3_exists_q4_style",
+    "sql10_having_in_q18_style",
     "x_triangle_sample",
     "x_triangle_count",
     "x_url_canonical",

@@ -1820,9 +1820,9 @@ _SQL10 = """
            CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
            CAST(SUM(CAST(floor(l.l_quantity * 10000 + 0.5) AS BIGINT)) AS BIGINT)
              AS sum_qty_q
-    FROM customer c
-    JOIN orders o ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
     GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE),
              CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
@@ -1837,7 +1837,12 @@ def sql10_having_in_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans the IN as a LEFT SEMI join against the big-orders
     aggregate, so lineitem is scanned twice but shuffled on the same
     l_orderkey key both times, and the semi join prunes orders BEFORE
-    the wide customer join. Exactness: the quantity threshold compares
+    the wide customer join. FROM order is FACT FIRST (the no-CBO house
+    rule): lineitem streams and probes the pruned orders slice and the
+    customer dim — the dim-first text made the fact the probe target
+    instead (r11 A/B: sf1 1.07 -> 0.78 s; both forms broadcast only
+    the dim and the post-HAVING key list, so this is probe order, not
+    a hazard fix). Exactness: the quantity threshold compares
     exact scaled-int sums (quantities are decimals stored as double —
     summing doubles would be order-dependent at the boundary)."""
     for n, df in T(spark, sf_dir, "customer", "orders", "lineitem").items():
