@@ -190,8 +190,16 @@ def main() -> None:
         if spec is None:
             continue
         execute(spec.fn(spark, sf_dir))  # warmup: codegen + file listing
-        df = spec.fn(spark, sf_dir)  # fresh plan for the timed run
+        # The timed region includes PLAN CONSTRUCTION (r11 honesty
+        # fix): under AQE, localCheckpoint(eager=False) executes its
+        # subtree's shuffle stages AT CALL time, so timing only
+        # execute() silently excluded every checkpointed prefix (the
+        # containment gram pipeline alone was ~3 s of untimed work).
+        # Construction is a fresh plan each run — persist()-modeled
+        # STORED state still gets its documented warmup cache credit,
+        # localCheckpoint state correctly does not.
         t0 = time.time()
+        df = spec.fn(spark, sf_dir)
         execute(df)
         timings[name] = round(time.time() - t0, 4)
         release_persisted()  # drop minhash signature caches between queries

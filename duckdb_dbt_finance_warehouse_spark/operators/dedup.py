@@ -1021,10 +1021,14 @@ def containment_pairs(
     exchanges (ga by id, gb by (id, gram), sizes by id; sf1 5.1 ->
     4.7 s and verify cost now scales with reported-pair volume, not
     corpus volume). The candidate-id broadcast is routed by the
-    measured candidate count (the census broadcast-budget pattern):
-    past ``_MAX_CAND_ID_BROADCAST`` ids it degrades to a shuffle_hash
-    semi join — the count probe is free, it materializes the
-    checkpointed candidate frame both later consumers reuse. Nothing
+    MEASURED candidate count: past ``_MAX_CAND_ID_BROADCAST`` ids it
+    degrades to a shuffle_hash semi join. The count is free, not
+    displaced work: under AQE the ``localCheckpoint`` call has already
+    executed the candidate pipeline's stages by the time the count
+    runs, and bench.py's clock includes plan construction (both halves
+    of the r11 benchmark-honesty finding — an earlier cut routed on
+    the input doc count to keep construction light, but with
+    construction timed the exact bound costs nothing extra). Nothing
     is corpus-quadratic, nothing collects, and no corpus-sized frame
     is ever broadcast (see the in-body notes on the localCheckpoint
     size-estimate trap)."""
@@ -1056,11 +1060,12 @@ def containment_pairs(
         .localCheckpoint(eager=False)
     )
     # candidate-doc slice of the gram table: the id set is
-    # reported-pair-sized, so it broadcasts while the measured count
-    # fits the budget (the count also materializes the checkpointed
-    # cands frame the verify join reuses); past it, the semi join
-    # degrades to a shuffle_hash exchange instead of an oversized
-    # broadcast — same routing rule as the triangle closing join
+    # reported-pair-sized and the checkpoint call above has already
+    # run the candidate pipeline's stages (AQE executes them at
+    # localCheckpoint time), so counting it here is free and gives the
+    # EXACT broadcast bound; past the budget the semi join degrades to
+    # a shuffle_hash exchange instead of an oversized broadcast — same
+    # routing rule as the triangle closing join
     n_cand = cands.count()
     cid = (
         cands.select(F.col("id_a").alias(id_col))

@@ -530,11 +530,17 @@ def triangle_sample_stats(
     (r10 ADVICE), so the packed-long broadcast closing join is only
     taken while the surviving edge set fits the ``MAX_CENSUS_EDGES``
     broadcast budget. ``None`` (default) decides by COUNTING the
-    survivors — one cheap job that doubles as the checkpoint
-    materialization the wedge stage reuses; ``triangle_stats_auto``
-    passes the decision in precomputed from the edge count it already
-    paid for. ``False`` forces the shuffle_hash closing join (pays the
-    wedge exchange, never driver-OOMs)."""
+    survivors — the exact bound, and free: under AQE the survivor
+    frame's ``localCheckpoint`` call has already executed the
+    sample+orientation stages, and bench.py times plan construction
+    (the r11 clock fix), so nothing is displaced out of any timed
+    region and the census reuses the materialized checkpoint (an
+    earlier cut routed on the raw input count to keep construction
+    light, which re-ran the edge-prep pipeline twice).
+    ``triangle_stats_auto`` passes the decision in precomputed from
+    the deduped count it already pays for routing. ``False`` forces
+    the shuffle_hash closing join (pays the wedge exchange, never
+    driver-OOMs)."""
     if k & (k - 1):
         raise ValueError(f"k must be a power of two, got {k}")
     from .sampling import hash_uniform
@@ -742,13 +748,22 @@ def _lpa_prepare(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
 def _lpa_states(u: DataFrame, rounds: int, keep: int) -> list[DataFrame]:
     """Run the synchronous LPA loop over a prepared (symmetrized,
     persisted) edge frame, returning the last ``keep`` label states
-    oldest-first — label_propagation keeps 1, the convergence audit 3."""
+    oldest-first — label_propagation keeps 1, the convergence audit 3.
+
+    With ``keep > 1`` every round's node-sized state is
+    localCheckpointed: the returned states share their round prefix,
+    and without the checkpoints joining three of them re-executes the
+    chain ~3x (the r4 recompute lesson, caught by the r11 review).
+    ``keep == 1`` stays one unbroken lazy plan — the oracle-replayed
+    query path is unchanged."""
     # round 1 needs no join: every neighbor's label is the neighbor id
     # (and u is cached partitioned on the grouping key — no exchange)
     labels = (
         u.groupBy(F.col("a").alias("node"))
         .agg(F.min(F.col("b")).alias("lbl"))
     )
+    if keep > 1:
+        labels = labels.localCheckpoint(eager=False)
     states = [labels]
     arg = F.min(F.struct((-F.col("cnt")).alias("negcnt"), F.col("lbl")))
     for _ in range(rounds - 1):
@@ -765,6 +780,8 @@ def _lpa_states(u: DataFrame, rounds: int, keep: int) -> list[DataFrame]:
             .groupBy("node")
             .agg(arg.getField("lbl").alias("lbl"))
         )
+        if keep > 1:
+            labels = labels.localCheckpoint(eager=False)
         states.append(labels)
         if len(states) > keep:
             states.pop(0)
@@ -799,9 +816,12 @@ def lpa_convergence_audit(
         phase) before trusting the communities.
 
     Cost: the same per-round work as ``label_propagation`` plus two
-    node-sized joins at the end; the symmetrized edge frame is the
-    same single persisted copy. ``rounds`` must be >= 3 so both lags
-    exist."""
+    node-sized joins at the end — the kept states are
+    localCheckpointed inside ``_lpa_states`` so joining three of them
+    does NOT re-execute the shared round prefix (without that the
+    audit ran ~2.6x the rounds; r11 review) — and the symmetrized edge
+    frame is the same single persisted copy. ``rounds`` must be >= 3
+    so both lags exist."""
     if rounds < 3:
         raise ValueError(
             f"lpa_convergence_audit: rounds must be >= 3, got {rounds}"

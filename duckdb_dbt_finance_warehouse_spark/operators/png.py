@@ -253,13 +253,20 @@ def encode_png_batch(rasters, width: int, height: int, channels: int = 3):
     if isinstance(rasters, np.ndarray):
         img = np.ascontiguousarray(rasters, dtype=np.uint8).reshape(-1, height, stride)
     else:
-        blob = b"".join(bytes(r) for r in rasters)
-        if len(blob) % (stride * height):
-            raise ValueError(
-                f"encode_png: got {len(blob)} bytes for a stack of "
-                f"{width}x{height}x{channels} rasters"
-            )
-        img = np.frombuffer(blob, dtype=np.uint8).reshape(-1, height, stride)
+        rasters = [bytes(r) for r in rasters]
+        # validate PER RASTER, exactly like the scalar codec — a
+        # divisibility check on the concatenation would let two wrong
+        # lengths that happen to sum to a multiple silently shift
+        # every later image's pixels (r11 review)
+        for r in rasters:
+            if len(r) != stride * height:
+                raise ValueError(
+                    f"encode_png: got {len(r)} bytes for "
+                    f"{width}x{height}x{channels}"
+                )
+        img = np.frombuffer(b"".join(rasters), dtype=np.uint8).reshape(
+            -1, height, stride
+        )
     n = img.shape[0]
     if n == 0:
         return []

@@ -773,6 +773,19 @@ def test_interval_overlap_join_lossless_vs_naive(spark):
         if r["id_a"] < r["id_b"]
     }
     assert got == {(1, 2, date(2024, 2, 1), date(2024, 2, 5))}
+    # first-shared-bucket dedup (r11): a pair overlapping across MANY
+    # buckets must still emit exactly once, at every grain
+    long_rows = [
+        ("K", 1, date(2024, 1, 1), date(2024, 6, 30)),
+        ("K", 2, date(2024, 2, 15), date(2024, 5, 15)),
+    ]
+    ldf = spark.createDataFrame(long_rows, ["custkey", "id", "start", "end"])
+    for grain in ("day", "week", "month"):
+        out = intervals.interval_overlap_join(ldf, ldf, ["custkey"], grain=grain)
+        pairs = [r for r in out.collect() if r["id_a"] == 1 and r["id_b"] == 2]
+        assert len(pairs) == 1, f"grain={grain}: {pairs}"
+        assert pairs[0]["overlap_start"] == date(2024, 2, 15)
+        assert pairs[0]["overlap_end"] == date(2024, 5, 15)
     # plan stays an equi join — no nested loop
     import contextlib
     import io
@@ -870,6 +883,67 @@ def test_png_codec_round_trips_every_filter_type():
     for cc in (1, 4):
         pxc = bytes((x * 53 + 29 * (x % 11)) % 256 for x in range(w * h * cc))
         assert png.decode_png(png.encode_png(pxc, w, h, cc)) == (w, h, cc, pxc)
+
+
+def test_png_batch_codec_bit_identical_to_scalar():
+    """The numpy batch codec (r11: filters vectorized across the image
+    stack) must be BIT-IDENTICAL to the scalar codec — same y%5 filter
+    cycle, same zlib level, same CRC validation — across shapes,
+    channel counts, and degenerate rasters. Property-tested with
+    hypothesis so the uint8 wraparound / Paeth tie paths get adversarial
+    pixels, plus a mixed-shape batch (grouped decode must restore input
+    order) and the error-path parity pins."""
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from duckdb_dbt_finance_warehouse_spark.operators import png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 11),
+        c=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(1, 4),
+    )
+    def roundtrip(w, h, c, seed, n):
+        import random
+
+        rng = random.Random(seed)
+        rasters = [
+            bytes(rng.randrange(256) for _ in range(w * h * c)) for _ in range(n)
+        ]
+        blobs = png.encode_png_batch(rasters, w, h, c)
+        assert blobs == [png.encode_png(r, w, h, c) for r in rasters]
+        assert png.decode_png_batch(blobs) == [png.decode_png(b) for b in blobs]
+
+    roundtrip()
+
+    # mixed shapes/channels in ONE batch: grouped decode restores order
+    mixed = [
+        png.encode_png(bytes(range(48)), 4, 4, 3),
+        png.encode_png(bytes(16), 4, 4, 1),
+        png.encode_png(bytes(range(48)), 2, 6, 4),
+        png.encode_png(bytes([255] * 48), 4, 4, 3),
+    ]
+    assert png.decode_png_batch(mixed) == [png.decode_png(b) for b in mixed]
+    assert png.encode_png_batch([], 4, 4, 3) == []
+    assert png.decode_png_batch([]) == []
+
+    # error paths match the scalar codec
+    with _pytest.raises(ValueError, match="bad signature"):
+        png.decode_png_batch([b"nope" + bytes(20)])
+    corrupt = bytearray(mixed[0])
+    corrupt[-6] ^= 0xFF  # flip a bit inside IEND's CRC
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        png.decode_png_batch([bytes(corrupt)])
+    with _pytest.raises(ValueError, match="channels must be"):
+        png.encode_png_batch([bytes(4)], 2, 2, 2)
+    # per-raster length validation: two wrong lengths summing to a
+    # multiple of the raster size must NOT silently shift pixels
+    with _pytest.raises(ValueError, match="got 47 bytes"):
+        png.encode_png_batch([bytes(47), bytes(49)], 4, 4, 3)
 
 
 def test_wav_codec_hand_built_decodes_to_known_samples():
