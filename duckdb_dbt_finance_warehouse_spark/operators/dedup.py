@@ -1021,14 +1021,16 @@ def containment_pairs(
     exchanges (ga by id, gb by (id, gram), sizes by id; sf1 5.1 ->
     4.7 s and verify cost now scales with reported-pair volume, not
     corpus volume). The candidate-id broadcast is routed by the
-    MEASURED candidate count: past ``_MAX_CAND_ID_BROADCAST`` ids it
-    degrades to a shuffle_hash semi join. The count is free, not
-    displaced work: under AQE the ``localCheckpoint`` call has already
-    executed the candidate pipeline's stages by the time the count
-    runs, and bench.py's clock includes plan construction (both halves
-    of the r11 benchmark-honesty finding — an earlier cut routed on
-    the input doc count to keep construction light, but with
-    construction timed the exact bound costs nothing extra). Nothing
+    MEASURED candidate-ID count (the distinct ids, not the pair count
+    — pairs grow quadratically in cluster size while the id set stays
+    small): past ``_MAX_CAND_ID_BROADCAST`` ids it degrades to a
+    shuffle_hash semi join. The count is near-free, not displaced
+    work: under AQE the ``localCheckpoint`` call has already executed
+    the candidate pipeline's stages by the time the count runs, and
+    bench.py's clock includes plan construction (both halves of the
+    r11 benchmark-honesty finding — an earlier cut routed on the input
+    doc count to keep construction light, but with construction timed
+    the exact bound costs nothing extra). Nothing
     is corpus-quadratic, nothing collects, and no corpus-sized frame
     is ever broadcast (see the in-body notes on the localCheckpoint
     size-estimate trap)."""
@@ -1059,20 +1061,23 @@ def containment_pairs(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # candidate-doc slice of the gram table: the id set is
-    # reported-pair-sized and the checkpoint call above has already
-    # run the candidate pipeline's stages (AQE executes them at
-    # localCheckpoint time), so counting it here is free and gives the
-    # EXACT broadcast bound; past the budget the semi join degrades to
-    # a shuffle_hash exchange instead of an oversized broadcast — same
-    # routing rule as the triangle closing join
-    n_cand = cands.count()
+    # candidate-doc slice of the gram table: the checkpoint call above
+    # has already run the candidate pipeline's stages (AQE executes
+    # them at localCheckpoint time), so counting the DISTINCT id set
+    # here costs one pair-volume micro-job and gives the EXACT
+    # broadcast bound — routing on 2x the pair count would degrade to
+    # the shuffle_hash path prematurely on dense clusters, where pairs
+    # grow quadratically in cluster size while the id set stays tiny
+    # (r11 review). Past the budget the semi join degrades to a
+    # shuffle_hash exchange instead of an oversized broadcast — same
+    # routing rule as the triangle closing join.
     cid = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    if 2 * n_cand <= _MAX_CAND_ID_BROADCAST:
+    if cid.count() <= _MAX_CAND_ID_BROADCAST:
         gsub = grams.join(F.broadcast(cid), id_col, "left_semi")
     else:
         gsub = grams.join(cid.hint("shuffle_hash"), id_col, "left_semi")

@@ -118,42 +118,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG to (width, height, channels, raw 8-bit samples).
     Verifies the signature and every chunk CRC; supports 8-bit
     non-interlaced greyscale/RGB/RGBA (what ``encode_png`` emits and
-    what the synthesized corpus uses); raises on anything else."""
-    if data[:8] != SIGNATURE:
-        raise ValueError("decode_png: bad signature — not a PNG")
-    pos = 8
-    idat = bytearray()
-    width = height = channels = None
-    while pos + 12 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"decode_png: CRC mismatch in {tag!r} chunk")
-        if tag == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                raise NotImplementedError(
-                    "decode_png: only 8-bit non-interlaced PNGs are supported "
-                    f"(depth={depth}, interlace={interlace})"
-                )
-            if color not in _CHANNELS:
-                raise NotImplementedError(f"decode_png: color type {color}")
-            channels = _CHANNELS[color]
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if width is None or not idat:
-        raise ValueError("decode_png: missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    what the synthesized corpus uses); raises on anything else. The
+    chunk walk is shared with the batch decoder (``_parse_png``) so
+    the two paths cannot drift; only the defilter loop is scalar."""
+    width, height, channels, raw = _parse_png(data)
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("decode_png: inflated size does not match dimensions")
     out = bytearray()
     prev = bytes(stride)
     for y in range(height):
@@ -251,7 +220,24 @@ def encode_png_batch(rasters, width: int, height: int, channels: int = 3):
         raise ValueError(f"encode_png: channels must be 1, 3 or 4 (got {channels})")
     stride = width * channels
     if isinstance(rasters, np.ndarray):
-        img = np.ascontiguousarray(rasters, dtype=np.uint8).reshape(-1, height, stride)
+        # validate as strictly as the bytes path: a mis-shaped stack
+        # must not silently regroup pixels across images, and a
+        # non-uint8 dtype must not silently truncate-cast
+        if rasters.dtype != np.uint8:
+            raise ValueError(
+                f"encode_png: raster stack must be uint8 (got {rasters.dtype})"
+            )
+        if rasters.ndim not in (2, 3) or (
+            rasters.ndim == 2 and rasters.shape[1] != stride * height
+        ) or (
+            rasters.ndim == 3 and rasters.shape[1:] != (height, stride)
+        ):
+            raise ValueError(
+                f"encode_png: raster stack shape {rasters.shape} does not "
+                f"match (n, {height * stride}) or (n, {height}, {stride}) "
+                f"for {width}x{height}x{channels}"
+            )
+        img = np.ascontiguousarray(rasters).reshape(-1, height, stride)
     else:
         rasters = [bytes(r) for r in rasters]
         # validate PER RASTER, exactly like the scalar codec — a

@@ -14,20 +14,25 @@ from . import extensions  # noqa: E402,F401
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
 # cosmetics.  ROUND-11 ROTATION — the verification-cadence round the r10
-# verdict mandated: the full 50-entry DEFERRED_NEXT_ROUND backlog drains
-# here, 14 r6-green entries first (5 rounds unchecked), then the 36
-# r7-green remainder.  The backlog is in fact 50 entries — the r10
-# verdict's "49 ... one slot spare" was an off-by-one — so the drain
-# exactly fills the window and NOTHING else fits: no new entry ships
-# this round, and x_interval_overlap, the oldest-green touched entry
-# at r8, leads r12's deferred list instead of taking a slot.
+# verdict mandated: the full 50-entry DEFERRED_NEXT_ROUND backlog
+# drains here (the backlog is in fact 50 entries — the r10 verdict's
+# "49 ... one slot spare" was an off-by-one), 14 r6-green entries
+# first (5 rounds unchecked), then the r7-green remainder — with ONE
+# swap: x_interval_overlap takes a slot because it is BOTH backlog-
+# stale (r8-green, the oldest row among this round's touched entries)
+# AND semantically reworked this round (the first-shared-bucket dedup
+# replaced the DISTINCT; duplicate-id inputs now pass through — the
+# r11 review flagged shipping that combination unchecked as the exact
+# failure mode the rotation rule exists for). x_zorder_layout
+# (r7-green, untouched for four rounds, own pytest pins) cedes the
+# slot and leads r12's deferred list.
 #
 # DECLARED DEVIATION (inverse of r10's): this round, cadence backlog
 # OUTRANKS code-touched entries that already hold an r10 driver green.
-# The r10 verdict's top action item was "drain the 49-entry backlog
-# completely; r11 must be a verification-cadence round" — the entries
-# this round's perf/robustness work touches (x_triangle_sample /
-# x_triangle_count, x_url_canonical, x_multimodal_resize / _features,
+# The r10 verdict's top action item was "drain the backlog completely;
+# r11 must be a verification-cadence round" — the entries this round's
+# perf/robustness work touches (x_triangle_sample / x_triangle_count,
+# x_url_canonical, x_multimodal_resize / _features,
 # x_containment_pairs) all hold r10 driver greens (the freshest rows in
 # the registry), every change is result-identical by construction and
 # pinned by the local 185-entry oracle gate + pytest this session, and
@@ -85,7 +90,8 @@ DRIVER_PRIORITY: list[str] = [
     "x_table_fingerprint",
     "x_tokenizer_fertility",
     "x_vocab_coverage",
-    "x_zorder_layout",
+    # --- swapped in: r8-green AND semantically reworked this round ---
+    "x_interval_overlap",
 ]
 
 # Entries touched by this round's perf/robustness work that could not
@@ -95,7 +101,7 @@ DRIVER_PRIORITY: list[str] = [
 # Adding a NEW queries() entry still requires a first-50 slot
 # (CLAUDE.md) — this list only schedules re-verification.
 DEFERRED_NEXT_ROUND: list[str] = [
-    "x_interval_overlap",
+    "x_zorder_layout",
     "sql3_exists_q4_style",
     "sql10_having_in_q18_style",
     "x_triangle_sample",
