@@ -98,6 +98,7 @@ HEADLINE = [
     "x_zorder_layout",            # Morton-curve clustering stats
     "x_incremental_rollup",       # stored-state + tail merge rollup
     "x_bpe_train",                # 5-round vocab-sized BPE merges
+    "x_bpe_train_batched",        # batched non-interacting merge selection
     "x_bpe_segment",              # BPE encode via vocab-join fold
     "x_chunk_overlap",            # sliding-window RAG chunking
     "x_negative_sampling",        # bucket-join random negatives
@@ -167,6 +168,7 @@ HEADLINE = [
     "x_ab_conversion",            # 2x2 chi-square A/B readout
     "x_url_canonical",            # crawl-URL canonicalization + dup flag
     "x_label_propagation",        # fixed-round LPA communities
+    "x_lpa_damped",               # self-vote-damped LPA (orbit breaker)
     "x_khop_reach",               # 3-hop BFS blast radius
     "sql13_disjunctive_join_q19_style",  # Q19 OR-of-ANDs join filter
     "sql14_promo_ratio_q14_style",       # Q14 conditional-agg ratio
@@ -176,6 +178,22 @@ HEADLINE = [
 
 def execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# Arrow-codec entries (pure python-worker map stages) are the suite's
+# most co-tenant-sensitive measurements: the r11 driver rerun recorded
+# x_multimodal_resize at 6.08 s vs 1.10 s for the SAME code minutes
+# apart — one host-load spike lands entirely on the Arrow batch workers.
+# These entries alone take a median-of-3 timed runs so one spike cannot
+# dominate the committed artifact; everything else stays single-run so
+# totals remain cheap and comparable (the policy is recorded in the
+# artifact via "median3").
+MEDIAN3 = {
+    "x_multimodal_features",
+    "x_multimodal_audio",
+    "x_multimodal_resize",
+    "x_multimodal_video",
+}
 
 
 def main() -> None:
@@ -198,10 +216,14 @@ def main() -> None:
         # Construction is a fresh plan each run — persist()-modeled
         # STORED state still gets its documented warmup cache credit,
         # localCheckpoint state correctly does not.
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        execute(df)
-        timings[name] = round(time.time() - t0, 4)
+        runs = 3 if name in MEDIAN3 else 1
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            execute(df)
+            samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[runs // 2], 4)
         release_persisted()  # drop minhash signature caches between queries
         # untimed housekeeping: drop py4j refs so ContextCleaner frees
         # accumulated localCheckpoint blocks between queries (the r4
@@ -224,6 +246,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n": len(timings),
+            "median3": sorted(MEDIAN3 & set(timings)),
         }
     )
     full = json.dumps(

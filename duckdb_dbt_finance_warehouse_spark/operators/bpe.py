@@ -108,6 +108,124 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 5) -> DataFrame:
     )
 
 
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str,
+    n_rounds: int = 2,
+    batch: int = 4,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Batched BPE training — the vocab-scale path (r11 VERDICT #6): a
+    production 32k-merge tokenizer cannot pay one driver round trip per
+    merge, so each ROUND selects up to ``batch`` NON-INTERACTING merges
+    from one pair-count table and applies them in rank order — ~vocab/B
+    driver rounds instead of vocab rounds.
+
+    Selection per round: the top ``overfetch * batch`` candidate pairs
+    by (count DESC, lhs, rhs) are scanned greedily; a candidate is kept
+    iff none of {lhs, rhs, lhs||rhs} collides with any earlier kept
+    pair's {lhs, rhs, merged} — merging a pair only changes counts of
+    pairs that touch its symbols, so DISJOINT merges see exactly the
+    counts a sequential recount would show, and ``batch=1`` reproduces
+    ``bpe_train`` verbatim on any corpus (pytest-pinned; for
+    interacting top pairs batched selection is the standard
+    approximation — a new pair created mid-batch cannot win until the
+    next round). The greedy scan runs ENGINE-side as one HOF fold over
+    the 1-row sorted candidate array (vocab-bounded), so the only
+    driver traffic per round is the kept-count that numbers the merges.
+
+    Output schema matches ``bpe_train``: (merge_round, lhs, rhs,
+    merged, pair_count) with merge_round the global selection order and
+    pair_count the count at selection time. Rounds with zero pairs
+    left emit nothing (a fully-merged vocabulary stops producing
+    candidates)."""
+    if n_rounds < 1 or batch < 1:
+        raise ValueError(
+            f"bpe_train_batched: n_rounds/batch must be >= 1,"
+            f" got {n_rounds}/{batch}"
+        )
+    top_c = overfetch * batch
+    greedy = (
+        "aggregate(_cands, named_struct("
+        "'kept', cast(array() as array<struct<lhs:string,rhs:string,pair_count:bigint>>), "
+        "'blocked', cast(array() as array<string>)), "
+        "(acc, c) -> CASE WHEN size(acc.kept) < %d AND NOT arrays_overlap("
+        "array(c.lhs, c.rhs, concat(c.lhs, c.rhs)), acc.blocked) "
+        "THEN named_struct("
+        "'kept', concat(acc.kept, array(named_struct("
+        "'lhs', c.lhs, 'rhs', c.rhs, 'pair_count', c.pair_count))), "
+        "'blocked', concat(acc.blocked, "
+        "array(c.lhs, c.rhs, concat(c.lhs, c.rhs)))) "
+        "ELSE acc END).kept" % batch
+    )
+    batch_fold = (
+        "aggregate(_ms, syms, (acc, m) -> "
+        "aggregate(acc, CAST(array() AS array<string>), (a, x) -> "
+        "CASE WHEN size(a) > 0 AND element_at(a, -1) = m.lhs AND x = m.rhs "
+        "THEN concat(slice(a, 1, size(a) - 1), array(concat(m.lhs, m.rhs))) "
+        "ELSE concat(a, array(x)) END))"
+    )
+    vocab = word_vocab(df, text_col).select(
+        "word",
+        "wc",
+        F.concat(F.split("word", ""), F.array(F.lit(END_MARKER))).alias("syms"),
+    )
+    merges: list[DataFrame] = []
+    offset = 0
+    for _ in range(n_rounds):
+        vocab = vocab.localCheckpoint(eager=False)
+        kept_arr = (
+            vocab.select("wc", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(top_c)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.lit(0) - F.col("pair_count")).alias("nc"),
+                            "lhs",
+                            "rhs",
+                            "pair_count",
+                        )
+                    )
+                ).alias("_cands")
+            )
+            .select(F.expr(greedy).alias("_batch"))
+            .localCheckpoint(eager=False)
+        )
+        kept = kept_arr.select(
+            F.posexplode("_batch").alias("_pos", "m")
+        ).select(
+            (F.col("_pos") + F.lit(offset + 1)).alias("merge_round"),
+            F.col("m.lhs").alias("lhs"),
+            F.col("m.rhs").alias("rhs"),
+            F.col("m.pair_count").alias("pair_count"),
+        )
+        merges.append(kept)
+        # the kept-count is the only driver traffic of the round — free
+        # under the checkpoint model (kept_arr's stages already ran)
+        offset += kept_arr.select(F.size("_batch")).first()[0]
+        vocab = vocab.crossJoin(
+            F.broadcast(
+                kept_arr.select(
+                    F.expr(
+                        "transform(_batch, m -> struct(m.lhs AS lhs, m.rhs AS rhs))"
+                    ).alias("_ms")
+                )
+            )
+        ).select("word", "wc", F.expr(batch_fold).alias("syms"))
+    out = reduce(DataFrame.unionByName, merges)
+    return out.select(
+        "merge_round",
+        "lhs",
+        "rhs",
+        F.concat("lhs", "rhs").alias("merged"),
+        "pair_count",
+    )
+
+
 def bpe_segment(
     df: DataFrame,
     id_col: str,
@@ -216,6 +334,87 @@ def bpe_oracle_sql(table: str, norm_expr: str, n_merges: int = 5) -> str:
         _bpe_ctes(table, norm_expr, n_merges)
         + f"""
     SELECT merge_round, lhs, rhs, lhs || rhs AS merged, pair_count
+    FROM ({union})"""
+    )
+
+
+def bpe_batched_oracle_sql(
+    table: str,
+    norm_expr: str,
+    n_rounds: int = 2,
+    batch: int = 4,
+    overfetch: int = 4,
+) -> str:
+    """DuckDB replay of ``bpe_train_batched``. The greedy
+    non-interacting selection unrolls as ``batch`` pick CTEs per round
+    — pick_i = the lowest-ranked candidate whose {lhs, rhs, lhs||rhs}
+    avoids every symbol of picks 1..i-1 (provably the same set the
+    engine-side greedy scan keeps: a lower-ranked non-conflicting
+    candidate would itself have been kept earlier). Possibly-empty
+    picks ride through the fold as NULL merge columns (the CASE falls
+    to ELSE — a no-op copy), so rounds that keep fewer than ``batch``
+    pairs replay exactly."""
+    top_c = overfetch * batch
+    parts = [
+        f"""v0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split({norm_expr}, ' ')) AS word FROM {table})
+      GROUP BY 1),
+    s1_0 AS MATERIALIZED (SELECT word, wc, string_split(word, '') || ['{END_MARKER}'] AS syms
+             FROM v0)"""
+    ]
+    pick_names: list[str] = []
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT syms[CAST(i AS INT)] AS lhs, syms[CAST(i AS INT) + 1] AS rhs,
+             CAST(sum(wc) AS BIGINT) AS pair_count
+      FROM s{r}_0, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      GROUP BY 1, 2),
+    rk{r} AS MATERIALIZED (
+      SELECT lhs, rhs, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, lhs, rhs) AS rk
+      FROM p{r} QUALIFY rk <= {top_c})"""
+        )
+        for i in range(1, batch + 1):
+            blocked = " UNION ALL ".join(
+                f"SELECT unnest([lhs, rhs, lhs || rhs]) AS sym FROM k{r}_{j}"
+                for j in range(1, i)
+            )
+            cond = (
+                f"WHERE lhs NOT IN (SELECT sym FROM ({blocked}))"
+                f" AND rhs NOT IN (SELECT sym FROM ({blocked}))"
+                f" AND lhs || rhs NOT IN (SELECT sym FROM ({blocked}))"
+                if blocked
+                else ""
+            )
+            parts.append(
+                f"""k{r}_{i} AS MATERIALIZED (
+      SELECT {r} AS rnd, rk, lhs, rhs, pair_count FROM rk{r} {cond}
+      ORDER BY rk LIMIT 1),
+    m{r}_{i} AS MATERIALIZED (SELECT (SELECT lhs FROM k{r}_{i}) AS _ml,
+                        (SELECT rhs FROM k{r}_{i}) AS _mr)"""
+            )
+            pick_names.append(f"k{r}_{i}")
+            prev = f"s{r}_{i - 1}"
+            parts.append(
+                f"""s{r}_{i} AS MATERIALIZED (
+      SELECT word, wc,
+             list_reduce(list_transform(syms, x -> [x]),
+               (acc, cur) -> CASE WHEN len(acc) > 0 AND acc[-1] = _ml
+                                  AND cur[1] = _mr
+                             THEN acc[1:len(acc) - 1] || [_ml || _mr]
+                             ELSE acc || cur END) AS syms
+      FROM {prev} CROSS JOIN m{r}_{i})"""
+            )
+        if r < n_rounds:
+            parts.append(f"s{r + 1}_0 AS MATERIALIZED (SELECT * FROM s{r}_{batch})")
+    union = "\n      UNION ALL ".join(f"SELECT * FROM {n}" for n in pick_names)
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(row_number() OVER (ORDER BY rnd, rk) AS INT) AS merge_round,
+           lhs, rhs, lhs || rhs AS merged, pair_count
     FROM ({union})"""
     )
 

@@ -1033,7 +1033,13 @@ def containment_pairs(
     the exact bound costs nothing extra). Nothing
     is corpus-quadratic, nothing collects, and no corpus-sized frame
     is ever broadcast (see the in-body notes on the localCheckpoint
-    size-estimate trap)."""
+    size-estimate trap).
+
+    CALLER-FACING EAGERNESS: constructing this query EXECUTES the
+    candidate pipeline's stages immediately (localCheckpoint under AQE
+    runs its subtree at call time, and the broadcast-vs-shuffle routing
+    counts the checkpointed id set) — building the DataFrame without
+    ever executing it still pays the candidate generation cost."""
     from .text import word_ngrams
 
     grams = word_ngrams(df, id_col, text_col, n).localCheckpoint(eager=False)

@@ -246,8 +246,28 @@ def word_ngrams_all(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
 
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-grams per document (space-joined token windows),
-    computed engine-side from the normalized token array."""
-    return word_ngrams_all(df, id_col, text_col, n).distinct()
+    computed engine-side from the normalized token array.
+
+    The per-doc distinct set is a pure function of one row, so it is
+    built IN-ROW — ``array_distinct`` over the gram array, then the
+    explode — never a shuffle-DISTINCT over corpus-gram volume (the
+    house rule): the old ``.distinct()`` exchanged the full 10-50x gram
+    stream keyed on (id, gram) before every consumer re-shuffled it
+    again on its own key (boilerplate's (source, gram) count,
+    containment's gram-keyed pair emitter, decontaminate's gram join)."""
+    return spread_input(df).select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t")
+    ).select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_t) - {n - 1}, 1)),"
+                    f" i -> concat_ws(' ', slice(_t, i, {n})))"
+                )
+            )
+        ).alias("gram"),
+    )
 
 
 def bm25_search(

@@ -13,94 +13,25 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  ROUND-11 ROTATION — the verification-cadence round the r10
-# verdict mandated: the full 50-entry DEFERRED_NEXT_ROUND backlog
-# drains here (the backlog is in fact 50 entries — the r10 verdict's
-# "49 ... one slot spare" was an off-by-one), 14 r6-green entries
-# first (5 rounds unchecked), then the r7-green remainder — with ONE
-# swap: x_interval_overlap takes a slot because it is BOTH backlog-
-# stale (r8-green, the oldest row among this round's touched entries)
-# AND semantically reworked this round (the first-shared-bucket dedup
-# replaced the DISTINCT; duplicate-id inputs now pass through — the
-# r11 review flagged shipping that combination unchecked as the exact
-# failure mode the rotation rule exists for). x_zorder_layout
-# (r7-green, untouched for four rounds, own pytest pins) cedes the
-# slot and leads r12's deferred list.
-#
-# DECLARED DEVIATION (inverse of r10's): this round, cadence backlog
-# OUTRANKS code-touched entries that already hold an r10 driver green.
-# The r10 verdict's top action item was "drain the backlog completely;
-# r11 must be a verification-cadence round" — the entries this round's
-# perf/robustness work touches (x_triangle_sample / x_triangle_count,
-# x_url_canonical, x_multimodal_resize / _features,
-# x_containment_pairs) all hold r10 driver greens (the freshest rows in
-# the registry), every change is result-identical by construction and
-# pinned by the local 185-entry oracle gate + pytest this session, and
-# they lead r12's DEFERRED_NEXT_ROUND below.  sql3_exists_q4_style
-# (r9-green, touched by the floor A/B) likewise defers to r12.
+# cosmetics.  ROUND-12 ROTATION (CLAUDE.md rule: never-checked first —
+# none exist — then this round's touched entries, then the stalest
+# greens, then flagships):
+#   slots 1-10  — r11's DEFERRED_NEXT_ROUND drains completely, led by
+#                 x_zorder_layout (r7-green, the oldest row in the
+#                 registry; everything else is <=3 rounds stale).
+#   slots 11-12 — NEW r12 entries (batched BPE training, damped LPA)
+#                 — never driver-checked, first-50 mandatory.
+#   slots 13-17 — entries whose code this round's perf work touches
+#                 (bloom stored filter state, khop/pagerank frontier
+#                 sizing, recall-audit candidate restriction,
+#                 boilerplate-gram exchange cut).
+#   slots 18-50 — the r8-green backlog, oldest-first alphabetical; the
+#                 seven r8 rows that don't fit (x_sessionize,
+#                 x_text_langid, x_text_quality, x_text_repetition,
+#                 x_tfidf_top_terms, x_token_count, x_winsorize) go on
+#                 DEFERRED_NEXT_ROUND and lead r13.
 DRIVER_PRIORITY: list[str] = [
-    # --- r6-green backlog: 5 rounds unchecked, oldest rows first ---
-    "a13_cube",
-    "o4_null_ordering",
-    "w7_value_kit",
-    "x_ks_drift",
-    "x_skew_report",
-    "x_hll_merge",
-    "x_join_size_estimate",
-    "x_lexical_drift",
-    "x_pca_power",
-    "x_perplexity_buckets",
-    "x_random_projection",
-    "x_shard_rendezvous",
-    "x_zipf_fit",
-    "x_last_touch_attribution",
-    # --- r7-green backlog remainder ---
-    "a8_exact_percentiles",
-    "j1_month_spine_expansion",
-    "j3_validity_asof_join",
-    "sql1_join_agg_q3_style",
-    "w1_latest_row_dedup",
-    "w6_range_frames",
-    "x_ann_ivf_pq_topk",
-    "x_ann_ivf_probe_table",
-    "x_ann_recall_audit",
-    "x_boilerplate_grams",
-    "x_chunk_overlap",
-    "x_cohort_retention",
-    "x_collocations",
-    "x_curation_pipeline",
-    "x_dedup_incremental",
-    "x_event_funnel",
-    "x_event_hopping_window",
-    "x_ewma_smooth",
-    "x_hard_negatives",
-    "x_hll_distinct",
-    "x_incremental_rollup",
-    "x_kfold_split",
-    "x_length_buckets",
-    "x_maintenance_compaction",
-    "x_max_concurrency",
-    "x_merge_upsert",
-    "x_negative_sampling",
-    "x_pack_sequences",
-    "x_rfm_segments",
-    "x_salted_join",
-    "x_semantic_decontaminate",
-    "x_snapshot_diff",
-    "x_table_fingerprint",
-    "x_tokenizer_fertility",
-    "x_vocab_coverage",
-    # --- swapped in: r8-green AND semantically reworked this round ---
-    "x_interval_overlap",
-]
-
-# Entries touched by this round's perf/robustness work that could not
-# take first-50 slots without re-displacing the backlog (see the
-# declared deviation above).  All hold r9/r10 driver greens and are
-# session-pinned by the local oracle gate; they take r12's first slots.
-# Adding a NEW queries() entry still requires a first-50 slot
-# (CLAUDE.md) — this list only schedules re-verification.
-DEFERRED_NEXT_ROUND: list[str] = [
+    # --- r11 deferred drain (verdict r11 action #1) ---
     "x_zorder_layout",
     "sql3_exists_q4_style",
     "sql10_having_in_q18_style",
@@ -111,6 +42,64 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_multimodal_resize",
     "x_multimodal_features",
     "x_containment_pairs",
+    # --- NEW r12 entries (never driver-checked — first-50 mandatory) ---
+    "x_bpe_train_batched",
+    "x_lpa_damped",
+    # --- touched by r12 perf work ---
+    "x_bloom_semi_join",
+    "x_khop_reach",
+    "x_pagerank",
+    "x_ann_recall_audit",
+    "x_boilerplate_grams",
+    # --- r8-green backlog (4 rounds unchecked), oldest-first ---
+    "a4_multi_sum_rollup",
+    "p9_topk_per_group",
+    "w2_lag_prev_month",
+    "x_ann_cosine_topk",
+    "x_ann_ivf_incremental",
+    "x_ann_ivf_topk",
+    "x_ann_lsh_bucketed",
+    "x_ann_lsh_incremental",
+    "x_ann_lsh_probe_table",
+    "x_asof_nearest",
+    "x_decontaminate",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_dedup_minhash_portable",
+    "x_dedup_simhash",
+    "x_embed_near_dup",
+    "x_event_tumbling_window",
+    "x_fingerprint",
+    "x_heavy_hitters",
+    "x_hll_by_group",
+    "x_inverted_index",
+    "x_json_props",
+    "x_mad_outliers",
+    "x_multimodal_bytestats",
+    "x_pack_efficiency",
+    "x_paragraph_dedup",
+    "x_profile_stats",
+    "x_quantile_sketch",
+    "x_resample_locf",
+    "x_sample_hash",
+    "x_sample_mixture",
+    "x_sample_stratified",
+    "x_scrub_pii",
+]
+
+# r8-green rows displaced by this round's touched-entry slots; they are
+# 4 rounds stale but each holds a clean r8 driver green and pytest pins.
+# They take r13's first slots.  Adding a NEW queries() entry still
+# requires a first-50 slot (CLAUDE.md) — this list only schedules
+# re-verification.
+DEFERRED_NEXT_ROUND: list[str] = [
+    "x_sessionize",
+    "x_text_langid",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_tfidf_top_terms",
+    "x_token_count",
+    "x_winsorize",
 ]
 
 

@@ -2395,6 +2395,25 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_bpe_train_batched",
+    oracle=bpe.bpe_batched_oracle_sql("documents", _NORM, n_rounds=2, batch=4),
+)
+def x_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (operators/bpe.bpe_train_batched — r11
+    VERDICT #6): each round selects up to 4 NON-INTERACTING merges from
+    one pair-count table via an engine-side greedy scan over the 1-row
+    sorted candidate array, then applies them in rank order with one
+    nested fold — ~vocab/B driver rounds, the 32k-merge scale path.
+    ``batch=1`` reproduces sequential ``bpe_train`` exactly
+    (pytest-pinned); the oracle unrolls the greedy picks as
+    lowest-rank-non-conflicting CTEs and replays the batched fold
+    bit-for-bit."""
+    return bpe.bpe_train_batched(
+        _docs(spark, sf_dir), "text", n_rounds=2, batch=4
+    )
+
+
+@query(
     "x_bpe_segment",
     oracle=bpe.bpe_segment_oracle_sql("documents", _NORM, "doc_id", n_merges=5),
 )
@@ -4624,6 +4643,32 @@ def x_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 91 + 3) % 1000).alias("dst"),
     )
     return graph.label_propagation(e1.unionByName(e2), rounds=3)
+
+
+@query(
+    "x_lpa_damped",
+    oracle=graph.label_propagation_damped_oracle_sql(_PR_EDGES_SQL, rounds=3),
+)
+def x_lpa_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-vote-damped LPA communities
+    (operators/graph.label_propagation_damped — r11 VERDICT #7): each
+    node votes its own current label alongside its neighbors' before
+    the frequency argmax, so the period-2 label swap plain synchronous
+    LPA falls into on (near-)bipartite graphs (measured by
+    lpa_convergence_audit on this very citation graph) cannot sustain —
+    a swap must OUTVOTE the incumbent, not tie it. Same cost shape as
+    x_label_propagation plus one node-sized union per round; the oracle
+    unrolls the damped rounds bit-for-bit."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 37 + 11) % 1000).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 91 + 3) % 1000).alias("dst"),
+    )
+    return graph.label_propagation_damped(e1.unionByName(e2), rounds=3)
 
 
 @query(

@@ -93,6 +93,46 @@ def test_lpa_citation_graph_is_a_settling_two_orbit(spark):
     assert r7["changed_vs_prev2"] == 61  # orbit settling, not settled
 
 
+def test_lpa_damped_breaks_bipartite_orbit(spark):
+    """Self-vote damping (r11 VERDICT #7) on the exact fixture where
+    plain synchronous LPA runs a period-2 orbit forever — the 4-cycle:
+    the incumbent label's extra vote turns every would-be swap tie into
+    a hold, and the graph reaches a LAG-1 fixpoint by round 2.
+
+    Hand-derivation: R1 votes are neighbor ids + self id, all count 1,
+    tie -> min: {1:1, 2:1, 3:2, 4:1}. R2: node 3 sees {1, 1} + self 2
+    -> 1; everyone else holds 1. R3 == R2 — converged, where the
+    undamped audit pins changed_vs_prev == 4 forever."""
+    cyc = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    r2 = {r["node"]: r["label"]
+          for r in graph.label_propagation_damped(cyc, rounds=2).collect()}
+    r3 = {r["node"]: r["label"]
+          for r in graph.label_propagation_damped(cyc, rounds=3).collect()}
+    assert r2 == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert r3 == r2  # lag-1 fixpoint, not an orbit phase
+
+    # and on the citation graph shape (the suite entry's), successive
+    # rounds must also settle lag-1 instead of full-flipping
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    e1 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 37 + 11) % 1000).alias("dst")
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 91 + 3) % 1000).alias("dst")
+    )
+    e = e1.unionByName(e2)
+    r6 = {r["node"]: r["label"]
+          for r in graph.label_propagation_damped(e, rounds=6).collect()}
+    r7 = {r["node"]: r["label"]
+          for r in graph.label_propagation_damped(e, rounds=7).collect()}
+    flips = sum(1 for n in r6 if r6[n] != r7[n])
+    assert flips < 859 * 0.05, (
+        f"damped LPA still flipping {flips}/859 nodes — orbit not broken"
+    )
+
+
 def test_label_propagation_round1_is_min_neighbor(spark):
     e = _edges(spark, [(10, 20), (20, 30)])
     got = {

@@ -1592,6 +1592,67 @@ def test_bpe_train_known_corpus(spark):
     assert merges[2]["pair_count"] == 5
 
 
+def test_bpe_batched_batch1_equals_sequential(spark):
+    """bpe_train_batched(batch=1) must reproduce bpe_train verbatim on
+    ANY corpus: each round's greedy pick of one is exactly the global
+    (count DESC, lhs, rhs) argmax with a full recount between merges."""
+    from duckdb_dbt_finance_warehouse_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat ran"),
+            (2, "a cat and a mat and a hat"),
+            (3, "the hat sat on a cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    seq = sorted(map(tuple, bpe.bpe_train(df, "text", n_merges=4).collect()))
+    b1 = sorted(
+        map(tuple, bpe.bpe_train_batched(df, "text", n_rounds=4, batch=1).collect())
+    )
+    assert seq == b1
+
+
+def test_bpe_batched_non_interacting_merges_match_sequential(spark):
+    """For frequency-separated DISJOINT pairs, one batched round equals
+    the sequential rounds: merging a pair only perturbs counts of pairs
+    sharing its symbols, so disjoint merges see the same counts a
+    recount would show. The dominant pairs sit MID-word with varied
+    neighbors so neither the end-marker pairs nor any merged-created
+    pair ((ab,x) etc. stays at the neighbor count) can reach them:
+    (a,b)=12 > (c,d)=9 > (e,f)=6 > everything else <= 4."""
+    from duckdb_dbt_finance_warehouse_spark.operators import bpe
+
+    text1 = " ".join(
+        ["abx"] * 4 + ["aby"] * 4 + ["abz"] * 4
+        + ["cdu"] * 3 + ["cdv"] * 3 + ["cdw"] * 3
+        + ["efg"] * 3 + ["efh"] * 3
+    )
+    df = spark.createDataFrame([(1, text1)], ["doc_id", "text"])
+    seq = bpe.bpe_train(df, "text", n_merges=3).collect()
+    bat = bpe.bpe_train_batched(df, "text", n_rounds=1, batch=3).collect()
+    key = lambda r: (r["merge_round"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+    assert sorted(map(key, seq)) == sorted(map(key, bat))
+
+
+def test_bpe_batched_blocks_interacting_candidates(spark):
+    """Within one round no two kept merges may share a symbol (or a
+    merged token): the greedy filter must defer the conflicting
+    candidate to a later round, where it is re-counted."""
+    from duckdb_dbt_finance_warehouse_spark.operators import bpe
+
+    # (a,b) dominates; (b,c) interacts with it via 'b'
+    text = " ".join(["abc"] * 10 + ["ab"] * 5)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    # one round, selected before any recount: symbols never repeat
+    first = bpe.bpe_train_batched(df, "text", n_rounds=1, batch=4).collect()
+    seen: set[str] = set()
+    for r in sorted(first, key=lambda r: r["merge_round"]):
+        tri = {r["lhs"], r["rhs"], r["merged"]}
+        assert not (tri & seen), f"interacting merges in one batch: {first}"
+        seen |= tri
+
+
 def test_bpe_segment_matches_training_vocab(spark):
     from duckdb_dbt_finance_warehouse_spark.operators import bpe
 
@@ -2036,6 +2097,37 @@ def test_cooccurrence_and_triangles_known_graph(spark):
         graph.cooccurrence_edges(df, "g", "item", min_groups=2).select("a", "b")
     ).first()
     assert sup2["n_edges"] == 3 and sup2["n_triangles"] == 1
+
+
+def test_triangle_stats_default_routes_closing_join_by_count(spark, monkeypatch):
+    """The default closing-join strategy (broadcast_closing=None) must
+    MEASURE the oriented edge count against MAX_CENSUS_EDGES: a direct
+    triangle_stats call on a past-budget graph degrades to the
+    shuffle_hash closing join instead of attempting the broadcast (r11
+    VERDICT #4 — the old True default trusted the caller). Pinned by
+    shrinking the budget below a K4 graph and reading the plan."""
+    from duckdb_dbt_finance_warehouse_spark.operators import graph
+
+    rows = [(1, x) for x in "ABCD"]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    pairs = graph.cooccurrence_pairs(df, "g", "item")  # K4: 6 edges
+
+    def closing_plan(stats_df) -> str:
+        return stats_df._sc._jvm.PythonSQLUtils.explainString(
+            stats_df._jdf.queryExecution(), "formatted"
+        )
+
+    # past-budget: closing join must NOT broadcast the edge set
+    monkeypatch.setattr(graph, "MAX_CENSUS_EDGES", 2)
+    over = graph.triangle_stats(pairs)
+    p_over = closing_plan(over)
+    assert "ShuffledHashJoin" in p_over
+    assert over.first()["n_triangles"] == 4  # result identical either way
+
+    # within budget: the packed-long broadcast path is kept
+    monkeypatch.setattr(graph, "MAX_CENSUS_EDGES", 20_000_000)
+    under = graph.triangle_stats(pairs)
+    assert under.first()["n_triangles"] == 4
 
 
 def test_triangle_degree_ordering_kills_star_wedges(spark):

@@ -122,6 +122,7 @@ def test_no_python_in_hot_path(spark, name):
 # bound, scalar subquery, percentile bounds, doc count, probe queries,
 # centroid table) — constant-size build sides, safe at any corpus scale.
 BNLJ_ALLOWED = {
+    "x_bloom_semi_join",  # 1-row stored bitmap row crossed into the probe scan
     "p8_hwm_filter",
     "j6_scalar_subquery_filter",
     "x_ann_cosine_topk",
