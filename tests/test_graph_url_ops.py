@@ -163,6 +163,22 @@ def test_khop_reach_seed_not_in_graph_and_min_dist(spark):
     assert got == {1: 0, 99: 0, 2: 1, 3: 1}
 
 
+def test_khop_reach_shuffle_fallback_identical(spark, monkeypatch):
+    """Past MAX_REACH_BROADCAST the per-round joins degrade to the
+    shuffle_hash form; results must be bit-identical (the routing is a
+    strategy choice, never a semantics one)."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (6, 7)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    want = {
+        r["node"]: r["dist"] for r in graph.khop_reach(e, seeds, hops=3).collect()
+    }
+    monkeypatch.setattr(graph, "MAX_REACH_BROADCAST", 0)
+    got = {
+        r["node"]: r["dist"] for r in graph.khop_reach(e, seeds, hops=3).collect()
+    }
+    assert got == want == {1: 0, 2: 1, 6: 1, 3: 2, 7: 2, 4: 3}
+
+
 def test_url_canonicalize_cases(spark):
     rows = [
         (0, "HTTPS://WWW.Ex.COM:443/A/Page?utm_source=x&id=1&utm_medium=y"),
