@@ -429,12 +429,28 @@ _COS = """
       6)
 """
 
+_QS = f"{int(similarity.QUANT_SCALE)}.0"
+
+# quantized pair cosine (same exact-integer arithmetic as _CENT_COS):
+# the replay of every numpy-kernel score — exact integer dots/norms are
+# addition-order-free, so BLAS and SQL sums agree bit-for-bit
+_QCOS_PAIR = f"""
+    round(
+      (list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          p -> round(CAST(p[1] AS DOUBLE) * {_QS}) * round(CAST(p[2] AS DOUBLE) * {_QS}))))
+      / (sqrt(list_sum(list_transform(q.embedding,
+          x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))
+       * sqrt(list_sum(list_transform(c.embedding,
+          x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))),
+      6)
+"""
+
 
 @query(
     "x_ann_cosine_topk",
     oracle=f"""
     WITH scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS} AS cosine
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_QCOS_PAIR} AS cosine
       FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
       WHERE q.vec_id < 5),
     ranked AS (
@@ -523,7 +539,7 @@ def x_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # components round to integer multiples of 2^-18, so every dot / squared
 # norm is an exact float64 integer — summation-order-free, bit-identical
 # between DuckDB's list_sum and the Spark side's BLAS matmul.
-_QS = f"{int(similarity.QUANT_SCALE)}.0"
+
 _CENT_COS = f"""
     (list_sum(list_transform(list_zip({{a}}.embedding, c.cent_vec),
         zz -> round(CAST(zz[1] AS DOUBLE) * {_QS}) * round(CAST(zz[2] AS DOUBLE) * {_QS}))))
@@ -627,17 +643,7 @@ def _lsh_buckets_sql(sf_dir: str) -> str:
         "embeddings", n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64
     )
 
-# quantized pair cosine (same exact-integer arithmetic as _CENT_COS)
-_QCOS_PAIR = f"""
-    round(
-      (list_sum(list_transform(list_zip(q.embedding, c.embedding),
-          p -> round(CAST(p[1] AS DOUBLE) * {_QS}) * round(CAST(p[2] AS DOUBLE) * {_QS}))))
-      / (sqrt(list_sum(list_transform(q.embedding,
-          x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))
-       * sqrt(list_sum(list_transform(c.embedding,
-          x -> round(CAST(x AS DOUBLE) * {_QS}) * round(CAST(x AS DOUBLE) * {_QS}))))),
-      6)
-"""
+
 
 
 def _lsh_bucketed_oracle(sf_dir: str) -> str:
@@ -1072,7 +1078,7 @@ def x_ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_recall_audit_oracle(sf_dir: str) -> str:
     return f"""
     WITH ex_scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS} AS cosine
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_QCOS_PAIR} AS cosine
       FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
       WHERE q.vec_id < 16),
     ex_ranked AS (
@@ -1122,8 +1128,11 @@ def x_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     describes the index actually deployed, not a fixed-4-plane toy."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.ann_recall_audit(
-        emb, emb.filter(F.col("vec_id") < 16), k=5,
+        emb, k=5,
         n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
+        # the panel is an INDEXED SUBSET: serve its bucket rows from
+        # the persisted index via the flagged one-exchange kernel
+        probe_pred=F.col("vec_id") < 16,
     )
 
 
