@@ -129,7 +129,7 @@ HEADLINE = [
     "x_corpus_profile",           # dataset-card per-slice volume/share
     "sql8_correlated_min_q2_style",  # Q2 correlated-min decorrelation
     "x_basket_pairs",             # order-key-bounded co-occurrence join
-    "x_triangle_count",           # compact-forward triangle census
+    "x_triangle_auto",            # wedge-routed census/DOULION entry point
     "x_triangle_sample",          # DOULION 1/4-edge-sampled estimate
     "x_table_fingerprint",        # order-independent table checksum
     "x_multimodal_frames",        # strided frame sampling, codegen-only
@@ -210,9 +210,7 @@ def main() -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        w0 = time.time()
         execute(spec.fn(spark, sf_dir))  # warmup: codegen + file listing
-        warm = time.time() - w0
         # The timed region includes PLAN CONSTRUCTION (r11 honesty
         # fix): under AQE, localCheckpoint(eager=False) executes its
         # subtree's shuffle stages AT CALL time, so timing only
@@ -221,18 +219,49 @@ def main() -> None:
         # Construction is a fresh plan each run — persist()-modeled
         # STORED state still gets its documented warmup cache credit,
         # localCheckpoint state correctly does not.
-        runs = 3 if (warm >= MEDIAN3_MIN_SEC or name in MEDIAN3_ALWAYS) else 1
-        samples = []
-        for _ in range(runs):
-            t0 = time.time()
-            df = spec.fn(spark, sf_dir)
-            execute(df)
-            samples.append(time.time() - t0)
-        timings[name] = round(sorted(samples)[runs // 2], 4)
+        #
+        # Median-of-3 routing keys off the FIRST TIMED SAMPLE (r12
+        # ADVICE: the warmup includes one-time codegen + file-listing
+        # cost, so steady-state sub-floor entries cleared the old
+        # warmup-based gate and tripled for nothing). The first sample
+        # is always taken; it either stands alone or becomes sample 1
+        # of the median-3.
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        execute(df)
+        samples = [time.time() - t0]
+        if samples[0] >= MEDIAN3_MIN_SEC or name in MEDIAN3_ALWAYS:
+            for _ in range(2):
+                t0 = time.time()
+                df = spec.fn(spark, sf_dir)
+                execute(df)
+                samples.append(time.time() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 4)
         release_persisted()  # drop minhash signature caches between queries
         # untimed housekeeping: drop py4j refs so ContextCleaner frees
         # accumulated localCheckpoint blocks between queries (the r4
         # collateral-GC lesson, now at suite scale)
+        df = None
+        gc.collect()
+
+    # Micro sweep (r12 verdict #8): registry entries outside HEADLINE
+    # are correctness-covered but had no perf telemetry — a regression
+    # there was invisible. One untimed warmup + one timed run each
+    # (they are sub-0.5 s scalar/projection shapes; median-3 would
+    # double the suite's wall clock for noise protection they don't
+    # need), recorded in a SEPARATE "micro" map so the headline total
+    # stays comparable across rounds.
+    micro: dict[str, float] = {}
+    headline_set = set(HEADLINE)
+    for name, spec in REGISTRY.items():
+        if name in headline_set:
+            continue
+        execute(spec.fn(spark, sf_dir))  # warmup
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        execute(df)
+        micro[name] = round(time.time() - t0, 4)
+        release_persisted()
         df = None
         gc.collect()
 
@@ -260,6 +289,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "micro": micro,
+            "micro_total": round(sum(micro.values()), 4),
             "sf": sf_val,
             "n": len(timings),
         }

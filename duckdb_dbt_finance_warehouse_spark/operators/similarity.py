@@ -928,8 +928,12 @@ def lsh_build_buckets(
 # cache (measured: the recall audit's first run ballooned to 37 s under
 # the eviction pressure). The memo keys on the INPUT plan's semantics +
 # the index parameters and returns the same DataFrame object, which IS
-# cache-hittable.
-_BUCKET_FRAMES: list[tuple[DataFrame, tuple, DataFrame]] = []
+# cache-hittable. LRU-capped via the shared dedup.PlanMemo (r12
+# ADVICE: unbounded memos pay a sameSemantics py4j trip per stored
+# entry per miss and pin plans for the process lifetime).
+from .dedup import PlanMemo as _PlanMemo  # noqa: E402
+
+_BUCKET_FRAMES = _PlanMemo()
 
 
 def lsh_index_frame(
@@ -944,22 +948,13 @@ def lsh_index_frame(
     the serving index — same lifecycle as the bloom words frame and the
     IVF centroid tables) and memoized by input-plan semantics so repeat
     constructions over the same corpus reuse one cached copy."""
-    from .dedup import _persist
-
     key = (id_col, vec_col, n_tables, n_planes, dim)
-    for stored_df, stored_key, frame in list(_BUCKET_FRAMES):
-        try:
-            same = stored_key == key and df.sameSemantics(stored_df)
-        except Exception:  # frame belongs to a stopped session
-            _BUCKET_FRAMES.remove((stored_df, stored_key, frame))
-            continue
-        if same:
-            return _persist(frame)  # re-mark after release_persisted
-    frame = _persist(
-        lsh_build_buckets(df, id_col, vec_col, n_tables, n_planes, dim)
+    hit = _BUCKET_FRAMES.get(df, key)
+    if hit is not None:
+        return hit
+    return _BUCKET_FRAMES.put(
+        df, key, lsh_build_buckets(df, id_col, vec_col, n_tables, n_planes, dim)
     )
-    _BUCKET_FRAMES.append((df, key, frame))
-    return frame
 
 
 def _lsh_score_buckets(
@@ -1294,7 +1289,12 @@ def semantic_decontaminate(
     are never reported as contaminated docs, matching the two-frame
     form whose corpus excluded them). One exchange instead of the
     cogroup's two and no second Arrow hash stage; scores bit-identical
-    by construction. A truly HELD-OUT eval set (not in the table) still
+    by construction. The index rows come from ``lsh_index_frame`` — the
+    memoized persisted STORED index (the repo's index-lifecycle rule:
+    decontamination probes the same serving index the recall audit
+    audits; rebuilding the bucket pass per decontamination run
+    mis-models the lifecycle and pays a corpus Arrow hash every
+    invocation). A truly HELD-OUT eval set (not in the table) still
     takes the two-frame cogroup path. Exactly one of ``eval_set`` /
     ``eval_pred`` must be given."""
     if (eval_set is None) == (eval_pred is None):
@@ -1304,7 +1304,7 @@ def semantic_decontaminate(
     if eval_pred is not None:
         from pyspark.sql import types as T
 
-        buckets = lsh_build_buckets(
+        buckets = lsh_index_frame(
             corpus, id_col, vec_col, n_tables, n_planes, dim
         )
         id_type = corpus.schema[id_col].dataType

@@ -13,86 +13,27 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  ROUND-12 ROTATION (CLAUDE.md rule: never-checked first —
-# none exist — then this round's touched entries, then the stalest
-# greens, then flagships):
-#   slots 1-10  — r11's DEFERRED_NEXT_ROUND drains completely, led by
-#                 x_zorder_layout (r7-green, the oldest row in the
-#                 registry; everything else is <=3 rounds stale).
-#   slots 11-12 — NEW r12 entries (batched BPE training, damped LPA)
-#                 — never driver-checked, first-50 mandatory.
-#   slots 13-17 — entries whose code this round's perf work touches
-#                 (bloom stored filter state, khop/pagerank frontier
-#                 sizing, recall-audit candidate restriction,
-#                 boilerplate-gram exchange cut).
-#   slots 18-50 — the r8-green backlog, oldest-first alphabetical; the
-#                 seven r8 rows that don't fit (x_sessionize,
-#                 x_text_langid, x_text_quality, x_text_repetition,
-#                 x_tfidf_top_terms, x_token_count, x_winsorize) go on
-#                 DEFERRED_NEXT_ROUND and lead r13.
+# cosmetics.  ROUND-13 ROTATION (CLAUDE.md rule: never-checked first,
+# then this round's touched entries, then the stalest greens):
+#   slots 1-2   — NEW r13 entries (stored bigram-LM table, wedge-routed
+#                 triangle entry point) — never driver-checked,
+#                 first-50 mandatory.
+#   slots 3-9   — r12's DEFERRED_NEXT_ROUND drains completely (the
+#                 seven r8-green rows, 5 rounds stale — the verdict's
+#                 action #1).
+#   slots 10-21 — entries whose code this round's work touches
+#                 (decontaminate stored-index serving, m1/m2 persist,
+#                 stored-LM serving pair, bpe Arrow kernel, triangle
+#                 _deg/routing rework, khop byte-sized broadcast, the
+#                 PlanMemo refactor's bloom/LSH users, dataset_overlap).
+#   slots 22-50 — the r9-green backlog (4 rounds unchecked),
+#                 oldest-first alphabetical; the 12 r9 rows that don't
+#                 fit go on DEFERRED_NEXT_ROUND and lead r14.
 DRIVER_PRIORITY: list[str] = [
-    # --- r11 deferred drain (verdict r11 action #1) ---
-    "x_zorder_layout",
-    "sql3_exists_q4_style",
-    "sql10_having_in_q18_style",
-    "x_triangle_sample",
-    "x_triangle_count",
-    "x_url_canonical",
-    "x_label_propagation",
-    "x_multimodal_resize",
-    "x_multimodal_features",
-    "x_containment_pairs",
-    # --- NEW r12 entries (never driver-checked — first-50 mandatory) ---
-    "x_bpe_train_batched",
-    "x_lpa_damped",
-    # --- touched by r12 perf work ---
-    "x_bloom_semi_join",
-    "x_khop_reach",
-    "x_pagerank",
-    "x_ann_recall_audit",
-    "x_boilerplate_grams",
-    # --- r8-green backlog (4 rounds unchecked), oldest-first ---
-    "a4_multi_sum_rollup",
-    "p9_topk_per_group",
-    "w2_lag_prev_month",
-    "x_ann_cosine_topk",
-    "x_ann_ivf_incremental",
-    "x_ann_ivf_topk",
-    "x_ann_lsh_bucketed",
-    "x_ann_lsh_incremental",
-    "x_ann_lsh_probe_table",
-    "x_asof_nearest",
-    "x_decontaminate",
-    "x_dedup_exact",
-    "x_dedup_minhash_lsh",
-    "x_dedup_minhash_portable",
-    "x_dedup_simhash",
-    "x_embed_near_dup",
-    "x_event_tumbling_window",
-    "x_fingerprint",
-    "x_heavy_hitters",
-    "x_hll_by_group",
-    "x_inverted_index",
-    "x_json_props",
-    "x_mad_outliers",
-    "x_multimodal_bytestats",
-    "x_pack_efficiency",
-    "x_paragraph_dedup",
-    "x_profile_stats",
-    "x_quantile_sketch",
-    "x_resample_locf",
-    "x_sample_hash",
-    "x_sample_mixture",
-    "x_sample_stratified",
-    "x_scrub_pii",
-]
-
-# r8-green rows displaced by this round's touched-entry slots; they are
-# 4 rounds stale but each holds a clean r8 driver green and pytest pins.
-# They take r13's first slots.  Adding a NEW queries() entry still
-# requires a first-50 slot (CLAUDE.md) — this list only schedules
-# re-verification.
-DEFERRED_NEXT_ROUND: list[str] = [
+    # --- NEW r13 entries (never driver-checked — first-50 mandatory) ---
+    "x_lm_bigram_table",
+    "x_triangle_auto",
+    # --- r12 deferred drain (verdict r12 action #1; r8-green, stalest) ---
     "x_sessionize",
     "x_text_langid",
     "x_text_quality",
@@ -100,6 +41,69 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "x_tfidf_top_terms",
     "x_token_count",
     "x_winsorize",
+    # --- touched by r13 work ---
+    "x_semantic_decontaminate",
+    "m1_movement_classification",
+    "m2_waterfall_rollup",
+    "x_lm_bigram_score",
+    "x_perplexity_buckets",
+    "x_bpe_segment",
+    "x_triangle_count",
+    "x_triangle_sample",
+    "x_khop_reach",
+    "x_bloom_semi_join",
+    "x_ann_recall_audit",
+    "x_dataset_overlap",
+    # --- r9-green backlog (4 rounds unchecked), oldest-first ---
+    "a10_salted_agg",
+    "a11_pivot",
+    "a12_unpivot",
+    "a2_grouped_min_max",
+    "a3_global_scalar_agg",
+    "a5_conditional_count_distinct",
+    "a6_select_distinct",
+    "a7_spine_zero_fill",
+    "a9_rollup",
+    "f19_date_spine",
+    "f_date_kit",
+    "f_misc_scalars",
+    "j2_left_equi_zero_fill",
+    "j4_first_version_backfill",
+    "j5_fk_anti_join",
+    "j6_scalar_subquery_filter",
+    "o1_ordered_topn",
+    "o3_set_ops",
+    "p10_predicate_filter",
+    "p1_typed_projection",
+    "p3_clean_strings",
+    "p5_negative_to_null",
+    "p6_record_hash",
+    "p7_derived_boolean",
+    "p8_hwm_filter",
+    "s5_lineage_columns",
+    "sql4_recursive_spine",
+    "w3_prior_history_flag",
+    "w4_partition_min",
+]
+
+# r9-green rows displaced by this round's touched-entry slots; each
+# holds a clean r9 driver green, a local-gate green, and pytest pins.
+# They take r14's first slots.  Adding a NEW queries() entry still
+# requires a first-50 slot (CLAUDE.md) — this list only schedules
+# re-verification.
+DEFERRED_NEXT_ROUND: list[str] = [
+    "w5_rank_kit",
+    "x_ann_ivf_pq_trained",
+    "x_ann_pq_topk",
+    "x_ann_pq_trained",
+    "x_basket_pairs",
+    "x_dedup_precision_audit",
+    "x_embed_drift",
+    "x_ngram_jaccard",
+    "x_quality_classifier",
+    "x_sample_temperature",
+    "x_simhash_near_dup",
+    "x_substring_dedup",
 ]
 
 

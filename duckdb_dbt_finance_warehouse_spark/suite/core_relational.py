@@ -862,8 +862,17 @@ def m1_movement_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (reference: fct_account_month.sql:79-123). Composition:
     grouped exact sums -> per-entity month spine (explode, +1 trailing
     month so final churn is observable) -> zero-fill -> lag + prior-paid
-    window -> CASE classify. Two shuffles total (group, window)."""
+    window -> CASE classify. Two shuffles total (group, window).
+
+    The returned frame is ``persist()``-ed: in the reference pipeline
+    this IS a materialized fact (fct_account_month — dbt
+    ``materialized='table'``), read by the M2 mart and any other
+    consumer, so the stored-table persist rule applies. M2's inline
+    call then reuses one cached copy (CacheManager dedupes the
+    identical logical plan) instead of recomputing the two-shuffle
+    chain per consumer; ``release_persisted()`` drops it."""
     from ..functions.money import exact_sum as _es
+    from ..operators.dedup import _persist
 
     o = T(spark, sf_dir, "orders")["orders"]
     monthly = o.groupBy(
@@ -908,7 +917,7 @@ def m1_movement_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 1,
     )
     begin, end = F.col("begin_rev"), F.col("end_rev")
-    return flagged.select(
+    return _persist(flagged.select(
         "account_id",
         "month_start_date",
         "begin_rev",
@@ -922,7 +931,7 @@ def m1_movement_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((begin == 0) & (end == 0), "zero")
         .otherwise("no_change")
         .alias("movement_type"),
-    )
+    ))
 
 
 @query(

@@ -2512,8 +2512,44 @@ def x_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.bigram_lm_scores): add-one-smoothed corpus bigram
     LM scores every doc's average bigram log-prob. Gram-keyed count
     shuffles + one doc-keyed sum of 1e-6-quantized BIGINTs — the DuckDB
-    oracle replays the LM training AND scoring bit-for-bit."""
+    oracle replays the LM training AND scoring bit-for-bit. The LM
+    itself is the STORED text.bigram_lm_frame table (r13): trained once,
+    persisted + memoized, shared with x_perplexity_buckets and
+    x_lm_bigram_table."""
     return text.bigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "x_lm_bigram_table",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(w[CAST(i AS INT) : CAST(i AS INT) + 1], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)),
+    c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY 1),
+    toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+             FROM documents),
+    c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1)
+    SELECT gram,
+           CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))
+                * 1000000 + 0.5) AS BIGINT) AS q
+    FROM c2 JOIN c1 ON c1.tok = string_split(c2.gram, ' ')[1]
+    CROSS JOIN v
+    """,
+)
+def x_lm_bigram_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored bigram LM itself (operators/text.bigram_lm_frame):
+    the per-gram quantized log-prob table the scoring and bucketing
+    entries serve from — the BUILD stage of the LM lifecycle, exactly
+    like ivf_build_lists / lsh_build_buckets for the ANN indexes. The
+    oracle replays the training (counts + smoothing + 1e-6 log-prob
+    quantization) bit-for-bit; the model is a pure function of the
+    corpus, so a rebuild over the same corpus cache-matches the stored
+    copy (pytest pins the merged-counts incremental form ==
+    rebuild)."""
+    return text.bigram_lm_frame(_docs(spark, sf_dir), "doc_id", "text")
 
 
 @query(
@@ -3599,7 +3635,7 @@ def _dataset_overlap_oracle(k: int = 5, n_hashes: int = 64) -> str:
     return f"""
     WITH t AS (SELECT source, {_NORM} AS t FROM documents),
     sh AS (
-      SELECT source, substr(t, CAST(i AS INT), {k}) AS shingle
+      SELECT DISTINCT source, substr(t, CAST(i AS INT), {k}) AS shingle
       FROM t, unnest(generate_series(1, greatest(length(t) - {k - 1}, 1))) AS u(i)),
     hx AS (SELECT source, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS x FROM sh),
     seeds(i, a, b) AS (VALUES {seeds}),
@@ -4299,6 +4335,116 @@ def x_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, so even the SAMPLE is bit-identical across engines."""
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
     return graph.triangle_sample_stats(
+        graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey"), k=4, salt="tri"
+    )
+
+
+# memoized exact wedge counts per sf_dir — the oracle's route decision.
+# Computed once per process via DuckDB at oracle-RESOLVE time (untimed
+# in both the correctness gate and bench_duckdb); the production
+# analogue is the edge table's catalog stats.
+_COPURCHASE_WEDGES: dict[str, int] = {}
+
+
+def _copurchase_wedges(sf_dir: str) -> int:
+    if sf_dir not in _COPURCHASE_WEDGES:
+        import os
+
+        import duckdb
+
+        p = os.path.join(sf_dir, "lineitem.parquet")
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con = duckdb.connect()
+        try:
+            _COPURCHASE_WEDGES[sf_dir] = int(
+                con.execute(
+                    f"""
+            WITH i AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a
+                       FROM read_parquet({src})),
+            e AS (SELECT DISTINCT i1.a AS a, i2.a AS b
+                  FROM i i1 JOIN i i2 ON i1.g = i2.g AND i1.a < i2.a),
+            deg AS (SELECT v, count(*) AS d
+                    FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+                    GROUP BY 1)
+            SELECT coalesce(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0) FROM deg
+                    """
+                ).fetchone()[0]
+            )
+        finally:
+            con.close()
+    return _COPURCHASE_WEDGES[sf_dir]
+
+
+def _triangle_auto_oracle(sf_dir: str) -> str:
+    """Route-resolved replay of graph.triangle_stats_auto: the route is
+    decided at resolve time from the SAME exact wedge count the engine
+    measures (so the oracle never pays the census on a DOULION-routed
+    scale), and the emitted SQL STILL computes the ``method`` column
+    from its own in-query wedge count — a wrong resolve-time assumption
+    makes the method values diverge and fails the hash compare loudly
+    instead of silently comparing mismatched routes."""
+    cap = graph.MAX_CENSUS_WEDGES
+    method = (
+        f"CASE WHEN n_wedges <= {cap} THEN 'census' ELSE 'doulion_k4' END"
+    )
+    if _copurchase_wedges(sf_dir) <= cap:
+        return f"""
+    WITH i AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem),
+    e AS (SELECT DISTINCT i1.a AS a, i2.a AS b
+          FROM i i1 JOIN i i2 ON i1.g = i2.g AND i1.a < i2.a),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY 1),
+    wd AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+    w AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT {method} AS method, n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles_est,
+           CASE WHEN n_wedges > 0
+                THEN 3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+           END AS clustering_coeff
+    FROM ne, wd, t
+    """
+    return f"""
+    WITH i AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem),
+    e0 AS (SELECT DISTINCT i1.a AS a, i2.a AS b
+           FROM i i1 JOIN i i2 ON i1.g = i2.g AND i1.a < i2.a),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+            GROUP BY 1),
+    wd AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+    e AS (SELECT a, b FROM e0
+          WHERE {sampling.hash_uniform_oracle_sql(
+              "(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR))", "tri")}
+                < 0.25),
+    w AS (SELECT e1.a AS a, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles_sampled
+          FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+    SELECT {method} AS method, n_edges,
+           CAST(n_triangles_sampled * 64 AS BIGINT) AS n_triangles_est,
+           CAST(NULL AS DOUBLE) AS clustering_coeff
+    FROM ne, wd, t
+    """
+
+
+@query("x_triangle_auto", oracle_for=_triangle_auto_oracle)
+def x_triangle_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production triangle entry point
+    (operators/graph.triangle_stats_auto): exact census while the
+    measured open-wedge count — the census's cost driver — fits
+    MAX_CENSUS_WEDGES, DOULION k=4 sampled estimate past it, the route
+    recorded in the ``method`` column (never silent). The driver
+    corpora route census through sf0.1 (148M wedges) and DOULION at
+    sf1 (1.48B wedges — the r12 verdict's 20-40 s census swing band);
+    the oracle resolves the same route from the same wedge count and
+    its SQL re-derives ``method`` in-query as a guard."""
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return graph.triangle_stats_auto(
         graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey"), k=4, salt="tri"
     )
 

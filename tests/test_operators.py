@@ -1514,6 +1514,92 @@ def test_bigram_lm_scores_flag_outlier_doc(spark):
     assert out[0]["sum_logprob_q"] == out[5]["sum_logprob_q"]
 
 
+def test_bigram_lm_frame_is_memoized_stored_state(spark):
+    # range-derived plans canonicalize equal across constructions (the
+    # same property parquet scans have — how the memo hits across suite
+    # entries); createDataFrame local frames do NOT, so build from range
+    def corpus():
+        return spark.range(4).selectExpr(
+            "id AS doc_id", "'the cat sat on the mat' AS text"
+        )
+
+    a = text.bigram_lm_frame(corpus(), "doc_id", "text")
+    b = text.bigram_lm_frame(corpus(), "doc_id", "text")
+    # memo keyed on plan semantics: same corpus -> the SAME stored frame
+    assert a is b
+    assert a.storageLevel.useMemory
+
+
+def test_bigram_lm_incremental_count_merge_equals_rebuild(spark):
+    """The LM's append==rebuild form: c1/c2 are plain sums, so merging a
+    batch's count tables into the stored counts and re-deriving the
+    log-prob table equals retraining on the unioned corpus — the same
+    frozen-lifecycle invariant the ANN indexes pin."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(3)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "the dog sat on the rug"), (11, "a cat and a dog")],
+        ["doc_id", "text"],
+    )
+    full = base.unionByName(batch)
+    want = {
+        r["gram"]: r["q"]
+        for r in text.bigram_lm_frame(full, "doc_id", "text").collect()
+    }
+
+    def counts(df):
+        c2 = text.word_ngrams_all(df, "doc_id", "text", 2).groupBy("gram").agg(
+            F.count("*").alias("c2")
+        )
+        c1 = text.tokens(df, "doc_id", "text").groupBy("tok").agg(
+            F.count("*").alias("c1")
+        )
+        return c2, c1
+
+    b2, b1 = counts(base)
+    n2, n1 = counts(batch)
+    m2 = b2.unionByName(n2).groupBy("gram").agg(F.sum("c2").alias("c2"))
+    m1 = b1.unionByName(n1).groupBy("tok").agg(F.sum("c1").alias("c1"))
+    vocab = m1.agg(F.count("*").alias("v"))
+    lnp = F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
+    got = {
+        r["gram"]: r["q"]
+        for r in m2.withColumn("w1", F.split("gram", " ")[0])
+        .join(m1.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(vocab)
+        .select(
+            "gram",
+            F.floor(lnp * 1000000 + F.lit(0.5)).cast("bigint").alias("q"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_plan_memo_lru_caps_and_evicts(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators.dedup import PlanMemo
+
+    memo = PlanMemo(cap=2)
+    frames = []
+    for i in range(3):
+        df = spark.range(10 + i)
+        assert memo.get(df, ("k",)) is None
+        frames.append(memo.put(df, ("k",), df.selectExpr("id * 2 AS x")))
+    # the oldest entry was evicted and unpersisted; the newest two hit
+    assert len(memo._entries) == 2
+    assert not frames[0].storageLevel.useMemory
+    assert memo.get(spark.range(12), ("k",)) is frames[2]
+    assert memo.get(spark.range(10), ("k",)) is None  # evicted
+    # a hit moves to MRU: inserting one more now evicts range(11)
+    assert memo.get(spark.range(11), ("k",)) is frames[1]
+    memo.put(spark.range(99), ("k",), spark.range(99).selectExpr("id AS x"))
+    assert memo.get(spark.range(11), ("k",)) is frames[1]
+    assert memo.get(spark.range(12), ("k",)) is None
+
+
 def test_zvalue_interleaves_bits(spark):
     from duckdb_dbt_finance_warehouse_spark.operators import maintenance
 
@@ -1672,6 +1758,34 @@ def test_bpe_segment_matches_training_vocab(spark):
     # determinism
     again = {(r["doc_id"], r["token"]): r["n"] for r in seg.collect()}
     assert out == again
+
+
+def test_bpe_segment_arrow_kernel_matches_hof_fold(spark):
+    """The vocab_join=True Arrow kernel (r13) must be byte-identical to
+    the pure-Column HOF fold path (vocab_join=False) — same greedy
+    left-to-right non-overlapping merge, including single-letter words
+    that fully merge and words no merge touches."""
+    from duckdb_dbt_finance_warehouse_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello hello world a ab abab"),
+            (2, "held world word b aa hello"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = bpe.bpe_train(df, "text", 4)
+    fast = {
+        (r["doc_id"], r["token"]): r["n"]
+        for r in bpe.bpe_segment(df, "doc_id", "text", merges).collect()
+    }
+    slow = {
+        (r["doc_id"], r["token"]): r["n"]
+        for r in bpe.bpe_segment(
+            df, "doc_id", "text", merges, vocab_join=False
+        ).collect()
+    }
+    assert fast == slow
 
 
 def test_chunk_overlap_covers_and_overlaps(spark):
@@ -2208,12 +2322,13 @@ def test_triangle_sample_unbiased_form_and_determinism(spark):
 
 
 def test_triangle_auto_routes_census_vs_doulion(spark):
-    """triangle_stats_auto (one entry point): within the edge bound it
-    must return the EXACT census values under method='census'; past the
-    bound it must return the DOULION estimate (n_triangles_sampled·k³,
-    the unbiased scale-up) under method='doulion_k<k>' with a NULL
-    clustering coefficient; force_census overrides the bound (census
-    opt-in, never silent)."""
+    """triangle_stats_auto (one entry point): within the WEDGE bound
+    (the census cost driver — r13 routing) it must return the EXACT
+    census values under method='census'; past the bound it must return
+    the DOULION estimate (n_triangles_sampled·k³, the unbiased
+    scale-up) under method='doulion_k<k>' with a NULL clustering
+    coefficient; force_census overrides the bound (census opt-in,
+    never silent)."""
     from duckdb_dbt_finance_warehouse_spark.operators import graph
 
     rows = [(1, x) for x in "ABCDE"] + [(2, x) for x in "ABC"]
@@ -2228,7 +2343,7 @@ def test_triangle_auto_routes_census_vs_doulion(spark):
     assert auto["clustering_coeff"] == exact["clustering_coeff"]
 
     sampled = graph.triangle_sample_stats(pairs, k=4).first()
-    routed_df = graph.triangle_stats_auto(pairs, max_census_edges=0, k=4)
+    routed_df = graph.triangle_stats_auto(pairs, max_census_wedges=0, k=4)
     # both routes must share ONE schema (ADVICE r7: the sampled path's
     # lit(n_edges) inferred IntegerType; census counts are LongType)
     assert dict(routed_df.dtypes) == dict(
@@ -2241,7 +2356,10 @@ def test_triangle_auto_routes_census_vs_doulion(spark):
     assert routed["clustering_coeff"] is None
 
     forced = graph.triangle_stats_auto(
-        pairs, max_census_edges=0, force_census=True
+        pairs, max_census_wedges=0, force_census=True,
+        # past the broadcast budget too: the forced census must degrade
+        # its closing join, never attempt the broadcast
+        max_census_edges=0,
     ).first()
     assert forced["method"] == "census"
     assert forced["n_triangles_est"] == exact["n_triangles"]

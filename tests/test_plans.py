@@ -111,10 +111,23 @@ def test_order_limit_is_take_ordered(spark):
 @pytest.mark.parametrize(
     "name",
     ["a1_grouped_sum_q1", "w2_lag_prev_month", "x_dedup_exact", "x_sessionize",
-     "x_text_langid", "x_ann_cosine_topk"],
+     "x_text_langid"],
 )
 def test_no_python_in_hot_path(spark, name):
     p = plan_of(spark, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_cosine_topk_is_arrow_kernel_with_group_limit(spark):
+    """x_ann_cosine_topk (r12 shape): the exact scorer is ONE MapInPandas
+    stage (broadcast quantized query matrix + numpy over corpus batches,
+    local top-k per batch) feeding a dense_rank WindowGroupLimit — no
+    cross join (the pre-r12 BNLJ shape must not reappear) and no
+    row-at-a-time Python."""
+    p = plan_of(spark, "x_ann_cosine_topk")
+    assert "MapInPandas" in p
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
@@ -125,7 +138,6 @@ BNLJ_ALLOWED = {
     "x_bloom_semi_join",  # 1-row stored bitmap row crossed into the probe scan
     "p8_hwm_filter",
     "j6_scalar_subquery_filter",
-    "x_ann_cosine_topk",
     "x_ann_ivf_topk",
     "x_tfidf_top_terms",
     "x_winsorize",
@@ -136,16 +148,17 @@ BNLJ_ALLOWED = {
     "x_lm_bigram_score",  # 1-row vocabulary-size bound
     "x_zorder_layout",  # 1-row global min/max range bound
     "x_bpe_train",  # 1-row argmax winning pair per merge round
-    "x_bpe_segment",  # same argmax rows + 1-row merge-table broadcast
     "x_hard_negatives",  # 10-row broadcast anchor set (probe-query bound)
     "x_pagerank",  # 1-row node-count bound crossed into every rank row
     "x_corpus_profile",  # 1-row corpus-total bound crossed into slice rows
     "x_triangle_count",  # three 1-row census scalars crossed into one row
+    "x_triangle_auto",  # census route: the same three 1-row census scalars
     "x_triangle_sample",  # two 1-row census scalars crossed into one row
     "x_ks_drift",  # 1-row slice-totals bound crossed into the value grid
     "x_lexical_drift",  # 1-row token-totals bound crossed into the vocab grid
     "x_importance_resample",  # 1-row (ns, nt) totals crossed into the bucket grid
     "x_perplexity_buckets",  # 1-row vocab size + 1-row corpus total, both into bounded grids
+    "x_lm_bigram_table",  # 1-row vocab-size bound crossed into the gram grid (LM build)
     "x_mad_outliers",  # 1-row median + 1-row MAD bounds crossed into the scan
     "x_skew_report",  # 1-row count-table totals crossed into the key grid
     "x_ann_recall_audit",  # fixed 16-probe panel broadcast over the corpus (exact side)
