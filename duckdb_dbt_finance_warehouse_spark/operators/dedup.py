@@ -1114,9 +1114,16 @@ def containment_pairs(
     runs its subtree at call time, and the broadcast-vs-shuffle routing
     counts the checkpointed id set) — building the DataFrame without
     ever executing it still pays the candidate generation cost."""
-    from .text import word_ngrams
+    from .text import word_ngram_hashes
 
-    grams = word_ngrams(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # gram keys are 60-bit md5-half hashes, never strings: the operator
+    # only ever KEYS on the gram (candidate groupBy, semi filter, verify
+    # joins) and never outputs it, so an 8-byte long replaces the
+    # ~n·word-length string in the checkpoint blocks and every exchange
+    # (r13 — the dictionary-encoding discipline applied to gram keys;
+    # the oracle replays the identical md5 half, so distinct/intersect
+    # counts stay bit-for-bit even in the collision case)
+    grams = word_ngram_hashes(df, id_col, text_col, n).localCheckpoint(eager=False)
     # Candidate pairs come from ONE gram-keyed aggregation emitting the
     # in-gram id combinations (state bounded by max_gram_df ids per
     # gram, never a skew risk) — NOT a gram self-join: the gram frame is
@@ -1133,7 +1140,7 @@ def containment_pairs(
         " struct(x AS id_a, y AS id_b))))"
     )
     cands = (
-        grams.groupBy("gram")
+        grams.groupBy("_gh")
         .agg(ids_sorted.alias("_ids"))
         .filter(F.size("_ids") <= max_gram_df)
         .select(F.explode(pair_structs).alias("_p"))
@@ -1162,15 +1169,15 @@ def containment_pairs(
     else:
         gsub = grams.join(cid.hint("shuffle_hash"), id_col, "left_semi")
     gsub = gsub.localCheckpoint(eager=False)
-    ga = gsub.select(F.col(id_col).alias("id_a"), "gram")
-    gb = gsub.select(F.col(id_col).alias("id_b"), "gram")
+    ga = gsub.select(F.col(id_col).alias("id_a"), "_gh")
+    gb = gsub.select(F.col(id_col).alias("id_b"), "_gh")
     sizes = gsub.groupBy(id_col).agg(F.count("*").alias("_n"))
     # verification joins stay candidate-volume shuffles: both sides get
     # the shuffle_hash pin for the same bogus-stats reason as above
     # (neither side is bounded by construction)
     inter = (
         cands.join(ga.hint("shuffle_hash"), "id_a")
-        .join(gb.hint("shuffle_hash"), ["id_b", "gram"])
+        .join(gb.hint("shuffle_hash"), ["id_b", "_gh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )

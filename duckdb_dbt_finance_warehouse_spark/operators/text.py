@@ -270,6 +270,35 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def word_ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Distinct word n-grams per document as 60-bit md5-half hashes
+    (``_gh``) — for consumers that only ever KEY on the gram (candidate
+    generation, intersection counts), never output it.  An 8-byte long
+    replaces the ~n·word-length gram string in every downstream
+    exchange (groupBy, semi join, verify joins) — the dictionary-
+    encoding discipline applied to gram keys.  Hashing happens IN-ROW
+    before the in-row distinct, so "distinct grams" means distinct
+    HASHES (a 60-bit collision would merge two grams — deterministic,
+    and the DuckDB oracle replays the identical md5 half, so both
+    engines see the same counts bit-for-bit)."""
+    return spread_input(df).select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_t")
+    ).select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_t) - {n - 1}, 1)),"
+                    f" i -> conv(substring(md5(concat_ws(' ', slice(_t, i, {n}))),"
+                    f" 1, 15), 16, 10))"
+                ).cast("array<long>")
+            )
+        ).alias("_gh"),
+    )
+
+
 def bm25_search(
     df: DataFrame,
     id_col: str,
@@ -410,6 +439,20 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     high-cardinality gram key, then one doc-keyed aggregation. No
     vocabulary ships to the driver (V is a 1-row broadcast inside the
     stored build)."""
+    from .dedup import PlanMemo
+
+    global _LM_FRAMES
+    if _LM_FRAMES is None:
+        _LM_FRAMES = PlanMemo()
+    # the per-doc score table is itself MATERIALIZED state in a curation
+    # pipeline (CCNet materializes per-doc perplexity before bucketing;
+    # the warehouse analogue is m1-as-stored-fact under m2): the scoring
+    # entry builds it, the bucketing mart reads it.  Memoized under the
+    # same PlanMemo lifecycle as the LM table it joins.
+    skey = (id_col, text_col, "bigram_scores")
+    hit = _LM_FRAMES.get(df, skey)
+    if hit is not None:
+        return hit
     qtable = bigram_lm_frame(df, id_col, text_col)
     grams = word_ngrams_all(df, id_col, text_col, 2)
     # qtable is distinct-gram volume — pin it as the broadcast build
@@ -418,7 +461,7 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # the bpe vocab join hit — 9 s at sf1). For an open-vocabulary web
     # corpus whose bigram table outgrows broadcast, drop the hint and
     # take the two-sided gram-keyed shuffle join instead.
-    return (
+    out = (
         grams.join(F.broadcast(qtable), "gram")
         .select(F.col(id_col), "q")
         .groupBy(id_col)
@@ -434,6 +477,7 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+    return _LM_FRAMES.put(df, skey, out)
 
 
 def decontaminate(
@@ -976,14 +1020,14 @@ def perplexity_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     unchanged."""
     from .stats import ordered_prefix_sums
 
-    scored = (
-        bigram_lm_scores(df, id_col, text_col)
-        .select(
-            id_col,
-            "n_bigrams",
-            F.expr("sum_logprob_q div n_bigrams").alias("score_q"),
-        )
-        .localCheckpoint(eager=False)
+    # bigram_lm_scores returns the memoized persisted score table —
+    # both consumers below (the grid groupBy and the final join) read
+    # the cache, so the old localCheckpoint here would only copy
+    # already-materialized blocks
+    scored = bigram_lm_scores(df, id_col, text_col).select(
+        id_col,
+        "n_bigrams",
+        F.expr("sum_logprob_q div n_bigrams").alias("score_q"),
     )
     g = scored.groupBy("score_q").agg(F.count("*").alias("_c"))
     g = ordered_prefix_sums(g, "score_q", ["_c"])

@@ -4117,7 +4117,9 @@ def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
     grams AS (
       SELECT DISTINCT doc_id,
-             array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ') AS gram
+             ('0x' || substr(md5(
+               array_to_string(w[CAST(i AS INT):CAST(i AS INT)+4], ' ')
+             ), 1, 15))::BIGINT AS gram
       FROM t, unnest(generate_series(1, greatest(len(w) - 4, 1))) AS u(i)),
     rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 100),
     cands AS (
@@ -4303,7 +4305,10 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the degree table (Σ C(d,2)), so clustering_coeff is an
     exact-integer ratio both engines render identically."""
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
-    return graph.triangle_stats(graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey"))
+    return graph.triangle_stats(
+        graph.cooccurrence_pairs_frame(li, "l_orderkey", "l_partkey"),
+        _edges_prepared=True,
+    )
 
 
 @query(
@@ -4335,7 +4340,10 @@ def x_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB, so even the SAMPLE is bit-identical across engines."""
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
     return graph.triangle_sample_stats(
-        graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey"), k=4, salt="tri"
+        graph.cooccurrence_pairs_frame(li, "l_orderkey", "l_partkey"),
+        k=4,
+        salt="tri",
+        _edges_prepared=True,
     )
 
 
@@ -4445,7 +4453,10 @@ def x_triangle_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     its SQL re-derives ``method`` in-query as a guard."""
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
     return graph.triangle_stats_auto(
-        graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey"), k=4, salt="tri"
+        graph.cooccurrence_pairs_frame(li, "l_orderkey", "l_partkey"),
+        k=4,
+        salt="tri",
+        _edges_prepared=True,
     )
 
 
