@@ -129,6 +129,7 @@ HEADLINE = [
     "x_corpus_profile",           # dataset-card per-slice volume/share
     "sql8_correlated_min_q2_style",  # Q2 correlated-min decorrelation
     "x_basket_pairs",             # order-key-bounded co-occurrence join
+    "x_triangle_count",           # compact-forward triangle census
     "x_triangle_auto",            # wedge-routed census/DOULION entry point
     "x_triangle_sample",          # DOULION 1/4-edge-sampled estimate
     "x_table_fingerprint",        # order-independent table checksum
