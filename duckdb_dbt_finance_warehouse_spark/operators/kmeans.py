@@ -115,6 +115,14 @@ def _assign_kernel(bc, emit_sums: bool):
     return kernel
 
 
+# memoized trained models (dedup.ModelMemo — the frozen-model
+# lifecycle): a fitted quantizer is a shipped artifact; the coarse
+# IVF quantizer, SemDeDup's cluster model, and the k-means suite entry
+# all train the SAME (corpus, seed_mod, n_iter) model — r13 measured
+# three independent 3-round trainings per suite pass before this.
+_FITTED_MODELS = None
+
+
 def kmeans_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -123,9 +131,22 @@ def kmeans_fit(
     n_iter: int = 3,
 ):
     """Run ``n_iter`` Lloyd rounds; returns (cids, C) — the centroid ids
-    and the QUANT_SCALE-scaled centroid matrix (driver-side model)."""
+    and the QUANT_SCALE-scaled centroid matrix (driver-side model).
+    Memoized by (corpus plan semantics, params): training is the build
+    event of the frozen-model lifecycle, so repeat fits over the same
+    corpus return the stored model.  Treat the result as immutable."""
     import numpy as np
     from pyspark.sql import types as T
+
+    from .dedup import ModelMemo
+
+    global _FITTED_MODELS
+    if _FITTED_MODELS is None:
+        _FITTED_MODELS = ModelMemo()
+    memo_key = (id_col, vec_col, seed_mod, n_iter, "kmeans_fit")
+    hit = _FITTED_MODELS.get(corpus, memo_key)
+    if hit is not None:
+        return hit
 
     spark = corpus.sparkSession
     id_kind = corpus.schema[id_col].dataType.typeName()
@@ -162,7 +183,7 @@ def kmeans_fit(
                 mean = sums[int(cid)].astype(np.float64) / float(n)
                 newC[i] = np.sign(mean) * np.floor(np.abs(mean) + 0.5)
         C = newC
-    return cids, C
+    return _FITTED_MODELS.put(corpus, memo_key, (cids, C))
 
 
 def kmeans_cluster_stats(

@@ -82,6 +82,12 @@ def pq_seed_codebooks(
     return np.asarray(cids, dtype=np.int64), Cq
 
 
+# memoized trained codebooks (dedup.ModelMemo — frozen-model lifecycle,
+# same as kmeans._FITTED_MODELS): the PQ and IVF-PQ trained entries fit
+# identical codebooks over the same corpus
+_TRAINED_CODEBOOKS = None
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -108,10 +114,22 @@ def pq_train_codebooks(
     the model drops into ``pq_encode`` / ``pq_adc_topk`` / ``ivf_pq_build``
     unchanged, and the model stays FROZEN afterwards (append == rebuild,
     the index lifecycle invariant). At 100 TB: n_iter linear scans, a
-    KB-scale model on the driver."""
+    KB-scale model on the driver.  Memoized by (corpus plan semantics,
+    params) — training is the frozen model's build event; repeat fits
+    return the stored codebooks (treat as immutable)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    from .dedup import ModelMemo
+
+    global _TRAINED_CODEBOOKS
+    if _TRAINED_CODEBOOKS is None:
+        _TRAINED_CODEBOOKS = ModelMemo()
+    memo_key = (id_col, vec_col, n_subspaces, seed_mod, n_iter, "pq_codebooks")
+    hit = _TRAINED_CODEBOOKS.get(corpus, memo_key)
+    if hit is not None:
+        return hit
 
     cids, Cq = pq_seed_codebooks(corpus, id_col, vec_col, n_subspaces, seed_mod)
     spark = corpus.sparkSession
@@ -193,7 +211,7 @@ def pq_train_codebooks(
                         np.abs(mean) + 0.5
                     )
         Cq = newC
-    return cids, Cq
+    return _TRAINED_CODEBOOKS.put(corpus, memo_key, (cids, Cq))
 
 
 def pq_encode(

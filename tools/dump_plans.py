@@ -11,6 +11,8 @@ worktree with --suffix _before to capture the pre-change plans.
 from __future__ import annotations
 
 import argparse
+import contextlib
+import io
 import os
 import sys
 
@@ -40,9 +42,10 @@ def main() -> None:
             print(f"SKIP {name}: not in registry", flush=True)
             continue
         df = spec.fn(spark, args.sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            df._jdf.queryExecution(), "formatted"
-        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(args.out, f"{name}{args.suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
