@@ -810,7 +810,7 @@ def lsh_planes_for(corpus_rows: int, target_bucket_rows: int = 4096) -> int:
 
 def lsh_ann_topk_probe_table(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -818,6 +818,7 @@ def lsh_ann_topk_probe_table(
     n_planes: int = 4,
     dim: int = 64,
     prune_to_probed: bool = False,
+    probe_pred=None,
 ) -> DataFrame:
     """LSH ANN top-k with a DataFrame probe side of arbitrary size — the
     serving path when queries arrive as a table, not a handful of
@@ -851,7 +852,28 @@ def lsh_ann_topk_probe_table(
     panel that turns the scan's shuffle volume from corpus-sized into
     probed-neighborhood-sized. Leave False when probes cover the key
     space (a table-sized probe side) — the semi join would only add
-    work."""
+    work.
+
+    ``probe_pred``: when the probe table is an INDEXED SUBSET of the
+    corpus (a standing serving panel drawn from the same embeddings
+    table), pass a boolean Column over the index frame's ``cand_id``
+    instead of a ``queries`` frame — the probes' bucket rows are read
+    straight out of the memoized stored index (``lsh_index_frame``) and
+    a single (tbl, bucket) groupBy splits probes from candidates inside
+    the flagged kernel: ONE exchange instead of the cogroup's two, and
+    the probe side's whole Arrow re-hash stage disappears (its hashes
+    already exist in the index). Bit-identical results by construction
+    — hashing is per-vector under frozen planes and the kernel math is
+    the same. A truly held-out probe table still takes the ``queries``
+    frame and the cogroup. Exactly one of ``queries`` / ``probe_pred``
+    must be given."""
+    if (queries is None) == (probe_pred is None):
+        raise ValueError(
+            "lsh_ann_topk_probe_table: pass exactly one of queries / probe_pred"
+        )
+    if probe_pred is not None:
+        buckets = lsh_index_frame(corpus, id_col, vec_col, n_tables, n_planes, dim)
+        return _lsh_topk(_lsh_flagged_scores(buckets, probe_pred), k)
     scored = _lsh_scored_pairs(
         corpus, queries, id_col, vec_col, n_tables, n_planes, dim,
         prune_to_probed=prune_to_probed, dedup=False,
@@ -1116,6 +1138,45 @@ def _pair_score_flagged_fn(probes_are_candidates: bool = True):
     return score
 
 
+def _lsh_flagged_scores(
+    buckets: DataFrame,
+    probe_pred,
+    probes_are_candidates: bool = True,
+) -> DataFrame:
+    """Score an INDEXED-SUBSET probe panel straight from the index
+    stream (the CLAUDE.md indexed-subset probe rule shared by the
+    incremental/decontaminate/probe-table entries): flag the panel's
+    rows with ``probe_pred`` (a boolean Column over ``cand_id``), pay
+    ONE (tbl, bucket) exchange, and let the flagged kernel split probes
+    from candidates inside the group — no cogroup second exchange, no
+    probe re-hash Arrow stage. Returns the raw per-collision
+    (query_id, cand_id, cosine) stream; callers add top-k or threshold
+    semantics (and the output-sized dedup — never a pair-sized one)."""
+    from pyspark.sql import types as T
+
+    id_type = buckets.schema["cand_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("cand_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    return (
+        # coalesce: a NULL predicate result (nullable id column) must
+        # mean "not a probe", not a NaN that breaks the kernel's
+        # pandas boolean mask
+        buckets.withColumn(
+            "_is_probe",
+            F.coalesce(probe_pred.cast("boolean"), F.lit(False)),
+        )
+        .groupBy("tbl", "bucket")
+        .applyInPandas(
+            _pair_score_flagged_fn(probes_are_candidates), out_schema
+        )
+    )
+
+
 def _lsh_scored_pairs(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1127,10 +1188,12 @@ def _lsh_scored_pairs(
     prune_to_probed: bool = False,
     dedup: bool = True,
 ) -> DataFrame:
-    """Shared probe-table pair stage: build the bucket index for the
-    corpus (``lsh_build_buckets``) and score the probe table against it
-    (``_lsh_score_buckets``)."""
-    cands = lsh_build_buckets(corpus, id_col, vec_col, n_tables, n_planes, dim)
+    """Shared probe-table pair stage: read the corpus bucket index from
+    the memoized STORED index (``lsh_index_frame`` — the serving-index
+    lifecycle: every probe batch over the same corpus/params reads one
+    persisted build instead of re-hashing the corpus per invocation)
+    and score the probe table against it (``_lsh_score_buckets``)."""
+    cands = lsh_index_frame(corpus, id_col, vec_col, n_tables, n_planes, dim)
     return _lsh_score_buckets(
         cands, queries, id_col, vec_col, n_tables, n_planes, dim,
         prune_to_probed=prune_to_probed,
@@ -1205,8 +1268,12 @@ def lsh_incremental_topk(
         raise ValueError(
             "lsh_incremental_topk: pass exactly one of queries / probe_pred"
         )
+    # the BASE index is the stored table (lsh_index_frame — memoized by
+    # corpus plan + params, so repeat appends over the same stored index
+    # read one persisted build); only the NEW batch is hashed fresh,
+    # which is the append's real cost at scale
     merged = _persist(
-        lsh_build_buckets(base, id_col, vec_col, n_tables, n_planes, dim)
+        lsh_index_frame(base, id_col, vec_col, n_tables, n_planes, dim)
         .unionByName(
             lsh_build_buckets(batch, id_col, vec_col, n_tables, n_planes, dim)
         )
@@ -1216,28 +1283,7 @@ def lsh_incremental_topk(
         # exchange at all: flag them and let a SINGLE (tbl, bucket)
         # groupBy split probes from candidates inside the kernel — one
         # exchange instead of the cogroup's two, bit-identical scores
-        from pyspark.sql import types as T
-
-        id_type = merged.schema["cand_id"].dataType
-        out_schema = T.StructType(
-            [
-                T.StructField("query_id", id_type),
-                T.StructField("cand_id", id_type),
-                T.StructField("cosine", T.DoubleType()),
-            ]
-        )
-        scored = (
-            # coalesce: a NULL predicate result (nullable id column)
-            # must mean "not a probe", not a NaN that breaks the
-            # kernel's pandas boolean mask
-            merged.withColumn(
-                "_is_probe",
-                F.coalesce(probe_pred.cast("boolean"), F.lit(False)),
-            )
-            .groupBy("tbl", "bucket")
-            .applyInPandas(_pair_score_flagged_fn(), out_schema)
-        )
-        return _lsh_topk(scored, k)
+        return _lsh_topk(_lsh_flagged_scores(merged, probe_pred), k)
     return lsh_probe_buckets_topk(
         merged, queries, id_col, vec_col, k, n_tables, n_planes, dim
     )
@@ -1302,27 +1348,12 @@ def semantic_decontaminate(
             "semantic_decontaminate: pass exactly one of eval_set / eval_pred"
         )
     if eval_pred is not None:
-        from pyspark.sql import types as T
-
         buckets = lsh_index_frame(
             corpus, id_col, vec_col, n_tables, n_planes, dim
         )
-        id_type = corpus.schema[id_col].dataType
-        out_schema = T.StructType(
-            [
-                T.StructField("query_id", id_type),
-                T.StructField("cand_id", id_type),
-                T.StructField("cosine", T.DoubleType()),
-            ]
-        )
         scored = (
-            buckets.withColumn(
-                "_is_probe",
-                F.coalesce(eval_pred.cast("boolean"), F.lit(False)),
-            )
-            .groupBy("tbl", "bucket")
-            .applyInPandas(
-                _pair_score_flagged_fn(probes_are_candidates=False), out_schema
+            _lsh_flagged_scores(
+                buckets, eval_pred, probes_are_candidates=False
             )
             # a pair colliding in several tables has identical quantized
             # scores everywhere — dedup the contamination-sized remainder
@@ -1393,41 +1424,15 @@ def embedding_near_dup_pairs_lsh(
     import pandas as pd
     from pyspark.sql import types as T
 
-    S = _sign_matrix(n_tables, n_planes, dim)
-    bc = corpus.sparkSession.sparkContext.broadcast(S)
     id_type = corpus.schema[id_col].dataType
-    vec_type = corpus.schema[vec_col].dataType
-    b_schema = T.StructType(
-        [
-            T.StructField("tbl", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
-            T.StructField(id_col, id_type),
-            T.StructField("_vec", vec_type),
-        ]
-    )
-
-    def assign(batches):
-        S_ = bc.value
-        tbls = np.arange(n_tables, dtype=np.int32)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
-            B = _np_bucket_ids(V, S_, n_tables, n_planes)
-            n = len(pdf)
-            idx = np.repeat(np.arange(n), n_tables)
-            yield pd.DataFrame(
-                {
-                    "tbl": np.tile(tbls, n),
-                    "bucket": B.ravel(),
-                    id_col: pdf[id_col].to_numpy()[idx],
-                    "_vec": pdf["_vec"].to_numpy()[idx],
-                }
-            )
-
-    buckets = corpus.select(F.col(id_col), F.col(vec_col).alias("_vec")).mapInPandas(
-        assign, b_schema
-    )
+    # the bucket rows come from the memoized STORED index
+    # (lsh_index_frame — the same persisted build the serving and
+    # decontamination entries read); re-running the corpus Arrow hash
+    # pass per dedup invocation mis-models the index lifecycle. The
+    # rename is a zero-cost projection over the cached frame.
+    buckets = lsh_index_frame(
+        corpus, id_col, vec_col, n_tables, n_planes, dim
+    ).withColumnRenamed("cand_id", id_col)
 
     pair_schema = T.StructType(
         [

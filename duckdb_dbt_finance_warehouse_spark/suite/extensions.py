@@ -829,18 +829,23 @@ def _lsh_probe_oracle(sf_dir: str) -> str:
 @query("x_ann_lsh_probe_table", oracle_for=_lsh_probe_oracle)
 def x_ann_lsh_probe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN SERVING with a table-sized probe side (half the corpus):
-    operators/similarity.lsh_ann_topk_probe_table bucket-assigns both
-    sides in one-pass Arrow stages, co-shuffles once on (tbl, bucket),
-    and scores per-bucket via a cogroup block matmul — no probe collect,
-    no cross product; multi-table collisions dedup by exact DISTINCT
-    (quantized scores are identical across collisions). n_planes is
-    SIZED TO THE CORPUS via similarity.lsh_planes_for (expected bucket
-    ~128 vectors — parquet-footer row count, no data read), so serving
-    cost per probe stays flat as the corpus grows; the oracle pins the
-    same per-sf plane literals."""
+    the probe panel is an INDEXED SUBSET of the embeddings table, so it
+    serves straight from the memoized stored bucket index
+    (similarity.lsh_index_frame + the flagged single-frame kernel,
+    probe_pred): ONE (tbl, bucket) exchange, probes split from
+    candidates inside the kernel — the cogroup's second exchange and
+    the probe side's own Arrow hash stage are both gone (its hashes
+    already live in the index). No probe collect, no cross product;
+    multi-table collisions dedup by exact DISTINCT after the rank
+    filter (quantized scores are identical across collisions).
+    n_planes is SIZED TO THE CORPUS via similarity.lsh_planes_for
+    (expected bucket ~128 vectors — parquet-footer row count, no data
+    read), so serving cost per probe stays flat as the corpus grows;
+    the oracle pins the same per-sf plane literals. A truly held-out
+    probe table still takes the two-frame cogroup path."""
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return similarity.lsh_ann_topk_probe_table(
-        emb, emb.filter(F.col("vec_id") % 2 == 0), k=5,
+        emb, probe_pred=F.col("cand_id") % 2 == 0, k=5,
         n_tables=8, n_planes=_lsh_probe_planes(sf_dir), dim=64,
     )
 

@@ -72,12 +72,13 @@ def test_window_topk_pushdown(spark, name):
 
 
 @pytest.mark.parametrize(
-    # probe_table pairs two frames -> cogroup kernel; the incremental
-    # entry's probe panel is an INDEXED SUBSET, so it pays ONE (tbl,
-    # bucket) exchange with the flagged single-frame kernel instead
+    # both entries' probe panels are INDEXED SUBSETS (r13): they pay
+    # ONE (tbl, bucket) exchange with the flagged single-frame kernel
+    # served from the stored index — a cogroup here means a probe side
+    # started riding its own exchange + Arrow re-hash stage again
     "name,kernel_node",
     [
-        ("x_ann_lsh_probe_table", "FlatMapCoGroupsInPandas"),
+        ("x_ann_lsh_probe_table", "FlatMapGroupsInPandas"),
         ("x_ann_lsh_incremental", "FlatMapGroupsInPandas"),
     ],
 )
@@ -184,14 +185,20 @@ def test_no_all_pairs_joins_anywhere(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["x_ann_ivf_probe_table", "x_ann_lsh_probe_table"]
+    # ivf probe table pairs two frames -> cogroup; the LSH probe table's
+    # panel is an INDEXED SUBSET (r13) -> flagged single-frame kernel
+    "name,kernel_node",
+    [
+        ("x_ann_ivf_probe_table", "FlatMapCoGroupsInPandas"),
+        ("x_ann_lsh_probe_table", "FlatMapGroupsInPandas"),
+    ],
 )
-def test_probe_table_ann_is_cogrouped_not_crossed(spark, name):
+def test_probe_table_ann_is_cogrouped_not_crossed(spark, name, kernel_node):
     """The table-probe ANN serving paths must pair probes and candidates
-    by co-shuffled key (FlatMapCoGroupsInPandas on centroid_id /
+    by co-shuffled key (a grouped Arrow kernel on centroid_id /
     (tbl, bucket)) — never a cross product, never a per-pair join."""
     p = plan_of(spark, name)
-    assert "FlatMapCoGroupsInPandas" in p
+    assert kernel_node in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
@@ -522,17 +529,17 @@ def test_bounded_probe_lsh_prunes_index_to_probed_buckets(spark):
     shuffle. The table-sized probe path (x_ann_lsh_probe_table) must
     NOT pay the semi join: its probes cover the key space. And an
     INDEXED-SUBSET panel (x_semantic_decontaminate's standing eval
-    panel, r9) must take the flagged single-exchange path: exactly one
-    FlatMapGroupsInPandas over the index stream, no cogroup, no semi
-    join, no second Arrow hash stage."""
+    panel r9; x_ann_lsh_probe_table's serving panel r13) must take the
+    flagged single-exchange path: exactly one FlatMapGroupsInPandas
+    over the index stream, no cogroup, no semi join, no second Arrow
+    hash stage."""
     p = plan_of(spark, "x_ann_recall_audit")
     assert "BroadcastHashJoin LeftSemi" in p
     assert "Left keys [2]: [tbl" in p
-    p = plan_of(spark, "x_ann_lsh_probe_table")
-    assert "LeftSemi" not in p
-    p = plan_of(spark, "x_semantic_decontaminate")
-    # formatted explain names each node in the tree AND the detail
-    # section — 2 mentions == exactly one node
-    assert p.count("FlatMapGroupsInPandas") == 2
-    assert "FlatMapCoGroupsInPandas" not in p and "LeftSemi" not in p
-    assert p.count("MapInPandas (") == 1  # one bucket pass, no probe re-hash
+    for name in ("x_ann_lsh_probe_table", "x_semantic_decontaminate"):
+        p = plan_of(spark, name)
+        # formatted explain names each node in the tree AND the detail
+        # section — 2 mentions == exactly one node
+        assert p.count("FlatMapGroupsInPandas") == 2, name
+        assert "FlatMapCoGroupsInPandas" not in p and "LeftSemi" not in p, name
+        assert p.count("MapInPandas (") == 1, name  # one bucket pass, no re-hash
