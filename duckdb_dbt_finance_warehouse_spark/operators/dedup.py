@@ -980,16 +980,23 @@ def simhash_near_dup(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
     )
     return (
-        a.join(b, ["band", "chunk"])
+        # neither side is bounded (both are the corpus-sized banded
+        # fingerprint table): pin shuffle_hash so the post-aggregation
+        # size estimate can't sneak the whole index under the broadcast
+        # threshold at mid scale (the CLAUDE.md gram-self-join rule)
+        a.join(b.hint("shuffle_hash"), ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        # hamming verify BEFORE the dedup: bit_count(xor) is two codegen
+        # integer ops per collision, so the multi-band duplicate drop
+        # pays a survivor-sized exchange, never a candidate-sized one
+        # (dedup the output-sized remainder — the _lsh_topk rule)
         .select(
             "id_a",
             "id_b",
             F.bit_count(F.expr("sh_a ^ sh_b")).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -65,6 +65,16 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
+        # wide aggregates fall out of whole-stage codegen past 100
+        # output fields (spark.sql.codegen.maxFields default): the
+        # 48-sum SimHash fingerprint (97 fields) and the 64-min MinHash
+        # signature build (129 fields) ran INTERPRETED — measured
+        # sf0.1: the simhash aggregate alone 1.8 s -> 1.0 s with the
+        # limit raised. 200 keeps generated methods well under the JIT
+        # HugeMethodLimit (sums/mins split into helper methods); not a
+        # local[32]-only tune — the fallback is per-operator and bites
+        # identically on a cluster
+        .config("spark.sql.codegen.maxFields", "200")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # read TIMESTAMP(NANOS) parquet (events.ts) as long; the canonical
         # loader floors to microseconds, matching DuckDB's reader behavior
