@@ -1385,16 +1385,21 @@ def dedup_precision_audit(
     # the reported-pair frame feeds FOUR consumers (member-id semi
     # join, gram join, union-size join, and the audit join below) —
     # it is the memoized STORED pair table (the audit audits the same
-    # materialized decision table the dedup pass ships).  One count()
-    # materializes the cache BEFORE the four-consumer job launches:
-    # the consumers' map stages are independent and start concurrently,
-    # so an unpopulated cache would be computed once PER STAGE (the
-    # race the old per-invocation localCheckpoint avoided by executing
-    # at construction); on a warm cache the count is milliseconds.
+    # materialized decision table the dedup pass ships).  The
+    # localCheckpoint ON TOP of the persisted frame does two jobs:
+    # it materializes the cache once at construction (the concurrent
+    # consumer stages would otherwise race to populate it, computing
+    # the chain once PER STAGE — and on a warm cache the checkpoint is
+    # a fast cache read), and it TRUNCATES the plan each consumer
+    # embeds — without it the four consumers each inline the full
+    # ~100-node LSH chain under an InMemoryRelation and Catalyst
+    # replans a 455-node tree per construction (measured r13: the
+    # naked persisted frame regressed this entry 3.6 -> 12.5 s at
+    # sf0.1; checkpoint-over-cache restores plan-sized construction
+    # while keeping the stored table's warmup credit).
     pairs = minhash_pairs_frame(
         df, id_col, text_col, k, n_hashes, bands, est_threshold
-    )
-    pairs.count()
+    ).localCheckpoint(eager=False)
     exact = ngram_jaccard(df, id_col, text_col, pairs.select("id_a", "id_b"), n=k)
     j = pairs.join(exact, ["id_a", "id_b"])
     err_q = F.floor(

@@ -65,16 +65,14 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
-        # wide aggregates fall out of whole-stage codegen past 100
-        # output fields (spark.sql.codegen.maxFields default): the
-        # 48-sum SimHash fingerprint (97 fields) and the 64-min MinHash
-        # signature build (129 fields) ran INTERPRETED — measured
-        # sf0.1: the simhash aggregate alone 1.8 s -> 1.0 s with the
-        # limit raised. 200 keeps generated methods well under the JIT
-        # HugeMethodLimit (sums/mins split into helper methods); not a
-        # local[32]-only tune — the fallback is per-operator and bites
-        # identically on a cluster
-        .config("spark.sql.codegen.maxFields", "200")
+        # spark.sql.codegen.maxFields stays at its 100 default: the
+        # 48-sum SimHash fingerprint (97 fields) runs interpreted, and
+        # raising the cap to 200 DID make the isolated aggregate 1.8x
+        # faster (r13 A/B) — but the full entry got 1.2-1.5x SLOWER
+        # because every fresh construction re-generates and JIT-compiles
+        # the enormous wide-agg methods, which dominates at bench data
+        # sizes. Revisit on a cluster where execution volume amortizes
+        # the compile (guide §1: trust the full-query measurement).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # read TIMESTAMP(NANOS) parquet (events.ts) as long; the canonical
         # loader floors to microseconds, matching DuckDB's reader behavior

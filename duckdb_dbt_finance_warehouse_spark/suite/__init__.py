@@ -21,13 +21,17 @@ from . import extensions  # noqa: E402,F401
 #   slots 3-9   — r12's DEFERRED_NEXT_ROUND drains completely (the
 #                 seven r8-green rows, 5 rounds stale — the verdict's
 #                 action #1).
-#   slots 10-21 — entries whose code this round's work touches
-#                 (decontaminate stored-index serving, m1/m2 persist,
-#                 stored-LM serving pair, bpe Arrow kernel, triangle
-#                 _deg/routing rework, khop byte-sized broadcast, the
-#                 PlanMemo refactor's bloom/LSH users, dataset_overlap).
-#   slots 22-50 — the r9-green backlog (4 rounds unchecked),
-#                 oldest-first alphabetical; the 12 r9 rows that don't
+#   slots 10-38 — entries whose code this round's work touches: the
+#                 mid-build wave (decontaminate stored-index serving,
+#                 m1/m2 persist, stored-LM serving pair, bpe Arrow
+#                 kernel, triangle _deg/routing rework, khop byte-sized
+#                 broadcast, dataset_overlap) plus the optimization
+#                 wave (memoized stored dedup pair/cluster tables and
+#                 frozen kmeans/PQ models, stored-LSH-index serving +
+#                 flagged probe-table kernel, survivor-sized simhash
+#                 dedup, census prep frames).
+#   slots 39-50 — the r9-green backlog (4 rounds unchecked),
+#                 oldest-first alphabetical; the r9 rows that don't
 #                 fit go on DEFERRED_NEXT_ROUND and lead r14.
 DRIVER_PRIORITY: list[str] = [
     # --- NEW r13 entries (never driver-checked — first-50 mandatory) ---
@@ -41,7 +45,7 @@ DRIVER_PRIORITY: list[str] = [
     "x_tfidf_top_terms",
     "x_token_count",
     "x_winsorize",
-    # --- touched by r13 work ---
+    # --- touched by r13 work (mid-build wave) ---
     "x_semantic_decontaminate",
     "m1_movement_classification",
     "m2_waterfall_rollup",
@@ -54,6 +58,27 @@ DRIVER_PRIORITY: list[str] = [
     "x_bloom_semi_join",
     "x_ann_recall_audit",
     "x_dataset_overlap",
+    # --- touched by r13 work (optimization wave: memoized stored dedup
+    #     decision tables + frozen trained models, stored-LSH-index
+    #     serving + flagged probe-table kernel, survivor-sized simhash
+    #     dedup, census prep frames) ---
+    "x_dedup_minhash_portable",
+    "x_dedup_minhash_lsh",
+    "x_dedup_clusters",
+    "x_dedup_canonical",
+    "x_dedup_incremental",
+    "x_dedup_precision_audit",
+    "x_leakage_safe_split",
+    "x_ann_lsh_bucketed",
+    "x_ann_lsh_probe_table",
+    "x_ann_lsh_incremental",
+    "x_embed_near_dup",
+    "x_simhash_near_dup",
+    "x_kmeans",
+    "x_ann_ivf_trained",
+    "x_semantic_dedup",
+    "x_ann_pq_trained",
+    "x_ann_ivf_pq_trained",
     # --- r9-green backlog (4 rounds unchecked), oldest-first ---
     "a10_salted_agg",
     "a11_pivot",
@@ -67,6 +92,23 @@ DRIVER_PRIORITY: list[str] = [
     "f19_date_spine",
     "f_date_kit",
     "f_misc_scalars",
+]
+
+# r9-green rows displaced by this round's touched-entry slots; each
+# holds a clean r9 driver green, a local-gate green, and pytest pins.
+# They take r14's first slots.  Adding a NEW queries() entry still
+# requires a first-50 slot (CLAUDE.md) — this list only schedules
+# re-verification.
+DEFERRED_NEXT_ROUND: list[str] = [
+    "w5_rank_kit",
+    "x_ann_pq_topk",
+    "x_basket_pairs",
+    "x_embed_drift",
+    "x_ngram_jaccard",
+    "x_quality_classifier",
+    "x_sample_temperature",
+    "x_substring_dedup",
+    # r9-green micro rows displaced by the optimization wave above
     "j2_left_equi_zero_fill",
     "j4_first_version_backfill",
     "j5_fk_anti_join",
@@ -84,26 +126,6 @@ DRIVER_PRIORITY: list[str] = [
     "sql4_recursive_spine",
     "w3_prior_history_flag",
     "w4_partition_min",
-]
-
-# r9-green rows displaced by this round's touched-entry slots; each
-# holds a clean r9 driver green, a local-gate green, and pytest pins.
-# They take r14's first slots.  Adding a NEW queries() entry still
-# requires a first-50 slot (CLAUDE.md) — this list only schedules
-# re-verification.
-DEFERRED_NEXT_ROUND: list[str] = [
-    "w5_rank_kit",
-    "x_ann_ivf_pq_trained",
-    "x_ann_pq_topk",
-    "x_ann_pq_trained",
-    "x_basket_pairs",
-    "x_dedup_precision_audit",
-    "x_embed_drift",
-    "x_ngram_jaccard",
-    "x_quality_classifier",
-    "x_sample_temperature",
-    "x_simhash_near_dup",
-    "x_substring_dedup",
 ]
 
 
