@@ -593,10 +593,16 @@ def triangle_stats(
     if _edges_prepared:
         # the stored-graph path: degree summary and oriented adjacency
         # are memoized stored state next to the edge table — prep runs
-        # once per stored graph, not once per census invocation
+        # once per stored graph, not once per census invocation.  The
+        # localCheckpoint over the cached frame truncates the plan the
+        # wedge stage embeds (the self-join + closing + count reference
+        # e FOUR times; naked InMemoryRelation inlining blew the census
+        # explain to ~1900 nodes and Catalyst replanned it per
+        # construction) and materializes from the cache, which is a
+        # fast block read on the stored frame's warmup credit.
         e0 = edges
         deg = _deg if _deg is not None else census_degree_frame(e0)
-        e = census_oriented_frame(e0)
+        e = census_oriented_frame(e0).localCheckpoint(eager=False)
     else:
         e0 = edges.select("a", "b").distinct().localCheckpoint(eager=False)
         deg = _deg if _deg is not None else (
@@ -676,8 +682,13 @@ def triangle_sample_stats(
 
     if _edges_prepared:
         # stored-graph path: the deterministic sampled sketch's oriented
-        # projection is memoized stored state (see doulion_oriented_frame)
-        es = doulion_oriented_frame(edges, k, salt)
+        # projection is memoized stored state (see doulion_oriented_frame);
+        # the checkpoint over the cache truncates the plan its four
+        # consumer references would otherwise inline (census plan-size
+        # lesson) and reads the stored frame's warmed blocks
+        es = doulion_oriented_frame(edges, k, salt).localCheckpoint(
+            eager=False
+        )
     else:
         e = edges.select("a", "b").distinct()
         key = F.concat_ws(
