@@ -267,6 +267,75 @@ def pq_encode(
     ).mapInPandas(encode, out_schema)
 
 
+# memoized stored code/list frames (dedup.PlanMemo — the stored-index
+# lifecycle shared with similarity._LIST_FRAMES / _BUCKET_FRAMES): the
+# encode/assign Arrow pass over the corpus is the index BUILD event;
+# every ADC/probe invocation over the same (corpus, frozen model(s))
+# reads the one materialized build.
+_CODE_FRAMES = None
+
+
+def _code_memo():
+    from .dedup import PlanMemo
+
+    global _CODE_FRAMES
+    if _CODE_FRAMES is None:
+        _CODE_FRAMES = PlanMemo()
+    return _CODE_FRAMES
+
+
+def pq_codes_frame(
+    corpus: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """``pq_encode`` as STORED state: persisted and memoized by
+    (corpus plan semantics, frozen-codebook digest)."""
+    from .similarity import _model_digest
+
+    memo = _code_memo()
+    key = (id_col, vec_col, n_subspaces, _model_digest(model[1]), "pq_codes")
+    hit = memo.get(corpus, key)
+    if hit is not None:
+        return hit
+    return memo.put(
+        corpus, key, pq_encode(corpus, model, id_col, vec_col, n_subspaces)
+    )
+
+
+def ivf_pq_lists_frame(
+    corpus: DataFrame,
+    ivf_model,
+    pq_model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 4,
+) -> DataFrame:
+    """``ivf_pq_build`` as STORED state: persisted and memoized by
+    (corpus plan semantics, both frozen-model digests)."""
+    from .similarity import _model_digest
+
+    memo = _code_memo()
+    key = (
+        id_col,
+        vec_col,
+        n_subspaces,
+        _model_digest(ivf_model[0], ivf_model[1]),
+        _model_digest(pq_model[1]),
+        "ivf_pq_lists",
+    )
+    hit = memo.get(corpus, key)
+    if hit is not None:
+        return hit
+    return memo.put(
+        corpus,
+        key,
+        ivf_pq_build(corpus, ivf_model, pq_model, id_col, vec_col, n_subspaces),
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -383,7 +452,7 @@ def pq_ann_topk(
     seeding; pass per-subspace-trained codebooks in production."""
     if model is None:
         model = pq_seed_codebooks(corpus, id_col, vec_col, n_subspaces, seed_mod)
-    codes = pq_encode(corpus, model, id_col, vec_col, n_subspaces)
+    codes = pq_codes_frame(corpus, model, id_col, vec_col, n_subspaces)
     return pq_adc_topk(
         codes, queries, model, id_col, vec_col, k, n_subspaces
     )
@@ -499,7 +568,9 @@ def ivf_pq_topk(
             pq_model = pq_seed_codebooks(
                 corpus, id_col, vec_col, n_subspaces, seed_mod
             )
-    lists = ivf_pq_build(corpus, ivf3, pq_model, id_col, vec_col, n_subspaces)
+    lists = ivf_pq_lists_frame(
+        corpus, ivf3, pq_model, id_col, vec_col, n_subspaces
+    )
     return ivf_pq_probe_lists_topk(
         lists, queries, ivf3, pq_model, id_col, vec_col, k, n_probes,
         n_subspaces, _corpus_id_type=corpus.schema[id_col].dataType,

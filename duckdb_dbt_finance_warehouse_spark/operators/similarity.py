@@ -734,7 +734,9 @@ def ivf_ann_topk_probe_table(
     model3 = _ivf_model(
         corpus, id_col, vec_col, n_centroids_mod, model, "ivf_ann_topk_probe_table"
     )
-    lists = ivf_build_lists(corpus, model3, id_col, vec_col)
+    # the serving index is the memoized stored lists frame — repeat
+    # probe batches over the same (corpus, frozen model) read one build
+    lists = ivf_lists_frame(corpus, model3, id_col, vec_col)
     return ivf_probe_lists_topk(
         lists, queries, model3, id_col, vec_col, k=k, n_probes=n_probes
     )
@@ -782,8 +784,11 @@ def ivf_incremental_topk(
     model3 = _ivf_model(
         base, id_col, vec_col, n_centroids_mod, model, "ivf_incremental_topk"
     )
+    # the BASE lists are the stored index (memoized — repeat appends
+    # over the same stored index read one build); only the NEW batch is
+    # assigned fresh, which is the append's real cost at scale
     merged = _persist(
-        ivf_build_lists(base, model3, id_col, vec_col).unionByName(
+        ivf_lists_frame(base, model3, id_col, vec_col).unionByName(
             ivf_build_lists(batch, model3, id_col, vec_col)
         )
     )
@@ -976,6 +981,50 @@ def lsh_index_frame(
         return hit
     return _BUCKET_FRAMES.put(
         df, key, lsh_build_buckets(df, id_col, vec_col, n_tables, n_planes, dim)
+    )
+
+
+def _model_digest(*arrays) -> str:
+    """md5 over a frozen model's exact bytes (dtype + shape + data) —
+    the model-identity component of a stored-index memo key.  Two equal
+    models hash equal, so consumers share one stored build; a retrained
+    or drifted model can never alias a stale index (the digest changes
+    with any single centroid bit)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.md5()
+    for a in arrays:
+        a = np.ascontiguousarray(np.asarray(a))
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
+# memoized stored inverted-list frames — the IVF serving index's
+# stored-table lifecycle, exactly the _BUCKET_FRAMES argument: the
+# assignment Arrow pass over the corpus is the index BUILD event, and
+# every probe/serving invocation over the same (corpus, frozen model)
+# reads the one materialized build.
+_LIST_FRAMES = _PlanMemo()
+
+
+def ivf_lists_frame(
+    corpus: DataFrame,
+    model3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_build_lists`` as STORED state: persisted and memoized by
+    (corpus plan semantics, frozen-model digest)."""
+    key = (id_col, vec_col, _model_digest(model3[0], model3[1]), "ivf_lists")
+    hit = _LIST_FRAMES.get(corpus, key)
+    if hit is not None:
+        return hit
+    return _LIST_FRAMES.put(
+        corpus, key, ivf_build_lists(corpus, model3, id_col, vec_col)
     )
 
 
