@@ -22,8 +22,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from duckdb_dbt_finance_warehouse_spark.operators.dedup import release_persisted
-from duckdb_dbt_finance_warehouse_spark.session import get_spark
+from duckdb_dbt_finance_warehouse_spark.operators.dedup import (
+    release_persisted,
+    reset_stored_state,
+)
+from duckdb_dbt_finance_warehouse_spark.session import (
+    default_parallelism,
+    get_spark,
+)
 from duckdb_dbt_finance_warehouse_spark.suite import REGISTRY
 
 HEADLINE = [
@@ -199,12 +205,55 @@ MEDIAN3_ALWAYS = {
     "x_multimodal_video",
 }
 
+# Stored-state BUILD entries: their declared payload is (or contains) a
+# memoized stored table / frozen trained model, so their headline number
+# is a WARM serving read — the documented stored-state credit. The cold
+# build cost (first construction with every memo empty) was invisible in
+# r13's numbers (r13 VERDICT #1); the ``build`` map below times it
+# explicitly — reset_stored_state() empties every PlanMemo/ModelMemo,
+# then one timed construction+execution pays the full build. The
+# headline and micro maps are unchanged and stay comparable across
+# rounds; ``build`` is additive telemetry.
+BUILD_ENTRIES = [
+    "x_dedup_minhash_portable",  # stored pair table (64-hash chain)
+    "x_dedup_minhash_lsh",       # stored pair table (32-hash chain)
+    "x_lm_bigram_table",         # stored bigram LM
+    "x_bpe_train",               # frozen BPE merge table
+    "x_bpe_train_batched",       # frozen batched merge table
+    "x_kmeans",                  # frozen k-means model fit
+    "x_ann_ivf_trained",         # trained coarse model + IVF lists
+    "x_ann_pq_trained",          # trained codebooks + PQ codes
+    "x_ann_ivf_pq_trained",      # trained IVF-PQ composition
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    # Cold-build telemetry (r13 VERDICT #1): time each stored-state
+    # build entry's FIRST construction+execution with every memo empty.
+    # Runs before the headline loop so the headline's warm numbers keep
+    # their documented stored-state credit exactly as in r12/r13 (there
+    # an earlier entry's untimed warmup populated the memo; here the
+    # build run does). Single-run: a cold build cannot be repeated
+    # without resetting state again, and these numbers are telemetry,
+    # not the headline.
+    build: dict[str, float] = {}
+    for name in BUILD_ENTRIES:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        reset_stored_state()
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        execute(df)
+        build[name] = round(time.time() - t0, 4)
+        df = None
+        gc.collect()
+    reset_stored_state()  # headline entries rebuild their own state
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -268,6 +317,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    cpus = default_parallelism()
     # The per-query map for a 170-entry suite overflows line captures
     # (BENCH_r05 landed with parsed:null), so the COMPACT headline gets
     # its own line BOTH before and after the map — a consumer keeping
@@ -292,6 +342,9 @@ def main() -> None:
             "queries": timings,
             "micro": micro,
             "micro_total": round(sum(micro.values()), 4),
+            "build": build,
+            "build_total": round(sum(build.values()), 4),
+            "cpus": cpus,
             "sf": sf_val,
             "n": len(timings),
         }
@@ -304,9 +357,18 @@ def main() -> None:
     # map as a sidecar next to this script so every per-query timing is
     # in-repo; tools/bench_ratio.py falls back to it (matched by exact
     # total) when handed the driver's tail wrapper.
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_full_sf{sf}.json")
-    with open(sidecar, "w") as f:
+    # Per-core-count sidecar (r13 VERDICT #2): the driver's 8-core
+    # scaling run used to OVERWRITE the 32-core run's per-query map
+    # (one shared path), which emptied PERF's per-query and scaling
+    # blocks for two rounds. The suffixed file is always written; the
+    # legacy unsuffixed path is kept for the default 32-core run only
+    # (tools/bench_ratio.py reads both, matched by exact total).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, f"BENCH_full_sf{sf}_c{cpus}.json"), "w") as f:
         f.write(full + "\n")
+    if cpus == 32:
+        with open(os.path.join(here, f"BENCH_full_sf{sf}.json"), "w") as f:
+            f.write(full + "\n")
     spark.stop()
 
 

@@ -46,6 +46,20 @@ def release_persisted() -> None:
         _PERSISTED.pop().unpersist()
 
 
+def reset_stored_state() -> None:
+    """Drop EVERY memoized stored frame and frozen model (all PlanMemo /
+    ModelMemo instances across operator modules) and unpersist their
+    blocks — the next build over any input is a true first construction.
+
+    This is measurement infrastructure (bench.py's cold ``build`` map),
+    not part of the stored-state lifecycle: production state lives for
+    the session, and ``release_persisted()`` (block drop, memo kept) is
+    the between-queries housekeeping call."""
+    release_persisted()
+    for memo in PlanMemo._ALL:
+        memo.clear()
+
+
 class PlanMemo:
     """(input-plan semantics, params) -> persisted frame memo — the
     STORED-state lifecycle shared by the Bloom words frame, the LSH
@@ -64,14 +78,38 @@ class PlanMemo:
     frame unpersisted (a consumer still holding an evicted frame just
     recomputes — persist is a hint, never semantics)."""
 
+    # every live memo, in creation order — bench.py's cold-build
+    # telemetry resets ALL stored state through this registry so a
+    # "build" timing measures the first construction, not a memo hit
+    _ALL: list["PlanMemo"] = []
+
     def __init__(self, cap: int = 8) -> None:
         self.cap = cap
         self._entries: list[tuple[DataFrame, tuple, DataFrame]] = []
+        PlanMemo._ALL.append(self)
+
+    def clear(self) -> None:
+        while self._entries:
+            _, _, old = self._entries.pop()
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # model value / stopped session — nothing to release
 
     def get(self, df: DataFrame, key: tuple) -> DataFrame | None:
         for stored_df, stored_key, frame in list(self._entries):
             try:
-                same = stored_key == key and df.sameSemantics(stored_df)
+                # session identity guards the sameSemantics match: in a
+                # JVM hosting TWO live sessions (test fixtures next to a
+                # driver session) a plan from the other session can be
+                # semantically equal, but its frame is bound to that
+                # session — handing it across would serve dead state
+                # (r13 ADVICE).
+                same = (
+                    stored_key == key
+                    and stored_df.sparkSession is df.sparkSession
+                    and df.sameSemantics(stored_df)
+                )
             except Exception:  # frame belongs to a stopped session
                 self._entries.remove((stored_df, stored_key, frame))
                 continue
@@ -109,7 +147,15 @@ class ModelMemo(PlanMemo):
     def get(self, df: DataFrame, key: tuple):
         for stored_df, stored_key, val in list(self._entries):
             try:
-                same = stored_key == key and df.sameSemantics(stored_df)
+                # same session-identity guard as PlanMemo.get — a model
+                # value is session-free, but its key plan is not, and a
+                # cross-session sameSemantics hit would alias state the
+                # other session trained (r13 ADVICE)
+                same = (
+                    stored_key == key
+                    and stored_df.sparkSession is df.sparkSession
+                    and df.sameSemantics(stored_df)
+                )
             except Exception:  # plan belongs to a stopped session
                 self._entries.remove((stored_df, stored_key, val))
                 continue
@@ -284,15 +330,34 @@ def simhash(
     text_col: str,
     bits: int = 60,
     hash_fn: str = "md5",
+    in_row: bool | None = None,
 ) -> DataFrame:
     """SimHash over whitespace tokens: per bit, sum +1/-1 by the token
-    hash's bit value; fingerprint bit = sign of the sum. Pure
-    aggregations — one shuffle on id.
+    hash's bit value; fingerprint bit = sign of the sum.
 
     ``hash_fn='md5'`` (default, <=60 bits) takes the first 15 hex chars
     of md5 — portable across engines, so the fingerprint is
     oracle-verifiable. ``'xxhash64'`` (<=64 bits) is the faster
-    JVM-native variant."""
+    JVM-native variant.
+
+    ``in_row`` (r14, guide §4.2): a doc's fingerprint is a pure function
+    of its own token multiset, and the ``bits`` per-bit sign sums are a
+    >100-field aggregate that falls out of whole-stage codegen (the r13
+    maxFields lesson: it ran INTERPRETED in every build). The Arrow
+    kernel removes the token explode, the (id)-keyed exchange and the
+    interpreted wide aggregate — md5 runs in C (hashlib), the ±1 bit
+    sums vectorize in numpy int64 (exact), and pytest pins kernel ==
+    aggregate bit-for-bit. Default (None): kernel for md5 (requires
+    ``id_col`` unique per row — every document table), aggregate for
+    xxhash64 (no portable Python xxhash; its explode+agg path below is
+    unchanged)."""
+    if in_row is None:
+        in_row = hash_fn == "md5"
+    if in_row:
+        if hash_fn != "md5":
+            raise ValueError("simhash: in_row supports only hash_fn='md5'")
+        assert bits <= 60
+        return _simhash_in_row(df, id_col, text_col, bits)
     toks = spread_input(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
@@ -324,6 +389,57 @@ def simhash(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def _simhash_in_row(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """One-pass Arrow form of md5 ``simhash`` (see its ``in_row`` doc).
+    Normalization stays engine-side; Python splits on the literal space
+    the normalizer guarantees (both engines keep the empty token of an
+    empty text — ``split`` with limit -1 and ``str.split(' ')`` agree);
+    a null text emits no row, matching explode-of-null in the aggregate
+    form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    shifts = np.arange(bits, dtype=np.int64)[None, :]
+    weights = (np.int64(1) << shifts.ravel()).astype(np.int64)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    src = spread_input(df).select(
+        F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t")
+    )
+
+    def kernel(batches):
+        from hashlib import md5
+
+        for pdf in batches:
+            ids, fps = [], []
+            for id_, t in zip(pdf["_id"], pdf["_t"]):
+                if t is None:
+                    continue
+                th = np.fromiter(
+                    (
+                        int(md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                        for tok in t.split(" ")
+                    ),
+                    dtype=np.int64,
+                )
+                # ±1 sums per bit: sum over tokens of (2*bit - 1)
+                ones = ((th[:, None] >> shifts) & 1).sum(axis=0)
+                pos = 2 * ones > th.size  # sum(+1/-1) > 0
+                fps.append(int((weights * pos).sum()))
+                ids.append(id_)
+            if ids:  # an empty frame's column dtypes defeat Arrow's cast
+                yield pd.DataFrame({id_col: ids, "simhash": fps})
+
+    return src.mapInPandas(kernel, schema)
+
+
 PORTABLE_PRIME = 2147483647  # 2^31 - 1
 
 
@@ -342,11 +458,11 @@ def portable_signatures(
     k: int = 5,
     n_hashes: int = 64,
     distinct: bool = False,
+    in_row: bool | None = None,
 ) -> DataFrame:
     """(id, sig) engine-portable MinHash signatures: shingle -> 28-bit
     md5 prefix x, h_i = (a_i*x + b_i) mod (2^31-1) (products stay <
-    2^59 — no 64-bit overflow in engines that error on it). One grouped
-    pass computes all minima as expressions, packed into an array.
+    2^59 — no 64-bit overflow in engines that error on it).
 
     ``distinct``: min is multiset-invariant, so the result is identical
     either way — this is a COST knob, applied BEFORE the md5. Per-DOC
@@ -357,7 +473,34 @@ def portable_signatures(
     set is VOCAB-bounded, its exchange is map-side-combined down to
     per-partition-distinct rows, and the md5 + n_hashes·mulmod work
     then runs once per distinct pair instead of once per occurrence —
-    measured 38x fewer hashed rows at sf1 (14.7M -> 388k)."""
+    measured 38x fewer hashed rows at sf1 (14.7M -> 388k).
+
+    ``in_row`` (r14, guide §4.2): a PER-DOC signature is a pure function
+    of one row — its shingles come from that row's text and nowhere else
+    — so the whole signature can be computed inside ONE Arrow kernel:
+    shingle in Python, md5 in C (hashlib), and the n_hashes minima as a
+    vectorized numpy (A·x + B) % P reduction. That removes the shingle
+    explode, the per-shingle JVM md5 projection, the (id)-keyed exchange
+    AND the 64-min aggregate — which at n_hashes=64 has >100 output
+    fields, falls out of whole-stage codegen (the r13 maxFields lesson)
+    and ran INTERPRETED in every timed run. Arithmetic is bit-identical:
+    same UTF-8 bytes hashed, same 28-bit prefix, same int64 mul-mod
+    lattice (products < 2^59 are exact in numpy int64), same minima
+    (pytest pins kernel == aggregate). Default (None) routes per-doc
+    multiset callers (distinct=False) to the kernel; REQUIRES id_col
+    unique per row (true for every document table — the aggregate path
+    would merge duplicate ids, the kernel treats each row as its own
+    doc). Group-keyed / distinct callers keep the aggregate form."""
+    if in_row is None:
+        in_row = not distinct
+    if in_row:
+        if distinct:
+            raise ValueError(
+                "portable_signatures: in_row computes per-ROW multiset "
+                "signatures — the distinct=True group form needs the "
+                "aggregate path"
+            )
+        return _portable_signatures_in_row(df, id_col, text_col, k, n_hashes)
     sh = shingles(df, id_col, text_col, k, distinct=distinct).withColumn(
         "x", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     )
@@ -374,6 +517,71 @@ def portable_signatures(
             id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
         )
     )
+
+
+def _portable_signatures_in_row(
+    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int
+) -> DataFrame:
+    """One-pass Arrow form of ``portable_signatures`` (see its
+    ``in_row`` doc): normalization stays engine-side (Java and Python
+    regex whitespace classes differ — only the literal-space split
+    happens in Python), a null text yields an all-NULL signature row
+    (matching the aggregate form, where ``greatest(length(null)-k+1,1)``
+    resurrects one null shingle whose minima are all null), and shingle
+    slicing is code-point slicing in both engines."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    A = np.array(
+        [portable_hash_params(i)[0] for i in range(n_hashes)], dtype=np.int64
+    )[:, None]
+    B = np.array(
+        [portable_hash_params(i)[1] for i in range(n_hashes)], dtype=np.int64
+    )[:, None]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    src = spread_input(df).select(
+        F.col(id_col).alias("_id"), normalize_text(text_col).alias("_t")
+    )
+
+    def kernel(batches):
+        from hashlib import md5
+
+        int64_max = np.iinfo(np.int64).max
+        for pdf in batches:
+            ids, sigs = [], []
+            for id_, t in zip(pdf["_id"], pdf["_t"]):
+                if t is None:
+                    # the agg form keeps one null shingle -> all-null mins
+                    ids.append(id_)
+                    sigs.append([None] * n_hashes)
+                    continue
+                n_sh = max(len(t) - k + 1, 1)
+                xs = np.fromiter(
+                    (
+                        int(md5(t[i : i + k].encode("utf-8")).hexdigest()[:7], 16)
+                        for i in range(n_sh)
+                    ),
+                    dtype=np.int64,
+                    count=n_sh,
+                )
+                sig = np.full(n_hashes, int64_max)
+                for s in range(0, n_sh, 65536):  # bound the (64, n_sh) block
+                    block = (A * xs[s : s + 65536][None, :] + B) % PORTABLE_PRIME
+                    np.minimum(sig, block.min(axis=1), out=sig)
+                ids.append(id_)
+                sigs.append(sig)
+            if ids:  # an empty frame's column dtypes defeat Arrow's cast
+                yield pd.DataFrame(
+                    {id_col: ids, "sig": pd.Series(sigs, dtype=object)}
+                )
+
+    return src.mapInPandas(kernel, schema)
 
 
 def portable_bands(

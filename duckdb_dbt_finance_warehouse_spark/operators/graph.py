@@ -432,17 +432,20 @@ def census_degree_frame(e0: DataFrame) -> DataFrame:
     return memo.put(e0, ("census_deg",), deg)
 
 
-def census_oriented_frame(e0: DataFrame) -> DataFrame:
+def census_oriented_frame(e0: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Rank-encoded degree-oriented edge list (``_degree_oriented``) of a
     prepared edge frame as memoized STORED state — the census's
-    adjacency projection."""
+    adjacency projection.  ``deg``: a caller that already holds the
+    degree table (router, census) passes it through so a memo MISS
+    doesn't build a second, semantically identical degree aggregate
+    (r13 ADVICE)."""
     memo = _census_memo()
     hit = memo.get(e0, ("census_oriented",))
     if hit is not None:
         return hit
-    return memo.put(
-        e0, ("census_oriented",), _degree_oriented(e0, census_degree_frame(e0))
-    )
+    if deg is None:
+        deg = census_degree_frame(e0)
+    return memo.put(e0, ("census_oriented",), _degree_oriented(e0, deg))
 
 
 def doulion_oriented_frame(e0: DataFrame, k: int, salt: str) -> DataFrame:
@@ -536,6 +539,7 @@ def triangle_stats(
     _edges_prepared: bool = False,
     broadcast_closing: bool | None = None,
     _deg: DataFrame | None = None,
+    _census_memoize: bool = True,
 ) -> DataFrame:
     """Global triangle census over an undirected edge list (a < b):
     one row (n_edges, n_wedges, n_triangles, clustering_coeff).
@@ -601,8 +605,23 @@ def triangle_stats(
         # construction) and materializes from the cache, which is a
         # fast block read on the stored frame's warmup credit.
         e0 = edges
-        deg = _deg if _deg is not None else census_degree_frame(e0)
-        e = census_oriented_frame(e0).localCheckpoint(eager=False)
+        if _census_memoize:
+            deg = _deg if _deg is not None else census_degree_frame(e0)
+            e = census_oriented_frame(e0, deg=deg).localCheckpoint(eager=False)
+        else:
+            # per-invocation prepared frame (a fresh checkpoint plan from
+            # triangle_stats_auto's ad-hoc route): its plan can never
+            # sameSemantics-match again, so memo insertion would only
+            # evict genuinely reusable stored-graph frames (r13 ADVICE) —
+            # build the oriented projection directly
+            deg = _deg if _deg is not None else (
+                e0.select(F.col("a").alias("v"))
+                .unionByName(e0.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count("*").alias("d"))
+                .localCheckpoint(eager=False)
+            )
+            e = _degree_oriented(e0, deg).localCheckpoint(eager=False)
     else:
         e0 = edges.select("a", "b").distinct().localCheckpoint(eager=False)
         deg = _deg if _deg is not None else (
@@ -646,6 +665,7 @@ def triangle_sample_stats(
     *,
     _edges_prepared: bool = False,
     broadcast_closing: bool | None = None,
+    _census_memoize: bool = True,
 ) -> DataFrame:
     """DOULION-style sampled triangle estimate — the 100 TB path where
     the exact census (``triangle_stats``) is too expensive: keep each
@@ -680,7 +700,7 @@ def triangle_sample_stats(
         raise ValueError(f"k must be a power of two, got {k}")
     from .sampling import hash_uniform
 
-    if _edges_prepared:
+    if _edges_prepared and _census_memoize:
         # stored-graph path: the deterministic sampled sketch's oriented
         # projection is memoized stored state (see doulion_oriented_frame);
         # the checkpoint over the cache truncates the plan its four
@@ -689,6 +709,23 @@ def triangle_sample_stats(
         es = doulion_oriented_frame(edges, k, salt).localCheckpoint(
             eager=False
         )
+    elif _edges_prepared:
+        # per-invocation prepared frame (triangle_stats_auto's ad-hoc
+        # route): never memo-matches again — build the sampled oriented
+        # projection directly instead of polluting the census LRU
+        key = F.concat_ws(
+            ":", F.col("a").cast("string"), F.col("b").cast("string")
+        )
+        es0 = edges.filter(hash_uniform(key, salt) < 1.0 / k).localCheckpoint(
+            eager=False
+        )
+        sdeg = (
+            es0.select(F.col("a").alias("v"))
+            .unionByName(es0.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        es = _degree_oriented(es0, sdeg).localCheckpoint(eager=False)
     else:
         e = edges.select("a", "b").distinct()
         key = F.concat_ws(
@@ -813,6 +850,10 @@ def triangle_stats_auto(
             # still runs, but its closing join must not broadcast an
             # over-budget edge set
             broadcast_closing=n_edges <= max_census_edges,
+            # an ad-hoc edge list was checkpointed per-invocation above:
+            # that plan never sameSemantics-matches again, so the census
+            # prep must not enter the stored-frame LRU (r13 ADVICE)
+            _census_memoize=_edges_prepared,
         ).select(
             F.lit("census").alias("method"),
             "n_edges",
@@ -832,6 +873,7 @@ def triangle_stats_auto(
         salt=salt,
         _edges_prepared=True,
         broadcast_closing=None,
+        _census_memoize=_edges_prepared,
     ).select(
         F.lit(f"doulion_k{k}").alias("method"),
         # cast: lit(int) infers IntegerType under 2^31, but the census

@@ -183,6 +183,12 @@ def kmeans_fit(
                 mean = sums[int(cid)].astype(np.float64) / float(n)
                 newC[i] = np.sign(mean) * np.floor(np.abs(mean) + 0.5)
         C = newC
+    # freeze the memoized arrays: every later hit returns these SAME
+    # objects, and an in-place mutation by one consumer would corrupt
+    # all of them (and desync _model_digest-keyed stored indexes) —
+    # enforce immutability instead of documenting it (r13 ADVICE)
+    cids.setflags(write=False)
+    C.setflags(write=False)
     return _FITTED_MODELS.put(corpus, memo_key, (cids, C))
 
 

@@ -211,6 +211,12 @@ def pq_train_codebooks(
                         np.abs(mean) + 0.5
                     )
         Cq = newC
+    # freeze the memoized arrays: every later hit returns these SAME
+    # objects, and an in-place mutation by one consumer would corrupt
+    # all of them (and desync _model_digest-keyed stored indexes) —
+    # enforce immutability instead of documenting it (r13 ADVICE)
+    cids.setflags(write=False)
+    Cq.setflags(write=False)
     return _TRAINED_CODEBOOKS.put(corpus, memo_key, (cids, Cq))
 
 

@@ -876,6 +876,12 @@ def lsh_ann_topk_probe_table(
         raise ValueError(
             "lsh_ann_topk_probe_table: pass exactly one of queries / probe_pred"
         )
+    if probe_pred is not None and prune_to_probed:
+        raise ValueError(
+            "lsh_ann_topk_probe_table: prune_to_probed applies only to the "
+            "queries cogroup path — the probe_pred path already reads probes "
+            "out of the stored index (there is no probe-side scan to prune)"
+        )
     if probe_pred is not None:
         buckets = lsh_index_frame(corpus, id_col, vec_col, n_tables, n_planes, dim)
         return _lsh_topk(_lsh_flagged_scores(buckets, probe_pred), k)

@@ -1484,15 +1484,93 @@ def f19_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a8_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (beyond-reference coverage): exact interpolated percentiles —
-    Spark ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit. Exact
-    percentile is a sort-based aggregate; at 100 TB prefer
-    ``percentile_approx`` (t-digest, mergeable) — kept exact here for the
-    oracle."""
+    == DuckDB ``quantile_cont`` bit-for-bit.
+
+    r14 shape: grouped VALUE COUNTS + a per-group cumulative window +
+    closed-form interpolation, replacing the ``percentile()``
+    TypedImperativeAggregate. The old plan (plans/r14/…_before.txt) was
+    two ObjectHashAggregates whose every partial task built TWO
+    OpenHashMap<value, count> buffers over the full scan and serialized
+    both through the exchange, and whose 3 final tasks each merged and
+    sorted the whole per-flag value map twice (once per percentile) —
+    single-threaded, interpreted, and the suite's slowest entry
+    (guide §2.3: aggregate before you shuffle; §1.2: fix the algorithm
+    first). Here the exchange carries one (flag, value, count) row per
+    DISTINCT value (map-side combined), the cumulative rank is a window
+    over the value-count table partitioned BY FLAG (3 partitions, never
+    partitionless), and the two order statistics per flag are picked by
+    index and interpolated with EXACTLY Spark's ``getPercentile``
+    arithmetic — position = (n-1 as double) * q on the non-null count,
+    result = lo when ceil==floor or the bracketing values are equal,
+    else (ceil-pos)*lo + (pos-floor)*hi — so the output is bit-identical
+    to the old aggregate (equality pinned in tests)."""
     li = T(spark, sf_dir, "lineitem")["lineitem"]
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-        F.count("*").alias("n"),
+    price = F.col("l_extendedprice")
+    cnts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("_c")
+    )
+    w_ord = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w_all = Window.partitionBy("l_returnflag")
+    nn = F.when(price.isNotNull(), F.col("_c")).otherwise(F.lit(0))
+    cum = cnts.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "_c",
+        # nulls sort first and contribute 0, so _cum over non-null rows
+        # is the 0-based rank range [_cum - _c, _cum - 1] within the
+        # flag's sorted non-null multiset (percentile ignores nulls;
+        # count(*) must not — hence the separate _n / _n_nn)
+        F.sum(nn).over(w_ord).alias("_cum"),
+        F.sum(nn).over(w_all).alias("_n_nn"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+
+    def _pos(q: float):
+        # Spark Percentile: position = (count - 1).toDouble * percentage
+        return (F.col("_n_nn") - 1).cast("double") * F.lit(q)
+
+    def _covers(q: float, edge):
+        idx = edge(_pos(q))
+        return (F.col("_cum") - F.col("_c") <= idx) & (idx < F.col("_cum"))
+
+    hits = cum.filter(
+        price.isNotNull()
+        & (
+            _covers(0.5, F.floor) | _covers(0.5, F.ceil)
+            | _covers(0.9, F.floor) | _covers(0.9, F.ceil)
+        )
+    )
+    picked = hits.groupBy("l_returnflag").agg(
+        *[
+            F.max(F.when(_covers(q, edge), price)).alias(name)
+            for q, edge, name in (
+                (0.5, F.floor, "_lo50"),
+                (0.5, F.ceil, "_hi50"),
+                (0.9, F.floor, "_lo90"),
+                (0.9, F.ceil, "_hi90"),
+            )
+        ],
+        F.max("_n_nn").alias("_n_nn"),
+        F.max("_n").alias("n"),
+    )
+
+    def _interp(q: float, lo_name: str, hi_name: str):
+        pos = (F.col("_n_nn") - 1).cast("double") * F.lit(q)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        lo_v, hi_v = F.col(lo_name), F.col(hi_name)
+        return (
+            F.when(hi == lo, lo_v)
+            .when(hi_v == lo_v, lo_v)  # Spark returns lo before interpolating
+            .otherwise(
+                (hi.cast("double") - pos) * lo_v + (pos - lo.cast("double")) * hi_v
+            )
+        )
+
+    return picked.select(
+        "l_returnflag",
+        _interp(0.5, "_lo50", "_hi50").alias("p50"),
+        _interp(0.9, "_lo90", "_hi90").alias("p90"),
+        "n",
     )
 
 
