@@ -459,6 +459,7 @@ def portable_signatures(
     n_hashes: int = 64,
     distinct: bool = False,
     in_row: bool | None = None,
+    group_arrow: bool = True,
 ) -> DataFrame:
     """(id, sig) engine-portable MinHash signatures: shingle -> 28-bit
     md5 prefix x, h_i = (a_i*x + b_i) mod (2^31-1) (products stay <
@@ -504,6 +505,18 @@ def portable_signatures(
     sh = shingles(df, id_col, text_col, k, distinct=distinct).withColumn(
         "x", F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
     )
+    if group_arrow:
+        # GROUP-keyed aggregate path (r14, guide §4.2): the n_hashes-min
+        # aggregate is >100 output fields, out of whole-stage codegen
+        # (the r13 maxFields lesson) — it ran INTERPRETED over the full
+        # distinct stream on both sides of the exchange. An Arrow kernel
+        # computes per-(task-batch, group) partial minima in vectorized
+        # int64 (exact — same mul-mod lattice), and the wide min
+        # aggregate then merges only (batches × groups) partial rows —
+        # interpreted over hundreds of rows instead of the vocab-sized
+        # stream. Same minima bit-for-bit (min is associative; pytest
+        # pins arrow == aggregate).
+        return _portable_sig_group_minima(sh, id_col, n_hashes)
     mins = []
     for i in range(n_hashes):
         a, b = portable_hash_params(i)
@@ -516,6 +529,68 @@ def portable_signatures(
         .select(
             id_col, F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
         )
+    )
+
+
+def _portable_sig_group_minima(
+    sh: DataFrame, id_col: str, n_hashes: int
+) -> DataFrame:
+    """Arrow segmented-min for the GROUP-keyed portable signature (see
+    ``portable_signatures``'s group_arrow doc). Input: (id_col, x) rows
+    (x may be null — a null shingle hashes to null and the aggregate
+    min ignores it; a group with only nulls keeps an all-null sig, as
+    in the aggregate form). Output: (id_col, sig)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    A = np.array(
+        [portable_hash_params(i)[0] for i in range(n_hashes)], dtype=np.int64
+    )[:, None]
+    B = np.array(
+        [portable_hash_params(i)[1] for i in range(n_hashes)], dtype=np.int64
+    )[:, None]
+    part_schema = T.StructType(
+        [
+            T.StructField("_g", sh.schema[id_col].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    src = sh.select(F.col(id_col).alias("_g"), "x")
+
+    def kernel(batches):
+        int64_max = np.iinfo(np.int64).max
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_g, out_sig = [], []
+            for gid, sub in pdf.groupby("_g", sort=False, dropna=False):
+                xs = sub["x"].dropna()
+                if len(xs) == 0:
+                    out_g.append(gid)
+                    out_sig.append([None] * n_hashes)
+                    continue
+                xv = xs.to_numpy(dtype=np.int64)
+                sig = np.full(n_hashes, int64_max)
+                for s in range(0, len(xv), 65536):
+                    block = (A * xv[s : s + 65536][None, :] + B) % PORTABLE_PRIME
+                    np.minimum(sig, block.min(axis=1), out=sig)
+                out_g.append(gid)
+                out_sig.append(sig)
+            yield pd.DataFrame(
+                {"_g": out_g, "sig": pd.Series(out_sig, dtype=object)}
+            )
+
+    partial = src.mapInPandas(kernel, part_schema)
+    merged = partial.groupBy("_g").agg(
+        *[
+            F.min(F.element_at("sig", i + 1)).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return merged.select(
+        F.col("_g").alias(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig"),
     )
 
 
@@ -815,18 +890,47 @@ def ngram_jaccard(
     distinct-gram volume scales with the audited pairs, not the corpus
     (for a verification/audit workload the members are a sliver of the
     corpus — sf1 precision audit: 10.0 s → 3.7 s). When pairs cover
-    everything the semi join is a no-op pass-through."""
+    everything the semi join is a no-op pass-through.
+
+    r14 shape (guide §2.4; the r13 plan-size lesson): ``pairs`` is
+    referenced three times (intersection probe, member set, final left
+    join) and the member gram table three times (two join sides +
+    sizes) — unshared, the physical plan rebuilt the full
+    pairs→members→semi-join→explode→DISTINCT chain per reference (205
+    operators, 8 duplicated aggregates). Both subtrees now sit behind
+    one ``localCheckpoint(eager=False)`` each (genuinely per-run state —
+    construction stays in the timed region), the per-doc distinct gram
+    set is built IN-ROW (``array_distinct`` over the shingle transform —
+    the CLAUDE.md house rule; the old form paid a shuffle-DISTINCT of
+    the exploded gram stream), and set sizes ride along as ``size()``
+    instead of a grouped count. Plan: 205 operators / 88 exchange
+    mentions → 39 / 7. Requires ``id_col`` unique per row (a document
+    table): the in-row distinct is per ROW, where the old
+    shuffle-DISTINCT would have merged duplicate ids."""
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     members = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    grams = shingles(
-        df.join(members, id_col, "left_semi"), id_col, text_col, n
-    ).withColumnRenamed("shingle", "gram")
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    ga = grams.select(F.col(id_col).alias("id_a"), "gram")
-    gb = grams.select(F.col(id_col).alias("id_b"), "gram")
+    norm = normalize_text(text_col)
+    arrs = (
+        spread_input(df.join(members, id_col, "left_semi"))
+        .select(F.col(id_col), norm.alias("_t"))
+        .select(
+            id_col,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(_t) - {n - 1}, 1)),"
+                    f" i -> substring(_t, i, {n}))"
+                )
+            ).alias("_grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = arrs.select(id_col, F.size("_grams").alias("n_grams"))
+    ga = arrs.select(F.col(id_col).alias("id_a"), F.explode("_grams").alias("gram"))
+    gb = arrs.select(F.col(id_col).alias("id_b"), F.explode("_grams").alias("gram"))
     # shuffle_hash pin on the corpus-gram side: the gram explode's size
     # estimate derives from the pre-explode scan bytes, and the unpinned
     # sf1 plan was observed BROADCASTING the (id_b, gram) corpus frame —

@@ -35,7 +35,7 @@ def test_portable_signatures_kernel_matches_aggregate(spark):
         agg = {
             r["doc_id"]: list(r["sig"])
             for r in dedup.portable_signatures(
-                df, "doc_id", "text", k, n_hashes, in_row=False
+                df, "doc_id", "text", k, n_hashes, in_row=False, group_arrow=False
             ).collect()
         }
         row = {
@@ -66,6 +66,27 @@ def test_simhash_kernel_matches_aggregate(spark):
         }
         assert agg == row, f"kernel != aggregate at bits={bits}"
         assert 4 not in row
+
+
+def test_group_arrow_minima_match_aggregate(spark):
+    """The distinct=True GROUP path (dataset_overlap's shape): the Arrow
+    segmented-min must equal the pure SQL wide-min aggregate, including
+    a group whose only shingle hash is null."""
+    rows = [(r % 3, t) for r, (_, t) in enumerate(EDGE_DOCS * 2)]
+    df = spark.createDataFrame(rows, ["src", "text"])
+    agg = {
+        r["src"]: list(r["sig"])
+        for r in dedup.portable_signatures(
+            df, "src", "text", 5, 64, distinct=True, in_row=False, group_arrow=False
+        ).collect()
+    }
+    arrow = {
+        r["src"]: list(r["sig"])
+        for r in dedup.portable_signatures(
+            df, "src", "text", 5, 64, distinct=True, in_row=False
+        ).collect()
+    }
+    assert agg == arrow
 
 
 def test_in_row_rejects_group_semantics():
