@@ -13,55 +13,40 @@ from . import extensions  # noqa: E402,F401
 
 # The driver's correctness gate caps at the FIRST 50 registry entries in
 # iteration order, so ordering is a verification-coverage decision, not
-# cosmetics.  ROUND-13 ROTATION (CLAUDE.md rule: never-checked first,
+# cosmetics.  ROUND-14 ROTATION (CLAUDE.md rule: never-checked first,
 # then this round's touched entries, then the stalest greens):
-#   slots 1-2   — NEW r13 entries (stored bigram-LM table, wedge-routed
-#                 triangle entry point) — never driver-checked,
-#                 first-50 mandatory.
-#   slots 3-9   — r12's DEFERRED_NEXT_ROUND drains completely (the
-#                 seven r8-green rows, 5 rounds stale — the verdict's
-#                 action #1).
-#   slots 10-38 — entries whose code this round's work touches: the
-#                 mid-build wave (decontaminate stored-index serving,
-#                 m1/m2 persist, stored-LM serving pair, bpe Arrow
-#                 kernel, triangle _deg/routing rework, khop byte-sized
-#                 broadcast, dataset_overlap) plus the optimization
-#                 wave (memoized stored dedup pair/cluster tables and
-#                 frozen kmeans/PQ models, stored-LSH-index serving +
-#                 flagged probe-table kernel, survivor-sized simhash
-#                 dedup, census prep frames).
-#   slots 39-50 — the r9-green backlog (4 rounds unchecked),
-#                 oldest-first alphabetical; the r9 rows that don't
-#                 fit go on DEFERRED_NEXT_ROUND and lead r14.
+#   slots 1-8   — the r13 verdict's touched-but-driver-unverified list
+#                 (verdict #3): entries whose r13-changed code no
+#                 driver gate has ever seen (containment's md5-half
+#                 keys, the memoized BPE trains, the IVF/PQ stored
+#                 index servers, fuzzy join).
+#   slots 9-19  — entries whose operators r14's code touches
+#                 semantically: the in-row signature/simhash Arrow
+#                 kernels (whole dedup family), the a8 percentile
+#                 rewrite, ngram_jaccard's shared subtrees, the
+#                 group-arrow signature minima (dataset_overlap).
+#   slots 20-43 — r13's DEFERRED_NEXT_ROUND drains completely
+#                 (24 entries after the x_ann_pq_topk overlap with
+#                 slot 7's drain).
+#   slots 44-50 — r14-touched with semantics-neutral changes (frozen
+#                 model setflags, census deg threading): re-verified
+#                 anyway since their modules changed.
 DRIVER_PRIORITY: list[str] = [
-    # --- NEW r13 entries (never driver-checked — first-50 mandatory) ---
-    "x_lm_bigram_table",
-    "x_triangle_auto",
-    # --- r12 deferred drain (verdict r12 action #1; r8-green, stalest) ---
-    "x_sessionize",
-    "x_text_langid",
-    "x_text_quality",
-    "x_text_repetition",
-    "x_tfidf_top_terms",
-    "x_token_count",
-    "x_winsorize",
-    # --- touched by r13 work (mid-build wave) ---
-    "x_semantic_decontaminate",
-    "m1_movement_classification",
-    "m2_waterfall_rollup",
-    "x_lm_bigram_score",
-    "x_perplexity_buckets",
-    "x_bpe_segment",
-    "x_triangle_count",
-    "x_triangle_sample",
-    "x_khop_reach",
-    "x_bloom_semi_join",
-    "x_ann_recall_audit",
-    "x_dataset_overlap",
-    # --- touched by r13 work (optimization wave: memoized stored dedup
-    #     decision tables + frozen trained models, stored-LSH-index
-    #     serving + flagged probe-table kernel, survivor-sized simhash
-    #     dedup, census prep frames) ---
+    # --- r13 touched-but-unverified drain (r13 VERDICT #3) ---
+    "x_containment_pairs",
+    "x_bpe_train",
+    "x_bpe_train_batched",
+    "x_ann_ivf_pq_topk",
+    "x_ann_ivf_probe_table",
+    "x_ann_ivf_incremental",
+    "x_ann_pq_topk",
+    "x_fuzzy_join",
+    # --- r14 semantically-touched (in-row kernels, a8 rewrite,
+    #     ngram_jaccard restructure, group-arrow minima) ---
+    "a8_exact_percentiles",
+    "x_ngram_jaccard",
+    "x_dedup_simhash",
+    "x_simhash_near_dup",
     "x_dedup_minhash_portable",
     "x_dedup_minhash_lsh",
     "x_dedup_clusters",
@@ -69,46 +54,14 @@ DRIVER_PRIORITY: list[str] = [
     "x_dedup_incremental",
     "x_dedup_precision_audit",
     "x_leakage_safe_split",
-    "x_ann_lsh_bucketed",
-    "x_ann_lsh_probe_table",
-    "x_ann_lsh_incremental",
-    "x_embed_near_dup",
-    "x_simhash_near_dup",
-    "x_kmeans",
-    "x_ann_ivf_trained",
-    "x_semantic_dedup",
-    "x_ann_pq_trained",
-    "x_ann_ivf_pq_trained",
-    # --- r9-green backlog (4 rounds unchecked), oldest-first ---
-    "a10_salted_agg",
-    "a11_pivot",
-    "a12_unpivot",
-    "a2_grouped_min_max",
-    "a3_global_scalar_agg",
-    "a5_conditional_count_distinct",
-    "a6_select_distinct",
-    "a7_spine_zero_fill",
-    "a9_rollup",
-    "f19_date_spine",
-    "f_date_kit",
-    "f_misc_scalars",
-]
-
-# r9-green rows displaced by this round's touched-entry slots; each
-# holds a clean r9 driver green, a local-gate green, and pytest pins.
-# They take r14's first slots.  Adding a NEW queries() entry still
-# requires a first-50 slot (CLAUDE.md) — this list only schedules
-# re-verification.
-DEFERRED_NEXT_ROUND: list[str] = [
+    "x_dataset_overlap",
+    # --- r13 deferred drain (r13-displaced r9-green rows) ---
     "w5_rank_kit",
-    "x_ann_pq_topk",
     "x_basket_pairs",
     "x_embed_drift",
-    "x_ngram_jaccard",
     "x_quality_classifier",
     "x_sample_temperature",
     "x_substring_dedup",
-    # r9-green micro rows displaced by the optimization wave above
     "j2_left_equi_zero_fill",
     "j4_first_version_backfill",
     "j5_fk_anti_join",
@@ -126,6 +79,55 @@ DEFERRED_NEXT_ROUND: list[str] = [
     "sql4_recursive_spine",
     "w3_prior_history_flag",
     "w4_partition_min",
+    # --- r14 semantics-neutral touches (setflags-frozen models, census
+    #     deg threading / memo hygiene) ---
+    "x_kmeans",
+    "x_ann_pq_trained",
+    "x_ann_ivf_pq_trained",
+    "x_ann_ivf_trained",
+    "x_triangle_count",
+    "x_triangle_auto",
+    "x_triangle_sample",
+]
+
+# Entries r14's code touches (semantically or mechanically) that do NOT
+# fit the 50-entry window this round — the rotation policy's overflow
+# rule made executable (r13 VERDICT #9): tests assert
+# TOUCHED_THIS_ROUND ∖ window ⊆ DEFERRED_NEXT_ROUND.
+DEFERRED_NEXT_ROUND: list[str] = [
+    # error-guard-only change (probe_pred + prune_to_probed rejection);
+    # driver-green r13 on the same serving shape
+    "x_ann_lsh_probe_table",
+]
+
+# Every queries() entry whose operator code this round's diff touches —
+# kept in suite code (not prose) so the window policy is testable.
+TOUCHED_THIS_ROUND: list[str] = [
+    # in-row Arrow signature kernels + ngram_jaccard restructure +
+    # group-arrow minima (operators/dedup.py)
+    "a8_exact_percentiles",
+    "x_ngram_jaccard",
+    "x_dedup_simhash",
+    "x_simhash_near_dup",
+    "x_dedup_minhash_portable",
+    "x_dedup_minhash_lsh",
+    "x_dedup_clusters",
+    "x_dedup_canonical",
+    "x_dedup_incremental",
+    "x_dedup_precision_audit",
+    "x_leakage_safe_split",
+    "x_dataset_overlap",
+    # frozen-model setflags (operators/kmeans.py, pq.py)
+    "x_kmeans",
+    "x_ann_pq_trained",
+    "x_ann_ivf_pq_trained",
+    "x_ann_ivf_trained",
+    # census deg threading + ad-hoc-route memo hygiene (operators/graph.py)
+    "x_triangle_count",
+    "x_triangle_auto",
+    "x_triangle_sample",
+    # probe_pred + prune_to_probed guard (operators/similarity.py)
+    "x_ann_lsh_probe_table",
 ]
 
 
@@ -138,4 +140,11 @@ def _apply_driver_order() -> None:
 
 _apply_driver_order()
 
-__all__ = ["REGISTRY", "QuerySpec", "query", "DRIVER_PRIORITY"]
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "query",
+    "DRIVER_PRIORITY",
+    "DEFERRED_NEXT_ROUND",
+    "TOUCHED_THIS_ROUND",
+]

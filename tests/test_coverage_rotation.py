@@ -55,6 +55,29 @@ def test_every_registry_entry_is_scheduled_for_driver_verification():
     )
 
 
+def test_touched_entries_are_windowed_or_deferred():
+    """r13 VERDICT #9: the rotation policy's overflow rule, executable —
+    every entry this round's code touches must land in the first-50
+    window same-round or sit on DEFERRED_NEXT_ROUND.  No silent third
+    bucket (r13 shipped seven touched entries on no drain list)."""
+    from duckdb_dbt_finance_warehouse_spark.suite import (
+        DEFERRED_NEXT_ROUND,
+        DRIVER_PRIORITY,
+        TOUCHED_THIS_ROUND,
+    )
+
+    window = set(DRIVER_PRIORITY[:50])
+    stranded = [
+        n
+        for n in TOUCHED_THIS_ROUND
+        if n not in window and n not in DEFERRED_NEXT_ROUND
+    ]
+    assert not stranded, (
+        f"touched this round but neither driver-windowed nor on the "
+        f"deferred drain list: {stranded}"
+    )
+
+
 def test_rotation_lists_are_well_formed():
     from duckdb_dbt_finance_warehouse_spark.suite import (
         DEFERRED_NEXT_ROUND,
