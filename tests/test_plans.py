@@ -543,3 +543,15 @@ def test_bounded_probe_lsh_prunes_index_to_probed_buckets(spark):
         assert p.count("FlatMapGroupsInPandas") == 2, name
         assert "FlatMapCoGroupsInPandas" not in p and "LeftSemi" not in p, name
         assert p.count("MapInPandas (") == 1, name  # one bucket pass, no re-hash
+
+
+def test_a8_percentiles_single_exchange_no_object_agg(spark):
+    """The r14 exact-percentile rewrite: no percentile()
+    TypedImperativeAggregate (ObjectHashAggregate) anywhere, and the
+    raw rows reach the per-flag window through exactly ONE exchange —
+    the rejected value-counts form paid a second exchange + two
+    HashAggregates for a ~99%-distinct key (see OPTIMIZATION_r14.md)."""
+    p = plan_of(spark, "a8_exact_percentiles")
+    assert "ObjectHashAggregate" not in p
+    assert "percentile" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
