@@ -1486,67 +1486,80 @@ def a8_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (beyond-reference coverage): exact interpolated percentiles —
     == DuckDB ``quantile_cont`` bit-for-bit.
 
-    r14 shape: a per-flag ``row_number`` window + closed-form
-    interpolation, replacing the ``percentile()``
-    TypedImperativeAggregate. The old plan (plans/r14/…_before.txt) was
-    two ObjectHashAggregates whose every partial task built TWO
-    OpenHashMap<value, count> buffers over the full scan and serialized
-    both through the exchange, and whose 3 final tasks each merged and
-    sorted the whole per-flag value map twice (once per percentile) —
-    single-threaded, interpreted, and the suite's slowest entry
-    (guide §2.3: aggregate before you shuffle; §1.2: fix the algorithm
-    first). A grouped-value-counts intermediate was A/B'd and rejected:
-    l_extendedprice is ~99% distinct (594,330 of 600,000 rows at
-    sf0.1), so pre-counting values reduced nothing and paid a full
-    extra exchange + two HashAggregates (1.9 s vs 1.0 s full-entry).
-    Instead the raw (flag, price) rows exchange ONCE on the flag
-    (never partitionless — 3 partitions), ``row_number`` assigns each
-    row its unique 0-based sorted rank among the flag's non-null
-    prices (ties order arbitrarily WITHIN equal values — the order
-    statistic at a rank is unaffected), the 4 bracketing order
-    statistics are picked by rank equality, and interpolation is
-    EXACTLY Spark's ``getPercentile`` arithmetic — position = (n-1 as
-    double) * q on the non-null count, result = lo when ceil==floor or
-    the bracketing values are equal, else (ceil-pos)*lo + (pos-floor)*hi
-    — so the output is bit-identical to the old aggregate (equality
-    pinned in tests). Nulls sort first and are excluded from the rank
+    r14 shape: ONE flag-keyed exchange -> per-flag value counts -> a
+    cumulative window + closed-form interpolation, replacing the
+    ``percentile()`` TypedImperativeAggregate. The old plan
+    (plans/r14/…_before.txt) was two ObjectHashAggregates whose every
+    partial task built TWO OpenHashMap<value, count> buffers over the
+    full scan and serialized both through the exchange, and whose 3
+    final tasks each merged and sorted the whole per-flag value map
+    twice (once per percentile) — single-threaded, interpreted, and
+    the suite's slowest entry (guide §2.3: aggregate before you
+    shuffle; §1.2: fix the algorithm first). Three forms were A/B'd:
+    (a) naive groupBy(flag, price) value counts — pays a second
+    exchange on (flag, price) that reduces ~nothing at sf0.1
+    (l_extendedprice is ~99% distinct there: 594,330 of 600,000 rows);
+    (b) raw-row ``row_number`` — one exchange but the per-flag sort is
+    row-volume-sized (sf1: 6.4-6.9 s vs 2.6-2.9); (c) SHIPPED:
+    ``repartition(l_returnflag)`` BEFORE the groupBy —
+    HashPartitioning(flag) satisfies the aggregate's
+    ClusteredDistribution(flag, price) (equal (flag, price) implies
+    equal flag), so EnsureRequirements elides the aggregate's own
+    exchange: one exchange of raw (flag, price) rows, an O(n) hash
+    aggregate collapses duplicates, and the window sorts only DISTINCT
+    values (price-domain-bounded, not row-bounded — 10x fewer rows at
+    sf1, the 100 TB direction). The 0-based rank range of each value
+    row is [_cum - _c, _cum - 1] within the flag's sorted non-null
+    multiset; the 4 bracketing order statistics are picked by
+    rank-range cover, and interpolation is EXACTLY Spark's
+    ``getPercentile`` arithmetic — position = (n-1 as double) * q on
+    the non-null count, result = lo when ceil==floor or the bracketing
+    values are equal, else (ceil-pos)*lo + (pos-floor)*hi — so the
+    output is bit-identical to the old aggregate (equality pinned in
+    tests). Nulls sort first and contribute 0 to the rank cumsum
     (percentile ignores nulls; count(*) must not — hence _n vs _n_nn).
-    100 TB note: the per-flag sort is one task per flag; past a single
-    task's sort budget the two-pass range-bucket house form
-    (compaction_plan's shape) is the next step — not needed at any
-    bench scale."""
+    100 TB note: the per-flag sort is one task per flag over the
+    flag's distinct values; past a single task's sort budget the
+    two-pass range-bucket house form (compaction_plan's shape) is the
+    next step — not needed at any bench scale."""
     li = T(spark, sf_dir, "lineitem")["lineitem"]
     price = F.col("l_extendedprice")
-    w_ord = Window.partitionBy("l_returnflag").orderBy(price.asc_nulls_first())
+    cnts = (
+        li.select("l_returnflag", "l_extendedprice")
+        .repartition("l_returnflag")
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").alias("_c"))
+    )
+    w_ord = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     w_all = Window.partitionBy("l_returnflag")
-    base = li.select("l_returnflag", "l_extendedprice").select(
+    nn = F.when(price.isNotNull(), F.col("_c")).otherwise(F.lit(0))
+    cum = cnts.select(
         "l_returnflag",
         "l_extendedprice",
-        (
-            F.row_number().over(w_ord)
-            - 1
-            - (F.count(F.lit(1)).over(w_all) - F.count(price).over(w_all))
-        ).alias("_rn0"),
-        F.count(price).over(w_all).alias("_n_nn"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
+        "_c",
+        F.sum(nn).over(w_ord).alias("_cum"),
+        F.sum(nn).over(w_all).alias("_n_nn"),
+        F.sum("_c").over(w_all).alias("_n"),
     )
 
     def _pos(q: float):
         # Spark Percentile: position = (count - 1).toDouble * percentage
         return (F.col("_n_nn") - 1).cast("double") * F.lit(q)
 
-    hits = base.filter(
+    def _covers(q: float, edge):
+        idx = edge(_pos(q))
+        return (F.col("_cum") - F.col("_c") <= idx) & (idx < F.col("_cum"))
+
+    hits = cum.filter(
         price.isNotNull()
         & (
-            (F.col("_rn0") == F.floor(_pos(0.5)))
-            | (F.col("_rn0") == F.ceil(_pos(0.5)))
-            | (F.col("_rn0") == F.floor(_pos(0.9)))
-            | (F.col("_rn0") == F.ceil(_pos(0.9)))
+            _covers(0.5, F.floor) | _covers(0.5, F.ceil)
+            | _covers(0.9, F.floor) | _covers(0.9, F.ceil)
         )
     )
     picked = hits.groupBy("l_returnflag").agg(
         *[
-            F.max(F.when(F.col("_rn0") == edge(_pos(q)), price)).alias(name)
+            F.max(F.when(_covers(q, edge), price)).alias(name)
             for q, edge, name in (
                 (0.5, F.floor, "_lo50"),
                 (0.5, F.ceil, "_hi50"),
